@@ -1,0 +1,325 @@
+"""H3-style hierarchical hexagonal cell index, pure numpy, planar meters.
+
+The reference partitions space with density-adaptive Voronoi polygons
+(``Partitioning.pyt:94-108``) and rasterizes density on square grids
+(``IB-Tool2.py:799-802``).  Per the north_rule we replace both with a
+hierarchical hex-cell index ("H3 res 9-11"): no ``h3`` library exists in this
+environment, so this module implements an H3-*style* lattice from scratch —
+pointy-top hexagons in axial coordinates, one lattice per resolution, with
+cell edge lengths matching the published H3 table (res 9 ≈ 174 m,
+res 10 ≈ 66 m, res 11 ≈ 25 m).  Coordinates are planar meters (the reference
+operates in projected EPSG 25832/25833 — ``IB-Tool2.py:78``), so a planar
+lattice is faithful.
+
+Cell id layout (uint64):  [res:6 bits | q+OFFSET:28 bits | r+OFFSET:28 bits]
+with OFFSET = 2**27, so q, r ∈ (-2**27, 2**27) — covers the planet at res 15.
+
+All functions are vectorized over numpy arrays.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# H3 average edge length in meters per resolution (published H3 table).
+# edge(res) = EDGE0 / sqrt(7)**res
+_EDGE0 = 1_107_712.591
+_SQRT7 = 7.0**0.5
+EDGE_M = np.array([_EDGE0 / _SQRT7**r for r in range(16)])
+
+_OFF = 1 << 27
+_MASK28 = (1 << 28) - 1
+_SQRT3 = 3.0**0.5
+
+
+def edge_length_m(res: int) -> float:
+    """Hex edge length (= circumradius) in meters at ``res``."""
+    return float(EDGE_M[res])
+
+
+def encode(x: np.ndarray, y: np.ndarray, res: int) -> np.ndarray:
+    """Planar meters -> uint64 cell ids at ``res`` (vectorized).
+
+    Pointy-top axial lattice:  x = s*sqrt(3)*(q + r/2),  y = s*1.5*r
+    with s = edge length.  Uses exact cube rounding.
+    """
+    s = EDGE_M[res]
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    qf = (_SQRT3 / 3.0 * x - y / 3.0) / s
+    rf = (2.0 / 3.0 * y) / s
+    q, r = _cube_round(qf, rf)
+    return _pack(res, q, r)
+
+
+def _cube_round(qf: np.ndarray, rf: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    sf = -qf - rf
+    q = np.rint(qf)
+    r = np.rint(rf)
+    s = np.rint(sf)
+    dq = np.abs(q - qf)
+    dr = np.abs(r - rf)
+    ds = np.abs(s - sf)
+    fix_q = (dq > dr) & (dq > ds)
+    fix_r = ~fix_q & (dr > ds)
+    q = np.where(fix_q, -r - s, q)
+    r = np.where(fix_r, -q - s, r)
+    return q.astype(np.int64), r.astype(np.int64)
+
+
+def _pack(res: int, q: np.ndarray, r: np.ndarray) -> np.ndarray:
+    return (
+        (np.uint64(res) << np.uint64(56))
+        | (np.asarray(q + _OFF, dtype=np.uint64) << np.uint64(28))
+        | np.asarray(r + _OFF, dtype=np.uint64)
+    )
+
+
+def unpack(cell: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """uint64 cell ids -> (res, q, r) int64 arrays."""
+    cell = np.asarray(cell, dtype=np.uint64)
+    res = (cell >> np.uint64(56)).astype(np.int64)
+    q = ((cell >> np.uint64(28)) & np.uint64(_MASK28)).astype(np.int64) - _OFF
+    r = (cell & np.uint64(_MASK28)).astype(np.int64) - _OFF
+    return res, q, r
+
+
+def cell_center(cell: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Cell ids -> (x, y) centers in meters."""
+    res, q, r = unpack(cell)
+    s = EDGE_M[res]
+    x = s * _SQRT3 * (q + r / 2.0)
+    y = s * 1.5 * r
+    return x, y
+
+
+def parent(cell: np.ndarray, parent_res: int) -> np.ndarray:
+    """Coarser cell containing each cell's center (H3-style re-encode)."""
+    x, y = cell_center(cell)
+    return encode(x, y, parent_res)
+
+
+_AX_NEIGHBORS = np.array(
+    [(1, 0), (1, -1), (0, -1), (-1, 0), (-1, 1), (0, 1)], dtype=np.int64
+)
+
+
+def neighbors(cell: np.ndarray) -> np.ndarray:
+    """The 6 adjacent cells of each cell -> shape (n, 6) uint64."""
+    res, q, r = unpack(np.atleast_1d(cell))
+    nq = q[:, None] + _AX_NEIGHBORS[None, :, 0]
+    nr = r[:, None] + _AX_NEIGHBORS[None, :, 1]
+    return _pack(int(res[0]), nq, nr)
+
+
+def k_ring_offsets(k: int) -> np.ndarray:
+    """Axial (dq, dr) offsets of the filled hex disk of radius k (incl. center).
+
+    Count = 1 + 3*k*(k+1).
+    """
+    offs = []
+    for dq in range(-k, k + 1):
+        for dr in range(max(-k, -dq - k), min(k, -dq + k) + 1):
+            offs.append((dq, dr))
+    return np.array(offs, dtype=np.int64)
+
+
+def k_ring(cell: np.ndarray, k: int) -> np.ndarray:
+    """All cells within hex distance k of each cell -> shape (n, m) uint64."""
+    res, q, r = unpack(np.atleast_1d(cell))
+    offs = k_ring_offsets(k)
+    nq = q[:, None] + offs[None, :, 0]
+    nr = r[:, None] + offs[None, :, 1]
+    return _pack(int(res[0]), nq, nr)
+
+
+def hex_distance(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Hex grid distance between same-res cells (vectorized)."""
+    _, qa, ra = unpack(a)
+    _, qb, rb = unpack(b)
+    dq = qa - qb
+    dr = ra - rb
+    return (np.abs(dq) + np.abs(dr) + np.abs(dq + dr)) // 2
+
+
+def cell_boundary(cell: np.ndarray) -> np.ndarray:
+    """Cell ids -> (n, 6, 2) vertex coordinates (pointy-top, CCW from top)."""
+    x, y = cell_center(np.atleast_1d(cell))
+    res, _, _ = unpack(np.atleast_1d(cell))
+    s = EDGE_M[res][:, None]
+    # pointy-top vertices at angles 90, 150, 210, 270, 330, 30 degrees (CCW)
+    ang = np.deg2rad(np.array([90.0, 150.0, 210.0, 270.0, 330.0, 30.0]))
+    vx = x[:, None] + s * np.cos(ang)[None, :]
+    vy = y[:, None] + s * np.sin(ang)[None, :]
+    return np.stack([vx, vy], axis=-1)
+
+
+# --- cell-set morphology (the reference's buffer-dissolve / closing, F8-F9) ---
+
+
+def dilate(cells: np.ndarray, k: int) -> np.ndarray:
+    """Unique cells within distance k of any input cell (morphological dilate).
+
+    Replaces the reference's dissolved buffer (``IB-Tool2.py:1866-1872``):
+    buffer(+d) over a polygon set == k-ring dilation of its cell cover with
+    k = ceil(d / cell_width).
+    """
+    if len(cells) == 0:
+        return np.asarray(cells, dtype=np.uint64)
+    ring = k_ring(np.unique(np.asarray(cells, dtype=np.uint64)), k)
+    return np.unique(ring.ravel())
+
+
+def erode(cells: np.ndarray, k: int) -> np.ndarray:
+    """Cells all of whose k-ring lies inside the set (morphological erode)."""
+    cells = np.unique(np.asarray(cells, dtype=np.uint64))
+    if len(cells) == 0 or k == 0:
+        return cells
+    ring = k_ring(cells, k)  # (n, m)
+    inside = np.isin(ring, cells).all(axis=1)
+    return cells[inside]
+
+
+def closing(cells: np.ndarray, k: int) -> np.ndarray:
+    """Dilate then erode — bridges gaps ≤ 2k cells, like the reference's
+    double-buffer GapClose (+30 m buffer, −30 m erode, ``IB-Tool2.py:1866-1882``)."""
+    if k == 0:
+        return np.unique(np.asarray(cells, dtype=np.uint64))
+    return erode(dilate(cells, k), k)
+
+
+def connected_components(cells: np.ndarray, gap: int = 1) -> np.ndarray:
+    """Label connected components of a cell set; adjacency = hex distance ≤ gap.
+
+    Returns int64 labels (0..n_comp-1) aligned with the *sorted unique* input
+    (callers should pass unique sorted cells).  Deterministic: labels are
+    ordered by the smallest cell id in each component.
+    Union-find over cells — the Ray-side analog of the reference's global
+    ``Dissolve`` + singlepart explode (``IB-Tool2.py:826,841``).
+    """
+    cells = np.asarray(cells, dtype=np.uint64)
+    n = len(cells)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    order = np.argsort(cells)
+    sc = cells[order]
+    # neighbor candidate edges: for each cell, cells within `gap`
+    offs = k_ring_offsets(gap)
+    offs = offs[~((offs[:, 0] == 0) & (offs[:, 1] == 0))]
+    res, q, r = unpack(sc)
+    parent_arr = np.arange(n, dtype=np.int64)
+
+    def find(i: int) -> int:
+        root = i
+        while parent_arr[root] != root:
+            root = parent_arr[root]
+        while parent_arr[i] != root:
+            parent_arr[i], i = root, parent_arr[i]
+        return root
+
+    for dq, dr in offs:
+        nb = _pack(int(res[0]), q + dq, r + dr)
+        idx = np.searchsorted(sc, nb)
+        idx_c = np.clip(idx, 0, n - 1)
+        hit = sc[idx_c] == nb
+        src = np.nonzero(hit)[0]
+        dst = idx_c[hit]
+        for i, j in zip(src, dst):
+            ri, rj = find(i), find(j)
+            if ri != rj:
+                if ri < rj:
+                    parent_arr[rj] = ri
+                else:
+                    parent_arr[ri] = rj
+    roots = np.array([find(i) for i in range(n)], dtype=np.int64)
+    # relabel by smallest cell id in component (== smallest index in sorted order)
+    uniq_roots, labels_sorted = np.unique(roots, return_inverse=True)
+    out = np.empty(n, dtype=np.int64)
+    out[order] = labels_sorted
+    return out
+
+
+def boundary_rings(cells: np.ndarray) -> list[np.ndarray]:
+    """Trace the outer boundary ring(s) of a hex-cell set.
+
+    Returns a list of (m, 2) float arrays, each a closed CCW ring of the union
+    polygon of the hexagons (outer rings and hole rings; holes come out CW).
+    This is the polygonization step of the north_star ("concave-hull
+    polygonization of settlement boundaries"): the union boundary of the
+    dilated/eroded cell cover *is* the concave hull at cell resolution.
+
+    Algorithm: every hex edge shared by exactly one cell of the set is a
+    boundary edge; chain edges head-to-tail.  Deterministic.
+    """
+    cells = np.unique(np.asarray(cells, dtype=np.uint64))
+    if len(cells) == 0:
+        return []
+    res, q, r = unpack(cells)
+    s = EDGE_M[res[0]]
+    sset = cells  # sorted unique
+    # For each cell and each of its 6 neighbor directions, boundary edge if
+    # the neighbor is not in the set.  Hex vertex k (CCW from top) pairs:
+    # edge between vertex i and i+1 faces a particular neighbor.
+    bnd = cell_boundary(cells)  # (n, 6, 2)
+    # neighbor in direction of edge (v[i], v[i+1]):
+    # pointy-top CCW vertices: 90,150,210,270,330,30 deg. Edge (90..150) faces
+    # up-left neighbor (-1 in q? ). Compute neighbor centers geometrically.
+    edges_a = []
+    edges_b = []
+    for i in range(6):
+        va = bnd[:, i, :]
+        vb = bnd[:, (i + 1) % 6, :]
+        mid = (va + vb) / 2.0
+        cx, cy = cell_center(cells)
+        # neighbor center = cell center mirrored through edge midpoint
+        nx = 2 * mid[:, 0] - cx
+        ny = 2 * mid[:, 1] - cy
+        ncell = encode(nx, ny, int(res[0]))
+        idx = np.searchsorted(sset, ncell)
+        idx_c = np.clip(idx, 0, len(sset) - 1)
+        absent = sset[idx_c] != ncell
+        # CCW orientation around the cell: keep edge (va -> vb)
+        edges_a.append(va[absent])
+        edges_b.append(vb[absent])
+    ea = np.concatenate(edges_a)
+    eb = np.concatenate(edges_b)
+    if len(ea) == 0:
+        return []
+    # quantize vertices to integer keys for exact matching
+    scale = 1.0 / (s * 1e-6)
+
+    def key(pts: np.ndarray) -> np.ndarray:
+        k = np.round(pts * scale).astype(np.int64)
+        return k[:, 0] * np.int64(1 << 31) + k[:, 1]
+
+    ka = key(ea)
+    kb = key(eb)
+    # map start-key -> edge index (each boundary vertex has exactly one
+    # outgoing CCW edge in a valid hex union)
+    order = np.argsort(ka, kind="stable")
+    ka_s = ka[order]
+    rings: list[np.ndarray] = []
+    used = np.zeros(len(ea), dtype=bool)
+    for start in range(len(ea)):
+        if used[start]:
+            continue
+        ring_pts = [ea[start]]
+        cur = start
+        while True:
+            used[cur] = True
+            nxt_key = kb[cur]
+            pos = np.searchsorted(ka_s, nxt_key)
+            nxt = -1
+            while pos < len(ka_s) and ka_s[pos] == nxt_key:
+                cand = order[pos]
+                if not used[cand]:
+                    nxt = cand
+                    break
+                pos += 1
+            if nxt == -1:
+                break
+            ring_pts.append(ea[nxt])
+            cur = nxt
+        if len(ring_pts) >= 3:
+            rings.append(np.array(ring_pts))
+    return rings
