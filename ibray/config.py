@@ -1,0 +1,43 @@
+"""Pipeline configuration — the analog of IB-Tool2_Config.txt (reference
+config keys 01-14, /root/reference/IB-Tool2_Config.txt, README.md:139-170),
+re-expressed as a dataclass for the Ray Data engine."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class DelineationConfig:
+    # --- geometry filters (reference config 03 + hardcoded thresholds) ---
+    min_footprint_area_m2: float = 56.8  # IB-Tool2_Config.txt:3 (MinArea)
+    min_circularity: float = 1.05        # SHP_IDX filter, IB-Tool2.py:778-787
+    # positive/negative building-function code filtering (IB-Tool2_Filter.txt)
+    use_fkt_filter: bool = True
+
+    # --- hex grid resolutions (north_star: H3 res 9-11) ---
+    res_fine: int = 11      # clustering cells (~25 m edge)
+    res_mid: int = 9        # PIP index / tile assignments (~174 m edge)
+    res_part: int = 6       # coarse partition = shuffle key (~3.2 km edge)
+
+    # --- clustering (DBSCAN-style over hex neighborhoods) ---
+    closing_k: int = 2      # morphological closing radius in res_fine cells
+                            # (analog of the reference's +30/-30 m double
+                            # buffer GapClose, IB-Tool2.py:1866-1882)
+    # cells within hex distance <= cluster_gap are single-linkage merged;
+    # derived so clustering matches what closing() bridges: 2k+1
+    min_footprints: int = 10  # skip groups with fewer buildings
+                              # (reference: <10 -> skip partition, IB-Tool2.py:2435)
+    max_hole_m2: float = 10_000.0  # close interior holes smaller than this
+                                   # (MaxHole, IB-Tool2_Config.txt:5 + HoleClose)
+
+    # --- execution ---
+    batch_size: int = 32768
+    pip_concurrency: int = 4   # actor pool size for the PIP stage
+
+    @property
+    def cluster_gap(self) -> int:
+        return 2 * self.closing_k + 1
+
+
+DEFAULT = DelineationConfig()

@@ -1,0 +1,62 @@
+"""Golden conformance outputs: the single-process oracle's results cached as
+parquet, so the driver's DuckDB oracle_sql() can value-hash the distributed
+engine's output against an independently-computed single-process result
+(FIXTURES.md §3 — 'expected outputs, computed by ibray/oracle.py').
+
+Layout: /tmp/ibray_golden/{world_tag}_o{ORACLE_VERSION}/{settlements,assignments,tiles}.parquet
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ibray import oracle, synth
+from ibray.config import DEFAULT
+
+ORACLE_VERSION = 2
+
+
+def golden_dir(sf: float, base: str = "/tmp/ibray_golden") -> str:
+    return os.path.join(base, f"{synth.world_tag(sf)}_o{ORACLE_VERSION}")
+
+
+def ensure_golden(sf: float) -> str:
+    d = golden_dir(sf)
+    marker = os.path.join(d, "_done")
+    if os.path.exists(marker):
+        return d
+    world = synth.ensure_world(sf)
+    res = oracle.run_oracle(world, DEFAULT)
+    tmp = d + ".building"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    srows = [
+        {
+            "settlement_id": s["settlement_id"],
+            "n_footprints": s["n_footprints"],
+            "area_m2": s["area_m2"],
+        }
+        for s in res["settlements"]
+    ]
+    st = (
+        pa.Table.from_pylist(srows)
+        if srows
+        else pa.table({"settlement_id": pa.array([], pa.string()),
+                       "n_footprints": pa.array([], pa.int64()),
+                       "area_m2": pa.array([], pa.float64())})
+    )
+    pq.write_table(st, os.path.join(tmp, "settlements.parquet"))
+    pq.write_table(res["assignments"], os.path.join(tmp, "assignments.parquet"))
+    pq.write_table(res["tiles"], os.path.join(tmp, "tiles.parquet"))
+    open(os.path.join(tmp, "_done"), "w").write("ok")
+    try:
+        os.rename(tmp, d)
+    except OSError:
+        if not os.path.exists(marker):
+            raise
+        shutil.rmtree(tmp, ignore_errors=True)
+    return d

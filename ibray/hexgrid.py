@@ -203,37 +203,36 @@ def connected_components(cells: np.ndarray, gap: int = 1) -> np.ndarray:
         return np.zeros(0, dtype=np.int64)
     order = np.argsort(cells)
     sc = cells[order]
-    # neighbor candidate edges: for each cell, cells within `gap`
+    # precompute neighbor index table: for each cell, the sorted-set index of
+    # every in-set cell within `gap` (vectorized searchsorted per offset)
     offs = k_ring_offsets(gap)
     offs = offs[~((offs[:, 0] == 0) & (offs[:, 1] == 0))]
     res, q, r = unpack(sc)
-    parent_arr = np.arange(n, dtype=np.int64)
-
-    def find(i: int) -> int:
-        root = i
-        while parent_arr[root] != root:
-            root = parent_arr[root]
-        while parent_arr[i] != root:
-            parent_arr[i], i = root, parent_arr[i]
-        return root
-
+    nbr_cols = []
     for dq, dr in offs:
         nb = _pack(int(res[0]), q + dq, r + dr)
         idx = np.searchsorted(sc, nb)
         idx_c = np.clip(idx, 0, n - 1)
         hit = sc[idx_c] == nb
-        src = np.nonzero(hit)[0]
-        dst = idx_c[hit]
-        for i, j in zip(src, dst):
-            ri, rj = find(i), find(j)
-            if ri != rj:
-                if ri < rj:
-                    parent_arr[rj] = ri
-                else:
-                    parent_arr[ri] = rj
-    roots = np.array([find(i) for i in range(n)], dtype=np.int64)
-    # relabel by smallest cell id in component (== smallest index in sorted order)
-    uniq_roots, labels_sorted = np.unique(roots, return_inverse=True)
+        nbr_cols.append(np.where(hit, idx_c, np.arange(n)))
+    nbrs = np.stack(nbr_cols, axis=1)  # (n, m) self-index where absent
+    # min-label propagation with pointer jumping (Shiloach-Vishkin style):
+    # hook = pull the min neighbor label, jump = labels[labels] composition.
+    # Converges in O(log diameter) vectorized rounds.
+    labels = np.arange(n, dtype=np.int64)
+    while True:
+        pulled = np.minimum(labels, labels[nbrs].min(axis=1))
+        changed = (pulled != labels).any()
+        labels = pulled
+        while True:
+            nl = labels[labels]
+            if (nl == labels).all():
+                break
+            labels = nl
+        if not changed:
+            break
+    # relabel components 0..k-1 ordered by smallest cell id (== smallest index)
+    _, labels_sorted = np.unique(labels, return_inverse=True)
     out = np.empty(n, dtype=np.int64)
     out[order] = labels_sorted
     return out

@@ -1,0 +1,112 @@
+"""Slow single-process conformance oracle (FIXTURES.md §3-4).
+
+Implements the delineation semantics *directly* — one process, no Ray, no
+partitioning, no halo replication, no label resolution: global connected
+components over all occupied cells, a plain Python loop over components, and
+brute-force bbox-prefiltered PIP.  The distributed engine (ibray/pipeline.py)
+must produce identical settlements / assignments / tile tables; any
+divergence indicates a bug in the distributed machinery (the two-level
+shuffle, halo, or equivalence union-find).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ibray import geom, synth
+from ibray import hexgrid as hg
+from ibray.config import DEFAULT, DelineationConfig
+from ibray.ops import extract as E
+from ibray.ops import footprints as F
+from ibray.ops.cluster import polygonize_cells
+
+
+def run_oracle(world_dir: str, cfg: DelineationConfig = DEFAULT) -> dict:
+    docs = pq.read_table(world_dir + "/documents.parquet")
+    fp = E.parse_rings(E.extract_footprints(docs))
+    attrs = pq.read_table(world_dir + "/footprint_attrs.parquet").to_pandas()
+    fp = F.add_cells(F.add_geometry(fp), cfg)
+    df = fp.to_pandas()
+    df = df.merge(attrs[["doc_id", "span_idx", "fkt"]], on=["doc_id", "span_idx"], how="left")
+
+    positive = set(synth.POSITIVE_FKT)
+    keep = (
+        (df["shp_idx"] >= cfg.min_circularity)
+        & (df["area_m2"] >= cfg.min_footprint_area_m2)
+        & df["fkt"].isin(positive)
+    )
+    kept = df[keep]
+
+    # --- global clustering: components over ALL occupied cells, one shot ---
+    cells = np.unique(kept["cell_fine"].to_numpy(dtype=np.uint64))
+    labels_idx = hg.connected_components(cells, gap=cfg.cluster_gap)
+    first_idx = np.unique(labels_idx, return_index=True)[1]
+    label_of_cell = dict(zip(cells.tolist(), cells[first_idx][labels_idx].tolist()))
+
+    kept_labels = kept["cell_fine"].map(label_of_cell)
+    kept = kept.assign(label=kept_labels.astype(np.uint64))
+
+    # --- settlements: python loop per component ---
+    settlements = []
+    for label, g in kept.groupby("label", sort=True):
+        if len(g) < cfg.min_footprints:
+            continue
+        comp_cells = np.unique(g["cell_fine"].to_numpy(dtype=np.uint64))
+        rings_py, area = polygonize_cells(comp_cells, cfg)
+        settlements.append(
+            {
+                "settlement_id": g["footprint_id"].min(),
+                "label": int(label),
+                "n_footprints": len(g),
+                "area_m2": area,
+                "part_cell": int(hg.parent(np.array([label], dtype=np.uint64), cfg.res_part)[0]),
+                "boundary": rings_py,
+                "_rings_np": [np.array([[p["x"], p["y"]] for p in r]) for r in rings_py],
+            }
+        )
+    settlements.sort(key=lambda s: s["settlement_id"])
+
+    # --- brute-force PIP back-assignment of every extracted footprint ---
+    px = df["cx"].to_numpy()
+    py = df["cy"].to_numpy()
+    assigned = np.full(len(df), "", dtype=object)
+    for s in settlements:
+        rings = s["_rings_np"]
+        allpts = np.concatenate(rings)
+        mn = allpts.min(axis=0)
+        mx = allpts.max(axis=0)
+        cand = np.nonzero(
+            (px >= mn[0]) & (px <= mx[0]) & (py >= mn[1]) & (py <= mx[1])
+        )[0]
+        if len(cand) == 0:
+            continue
+        inside = geom.points_in_polygon(px[cand], py[cand], rings)
+        assigned[cand[inside]] = s["settlement_id"]
+
+    assignments = pa.table(
+        {
+            "footprint_id": pa.array(df["footprint_id"], type=pa.string()),
+            "doc_id": pa.array(df["doc_id"], type=pa.string()),
+            "span_idx": pa.array(df["span_idx"], type=pa.int32()),
+            "settlement_id": pa.array(list(assigned), type=pa.string()),
+        }
+    )
+    tiles = pa.table(
+        {
+            "footprint_id": pa.array(df["footprint_id"], type=pa.string()),
+            "cell_r9": pa.array(df["cell_r9"].to_numpy(dtype=np.uint64), type=pa.uint64()),
+            "cell_r10": pa.array(df["cell_r10"].to_numpy(dtype=np.uint64), type=pa.uint64()),
+            "cell_r11": pa.array(df["cell_r11"].to_numpy(dtype=np.uint64), type=pa.uint64()),
+        }
+    )
+    for s in settlements:
+        del s["_rings_np"]
+    return {
+        "settlements": settlements,
+        "assignments": assignments,
+        "tiles": tiles,
+        "n_footprints": len(df),
+    }

@@ -1,0 +1,363 @@
+"""Deterministic synthetic settlement-world generator (FIXTURES.md §1-2).
+
+Produces the north_rule input table — a corpus of interleaved text+media
+documents whose spans reference building-footprint geometries — plus the
+side tables (footprint function codes, roads).  Mirrors the shape of the
+reference fixture corpus (/root/reference/Test_data: 29,232 footprints,
+6,796 roads, 71 partitions -> 86 settlements) at a configurable scale.
+
+Everything is seeded and vectorized; generating the sf0.1 world (~300k
+footprints) takes a few seconds.  Outputs are cached as parquet under
+/tmp/ibray_synth/{tag}/ so tests, queries() and bench share one world.
+
+Schema (exactly BASELINE.json input_hint):
+    documents(doc_id: string,
+              spans: list<struct<kind: string, text: string,
+                                 media_ref: string, offset: int32>>)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SEED = 42
+WORLD_VERSION = 4  # bump to invalidate cached worlds
+
+# ATKIS-like building-function codes, same format as the reference filter
+# lists (/root/reference/IB-Tool2_Filter.txt:1-39): positive = residential /
+# mixed-use (kept), negative = agricultural outbuildings etc. (dropped).
+POSITIVE_FKT = [
+    "31001_1010", "31001_1020", "31001_1021", "31001_1022", "31001_1023",
+    "31001_1100", "31001_1110", "31001_1120", "31001_1121", "31001_1122",
+    "31001_1123", "31001_1130", "31001_1220", "31001_1221", "31001_1223",
+    "31001_2000", "31001_2010", "31001_2020", "31001_2050", "31001_2070",
+]
+NEGATIVE_FKT = [
+    "31001_2720", "31001_2721", "31001_2723", "31001_2724", "31001_2726",
+    "31001_2727", "31001_2740", "31001_2741", "31001_2742", "31001_1313",
+]
+
+_TEXT_SNIPPETS = [
+    "Settlement survey note for the cadastral sheet.",
+    "Observed contiguous residential fabric along the main road.",
+    "Field inspection recorded the following structures.",
+    "Aerial interpretation pass, quality checked.",
+    "Boundary review against the previous epoch.",
+]
+
+
+def sf_to_n_footprints(sf: float) -> int:
+    """Scale factor -> target footprint count (FIXTURES.md §4 scales)."""
+    return max(200, int(round(3_000_000 * sf)))
+
+
+def world_tag(sf: float, seed: int = SEED) -> str:
+    return f"sf{sf:g}_seed{seed}_v{WORLD_VERSION}"
+
+
+def world_dir(sf: float, seed: int = SEED, base: str = "/tmp/ibray_synth") -> str:
+    return os.path.join(base, world_tag(sf, seed))
+
+
+def generate_footprints(sf: float, seed: int = SEED):
+    """Vectorized world synthesis.
+
+    Returns dict of numpy arrays:
+      ring4: (n, 4, 2) rectangle corners (CCW), meters
+      fkt: (n,) object array of code strings
+      settlement_true: (n,) int64 — generative settlement index (-1 = rural)
+      n_settlements: int
+    """
+    rng = np.random.default_rng(seed)
+    n_target = sf_to_n_footprints(sf)
+    n_set = max(2, int(round(n_target / 280)))
+    side = int(np.ceil(np.sqrt(n_set)))
+    spacing = 4000.0
+
+    # settlement seeds on a jittered grid
+    gi = np.arange(n_set)
+    cx = (gi % side) * spacing + rng.uniform(-500, 500, n_set)
+    cy = (gi // side) * spacing + rng.uniform(-500, 500, n_set)
+    theta = rng.uniform(0, 180, n_set)  # dominant building angle per settlement
+    raw = rng.lognormal(mean=0.0, sigma=0.6, size=n_set)
+    counts = np.maximum(15, (raw / raw.sum() * n_target * 0.95).astype(np.int64))
+
+    n_urban = int(counts.sum())
+    set_idx = np.repeat(np.arange(n_set), counts)
+    sigma = 28.0 * np.sqrt(counts)  # settlement radius grows with size
+    px = rng.normal(0.0, 1.0, n_urban) * sigma[set_idx] + cx[set_idx]
+    py = rng.normal(0.0, 1.0, n_urban) * sigma[set_idx] + cy[set_idx]
+
+    # rural scatter (~5%): isolated barns/houses far from everything
+    n_rural = max(10, n_target // 20)
+    extent = side * spacing
+    rx = rng.uniform(-2000, extent, n_rural)
+    ry = rng.uniform(-2000, extent, n_rural)
+
+    all_x = np.concatenate([px, rx])
+    all_y = np.concatenate([py, ry])
+    all_theta = np.concatenate([theta[set_idx] + rng.normal(0, 5, n_urban),
+                                rng.uniform(0, 180, n_rural)])
+    settlement_true = np.concatenate(
+        [set_idx, np.full(n_rural, -1, dtype=np.int64)]
+    )
+    n = len(all_x)
+
+    # rectangle footprints w x h rotated by theta; a few tiny sheds (< MinArea,
+    # exercises the reference's 56.8 m2 filter, IB-Tool2.py:830-840) and round
+    # tanks (SHP_IDX < 1.05, exercises IB-Tool2.py:778-787)
+    w = rng.uniform(8, 30, n)
+    h = rng.uniform(8, 30, n)
+    tiny = rng.random(n) < 0.03
+    w = np.where(tiny, rng.uniform(4.0, 7.0, n), w)
+    h = np.where(tiny, rng.uniform(4.0, 7.0, n), h)
+    tank = (~tiny) & (rng.random(n) < 0.02)
+    tank_radius = rng.uniform(5.0, 10.0, n)
+    ang = np.deg2rad(all_theta)
+    ca, sa = np.cos(ang), np.sin(ang)
+    # local corners (CCW)
+    lx = np.stack([-w / 2, w / 2, w / 2, -w / 2], axis=1)
+    ly = np.stack([-h / 2, -h / 2, h / 2, h / 2], axis=1)
+    gx = all_x[:, None] + lx * ca[:, None] - ly * sa[:, None]
+    gy = all_y[:, None] + lx * sa[:, None] + ly * ca[:, None]
+    ring4 = np.stack([gx, gy], axis=-1)
+
+    # function codes: 85% positive, 15% negative
+    pos = rng.random(n) < 0.85
+    fkt = np.where(
+        pos,
+        np.array(POSITIVE_FKT, dtype=object)[rng.integers(0, len(POSITIVE_FKT), n)],
+        np.array(NEGATIVE_FKT, dtype=object)[rng.integers(0, len(NEGATIVE_FKT), n)],
+    )
+    return {
+        "ring4": ring4,
+        "tank": tank,
+        "tank_radius": tank_radius,
+        "fkt": fkt,
+        "settlement_true": settlement_true,
+        "n_settlements": n_set,
+        "centers": (cx, cy),
+        "extent": extent,
+    }
+
+
+def _ring_texts(ring4: np.ndarray) -> np.ndarray:
+    """(n,4,2) -> n geometry payload strings 'x1 y1,x2 y2,x3 y3,x4 y4'
+    with 2-decimal coords (vectorized via char-level formatting)."""
+    flat = np.round(ring4, 2).reshape(len(ring4), 8)
+    fmt = "%.2f %.2f,%.2f %.2f,%.2f %.2f,%.2f %.2f"
+    return np.array([fmt % tuple(row) for row in flat], dtype=object)
+
+
+def _world_texts(world) -> np.ndarray:
+    """Geometry payload strings; tanks become 16-gon circles."""
+    out = _ring_texts(world["ring4"])
+    tank_idx = np.nonzero(world["tank"])[0]
+    if len(tank_idx):
+        ang = 2 * np.pi * np.arange(16) / 16
+        ca, sa = np.cos(ang), np.sin(ang)
+        cx = world["ring4"][tank_idx, :, 0].mean(axis=1)
+        cy = world["ring4"][tank_idx, :, 1].mean(axis=1)
+        r = world["tank_radius"][tank_idx]
+        for j, i in enumerate(tank_idx):
+            xs = cx[j] + r[j] * ca
+            ys = cy[j] + r[j] * sa
+            out[i] = ",".join(f"{x:.2f} {y:.2f}" for x, y in zip(xs, ys))
+    return out
+
+
+def build_documents(sf: float, seed: int = SEED):
+    """Assemble the documents table + footprint-attribute side table.
+
+    Returns (documents: pa.Table, attrs: pa.Table, meta: dict).
+    Span layout per document: one leading text span, then for each footprint
+    an optional media span (tile ref) followed by the footprint span; offsets
+    strictly increasing (the span order key, FIXTURES.md §1).
+    """
+    world = generate_footprints(sf, seed)
+    ring4 = world["ring4"]
+    n = len(ring4)
+    rng = np.random.default_rng(seed + 1)
+
+    perm = rng.permutation(n)  # mix settlements across documents
+    geo_text = _world_texts(world)[perm]
+    fkt = world["fkt"][perm]
+    settlement_true = world["settlement_true"][perm]
+
+    # split footprints into documents of 1-4 spans
+    doc_sizes = []
+    left = n
+    while left > 0:
+        k = int(rng.integers(1, 5))
+        k = min(k, left)
+        doc_sizes.append(k)
+        left -= k
+    doc_sizes = np.array(doc_sizes, dtype=np.int64)
+    n_docs = len(doc_sizes)
+    doc_of_fp = np.repeat(np.arange(n_docs), doc_sizes)
+
+    doc_ids = np.array([f"doc_{i:08d}" for i in range(n_docs)], dtype=object)
+
+    # build span arrays doc by doc (vector-ish: precompute all pieces)
+    lead_text = np.array(_TEXT_SNIPPETS, dtype=object)[
+        rng.integers(0, len(_TEXT_SNIPPETS), n_docs)
+    ]
+    has_media = rng.random(n) < 0.3
+    tz = rng.integers(9, 12, n)
+    tx = rng.integers(0, 1 << 12, n)
+    ty = rng.integers(0, 1 << 12, n)
+
+    kinds: list[str] = []
+    texts: list[str] = []
+    media: list[str] = []
+    offsets: list[int] = []
+    span_list_offsets = np.zeros(n_docs + 1, dtype=np.int32)
+    attr_doc: list[str] = []
+    attr_span_idx: list[int] = []
+
+    fp_starts = np.concatenate([[0], np.cumsum(doc_sizes)])
+    for d in range(n_docs):
+        off = 0
+        si = 0
+        kinds.append("text")
+        texts.append(lead_text[d])
+        media.append("")
+        offsets.append(off)
+        off += len(lead_text[d]) + 1
+        si += 1
+        for j in range(fp_starts[d], fp_starts[d + 1]):
+            if has_media[j]:
+                cap = "aerial tile"
+                kinds.append("media")
+                texts.append(cap)
+                media.append(f"tile://{tz[j]}/{tx[j]}/{ty[j]}.png")
+                offsets.append(off)
+                off += len(cap) + 1
+                si += 1
+            kinds.append("footprint")
+            texts.append(geo_text[j])
+            media.append("")
+            offsets.append(off)
+            attr_doc.append(doc_ids[d])
+            attr_span_idx.append(si)
+            off += len(geo_text[j]) + 1
+            si += 1
+        span_list_offsets[d + 1] = len(kinds)
+
+    span_struct = pa.StructArray.from_arrays(
+        [
+            pa.array(kinds, type=pa.string()),
+            pa.array(texts, type=pa.string()),
+            pa.array(media, type=pa.string()),
+            pa.array(offsets, type=pa.int32()),
+        ],
+        names=["kind", "text", "media_ref", "offset"],
+    )
+    spans = pa.ListArray.from_arrays(pa.array(span_list_offsets), span_struct)
+    documents = pa.table({"doc_id": pa.array(doc_ids, type=pa.string()), "spans": spans})
+
+    attrs = pa.table(
+        {
+            "doc_id": pa.array(attr_doc, type=pa.string()),
+            "span_idx": pa.array(attr_span_idx, type=pa.int32()),
+            "fkt": pa.array(list(fkt), type=pa.string()),
+            "settlement_true": pa.array(settlement_true, type=pa.int64()),
+        }
+    )
+    meta = {
+        "sf": sf,
+        "seed": seed,
+        "n_footprints": n,
+        "n_documents": n_docs,
+        "n_settlements": int(world["n_settlements"]),
+        "version": WORLD_VERSION,
+    }
+    return documents, attrs, meta
+
+
+def build_roads(sf: float, seed: int = SEED) -> pa.Table:
+    """Grid + radial streets per settlement, with short dead-end stubs
+    (exercises the reference's NodesDetect / dead-end pruning,
+    IB-Tool2.py:1127-1172, 1363-1369)."""
+    world = generate_footprints(sf, seed)
+    cx, cy = world["centers"]
+    rng = np.random.default_rng(seed + 2)
+    xs_parts: list[np.ndarray] = []
+    road_rows = []
+    rid = 0
+    for i in range(len(cx)):
+        half = 600.0
+        for k in range(-1, 2):
+            # horizontal + vertical grid lines
+            road_rows.append(
+                (f"road_{rid:07d}", [cx[i] - half, cx[i] + half],
+                 [cy[i] + k * 300.0, cy[i] + k * 300.0], "major" if k == 0 else "minor")
+            )
+            rid += 1
+            road_rows.append(
+                (f"road_{rid:07d}", [cx[i] + k * 300.0, cx[i] + k * 300.0],
+                 [cy[i] - half, cy[i] + half], "minor")
+            )
+            rid += 1
+        # dead-end stub < 50 m
+        a = rng.uniform(0, 2 * np.pi)
+        road_rows.append(
+            (f"road_{rid:07d}", [cx[i], cx[i] + 40 * np.cos(a)],
+             [cy[i], cy[i] + 40 * np.sin(a)], "deadend")
+        )
+        rid += 1
+    ids = pa.array([r[0] for r in road_rows], type=pa.string())
+    line = pa.array(
+        [
+            [{"x": float(x), "y": float(y)} for x, y in zip(r[1], r[2])]
+            for r in road_rows
+        ],
+        type=pa.list_(pa.struct([("x", pa.float64()), ("y", pa.float64())])),
+    )
+    klass = pa.array([r[3] for r in road_rows], type=pa.string())
+    return pa.table({"road_id": ids, "line": line, "klass": klass})
+
+
+def ensure_world(sf: float, seed: int = SEED, base: str = "/tmp/ibray_synth") -> str:
+    """Generate (once) and cache the world; returns its directory.
+
+    Written atomically (tmp dir + rename) so concurrent callers are safe.
+    """
+    d = world_dir(sf, seed, base)
+    manifest = os.path.join(d, "manifest.json")
+    if os.path.exists(manifest):
+        return d
+    tmp = d + ".building"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    documents, attrs, meta = build_documents(sf, seed)
+    # row-group size keeps read parallelism reasonable at every scale
+    pq.write_table(documents, os.path.join(tmp, "documents.parquet"), row_group_size=4096)
+    pq.write_table(attrs, os.path.join(tmp, "footprint_attrs.parquet"), row_group_size=65536)
+    pq.write_table(build_roads(sf, seed), os.path.join(tmp, "roads.parquet"))
+    with open(os.path.join(tmp, "manifest.json"), "w") as f:
+        json.dump(meta, f)
+    try:
+        os.rename(tmp, d)
+    except OSError:
+        if not os.path.exists(manifest):
+            raise
+        shutil.rmtree(tmp, ignore_errors=True)
+    return d
+
+
+def sf_of_dir(sf_dir: str) -> float:
+    """Map a driver sf dir ('/root/testdata/sf0.01') to its scale factor."""
+    base = os.path.basename(os.path.normpath(sf_dir))
+    if base.startswith("sf"):
+        try:
+            return float(base[2:])
+        except ValueError:
+            pass
+    return 0.01

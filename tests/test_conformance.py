@@ -1,0 +1,70 @@
+"""End-to-end conformance: the distributed Ray Data engine must equal the
+single-process numpy oracle exactly (FIXTURES.md §4) — same settlement count,
+same footprint→settlement assignment rows, same tile assignments.
+
+This is the analog of the reference's golden-output check
+(Test_data/UGB.shp: 86 polygons from 29,232 footprints)."""
+
+import pandas as pd
+import pytest
+
+from ibray import oracle, pipeline, synth
+
+
+@pytest.fixture(scope="module")
+def results(ray_session):
+    world = synth.ensure_world(0.001)
+    engine = pipeline.delineate(world)
+    gold = oracle.run_oracle(world)
+    return engine, gold
+
+
+def test_settlement_count(results):
+    engine, gold = results
+    assert engine["settlements"].num_rows == len(gold["settlements"])
+    assert engine["settlements"].num_rows > 0
+
+
+def test_settlement_stats_exact(results):
+    engine, gold = results
+    es = (
+        engine["settlements"]
+        .to_pandas()[["settlement_id", "n_footprints", "area_m2", "part_cell"]]
+        .sort_values("settlement_id")
+        .reset_index(drop=True)
+    )
+    gs = (
+        pd.DataFrame(gold["settlements"])[
+            ["settlement_id", "n_footprints", "area_m2", "part_cell"]
+        ]
+        .sort_values("settlement_id")
+        .reset_index(drop=True)
+    )
+    gs["part_cell"] = gs["part_cell"].astype(es["part_cell"].dtype)
+    pd.testing.assert_frame_equal(es, gs)
+
+
+def test_assignment_rows_exact(results):
+    engine, gold = results
+    ea = engine["assignments"].to_pandas().sort_values("footprint_id").reset_index(drop=True)
+    ga = gold["assignments"].to_pandas().sort_values("footprint_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(ea, ga)
+    # every extracted footprint got an assignment row
+    assert len(ea) == engine["n_footprints"]
+
+
+def test_tile_assignments_exact(results):
+    engine, gold = results
+    et = engine["tiles"].to_pandas().sort_values("footprint_id").reset_index(drop=True)
+    gt = gold["tiles"].to_pandas().sort_values("footprint_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(et, gt)
+
+
+def test_boundaries_exact(results):
+    engine, gold = results
+    eb = {
+        r["settlement_id"]: r["boundary"]
+        for r in engine["settlements"].to_pylist()
+    }
+    for s in gold["settlements"]:
+        assert eb[s["settlement_id"]] == s["boundary"]
