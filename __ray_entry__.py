@@ -80,7 +80,7 @@ def _q_extract_footprints(sf_dir: str):
     from ibray.ops import extract as E
 
     world = synth.ensure_world(synth.sf_of_dir(sf_dir))
-    docs = rd.read_parquet(world + "/documents.parquet")
+    docs = rd.read_parquet(world + "/documents")
     fp = docs.map_batches(E.extract_footprints, batch_format="pyarrow")
     return fp.select_columns(["doc_id", "span_idx", "footprint_id"])
 
@@ -92,7 +92,7 @@ def _q_span_kind_counts(sf_dir: str):
     from ibray.ops import extract as E
 
     world = synth.ensure_world(synth.sf_of_dir(sf_dir))
-    docs = rd.read_parquet(world + "/documents.parquet")
+    docs = rd.read_parquet(world + "/documents")
     spans = docs.map_batches(E.extract_spans, batch_format="pyarrow")
     return spans.groupby("kind").aggregate(Count(alias_name="n"))
 
@@ -116,13 +116,95 @@ def _q_tiles(sf_dir: str):
     return _delineate_cached(sf)["tiles_tbl"]
 
 
+def _scale_cols(ds, digits: dict[str, int]):
+    """Convert float columns to scaled BIGINT (round(x * 10^d)) on BOTH the
+    Ray and SQL sides: integers hash exactly, so order-of-summation float
+    noise (~1e-12) cannot flip the driver's value hash."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def _r(b: pa.Table) -> pa.Table:
+        for c, d in digits.items():
+            i = b.schema.get_field_index(c)
+            scaled = pc.round(pc.multiply(b.column(c), pa.scalar(float(10 ** d))))
+            b = b.set_column(i, c, pc.cast(scaled, pa.int64()))
+        return b
+
+    if isinstance(ds, pa.Table):
+        return _r(ds)
+    return ds.map_batches(_r, batch_format="pyarrow")
+
+
+def _q_q1(sf_dir: str):
+    from ibray.ops import relational as R
+
+    return _scale_cols(R.q1_pricing_summary(sf_dir),
+                       {"sum_qty": 2, "sum_base_price": 2, "sum_disc_price": 2,
+                        "avg_disc": 6})
+
+
+def _q_cust_totals(sf_dir: str):
+    from ibray.ops import relational as R
+
+    return _scale_cols(R.customer_order_totals(sf_dir), {"total_spent": 3})
+
+
+def _q_event_stats(sf_dir: str):
+    from ibray.ops import relational as R
+
+    return _scale_cols(R.event_type_stats(sf_dir),
+                       {"sum_value": 4, "avg_value": 6, "min_value": 6,
+                        "max_value": 6})
+
+
+def _q_user_cum(sf_dir: str):
+    from ibray.ops import relational as R
+
+    return _scale_cols(R.user_cumulative_value(sf_dir), {"cum_value": 5})
+
+
+def _q_lang_counts(sf_dir: str):
+    from ibray.ops import text as T
+
+    return _scale_cols(T.lang_source_counts(sf_dir), {"avg_chars": 5})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
+    from ibray.ops import ann as A
+    from ibray.ops import dedup as D
+    from ibray.ops import relational as R
+    from ibray.ops import text as T
+
     return {
+        # geospatial flagship (north_rule)
         "extract_footprints": _q_extract_footprints,
         "span_kind_counts": _q_span_kind_counts,
         "delineate_settlements": _q_settlements,
         "footprint_assignments": _q_assignments,
         "tile_assignments": _q_tiles,
+        # relational operator layer (SURVEY.md §2 over driver tables)
+        "q1_pricing_summary": _q_q1,
+        "filter_project_parts": R.filter_project_parts,
+        "customer_order_totals": _q_cust_totals,
+        "customer_nation_region": R.customer_nation_region,
+        "customers_with_orders": R.customers_with_orders,
+        "customers_without_orders": R.customers_without_orders,
+        "top_orders": R.top_orders,
+        "distinct_flag_status": R.distinct_flag_status,
+        "event_type_stats": _q_event_stats,
+        "user_cumulative_value": _q_user_cum,
+        "union_high_value_keys": R.union_high_value_keys,
+        # text analysis / dedup / similarity (training-data ops)
+        "token_counts": T.token_counts,
+        "quality_scores": T.quality_scores,
+        "lang_source_counts": _q_lang_counts,
+        "doc_fingerprints": T.doc_fingerprints,
+        "exact_dedup": D.exact_dedup,
+        "simhash_fingerprints": D.simhash_fingerprints,   # rows-only check
+        "minhash_dup_groups": D.minhash_dup_groups,       # rows-only check
+        "ann_cosine_topk": A.cosine_topk,
+        "ann_ivf_assign": A.ivf_assign,                   # rows-only check
+        "ann_ivf_topk": A.ivf_topk,                       # rows-only check
     }
 
 
@@ -133,7 +215,7 @@ def oracle_sql() -> dict[str, str]:
     sf = 0.01  # the driver's correctness scale
     world = synth.world_dir(sf)
     gold = golden.golden_dir(sf)
-    docs = f"read_parquet('{world}/documents.parquet')"
+    docs = f"read_parquet('{world}/documents/*.parquet')"
     return {
         # independent recomputation in SQL from the same documents parquet
         "extract_footprints": f"""
@@ -164,5 +246,108 @@ def oracle_sql() -> dict[str, str]:
         "tile_assignments": f"""
             SELECT footprint_id, cell_r9, cell_r10, cell_r11
             FROM read_parquet('{gold}/tiles.parquet')
+        """,
+        # ------------- relational layer (driver's pre-registered views) ----
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(ROUND(SUM(l_quantity) * 100) AS BIGINT) AS sum_qty,
+                   CAST(ROUND(SUM(l_extendedprice) * 100) AS BIGINT) AS sum_base_price,
+                   CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT) AS sum_disc_price,
+                   CAST(ROUND(AVG(l_discount) * 1000000) AS BIGINT) AS avg_disc,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate < TIMESTAMP '1998-09-01'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "filter_project_parts": """
+            SELECT p_partkey, p_name, p_retailprice
+            FROM part WHERE p_size > 25 AND p_type LIKE '%STANDARD%'
+        """,
+        "customer_order_totals": """
+            SELECT c_custkey, c_name, COUNT(*) AS n_orders,
+                   CAST(ROUND(SUM(o_totalprice) * 1000) AS BIGINT) AS total_spent
+            FROM customer JOIN orders ON o_custkey = c_custkey
+            GROUP BY c_custkey, c_name
+        """,
+        "customer_nation_region": """
+            SELECT c_custkey, n_name AS nation_name, r_name AS region_name
+            FROM customer
+            JOIN nation ON n_nationkey = c_nationkey
+            JOIN region ON r_regionkey = n_regionkey
+        """,
+        "customers_with_orders": """
+            SELECT c_custkey, c_name, c_acctbal FROM customer
+            WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey, c_name, c_acctbal FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                                    WHERE o_totalprice > 250000.0)
+        """,
+        "top_orders": """
+            SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20
+        """,
+        "distinct_flag_status": """
+            SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        """,
+        "event_type_stats": """
+            SELECT event_type, COUNT(*) AS n,
+                   CAST(ROUND(SUM(value) * 10000) AS BIGINT) AS sum_value,
+                   CAST(ROUND(AVG(value) * 1000000) AS BIGINT) AS avg_value,
+                   CAST(ROUND(MIN(value) * 1000000) AS BIGINT) AS min_value,
+                   CAST(ROUND(MAX(value) * 1000000) AS BIGINT) AS max_value
+            FROM events GROUP BY event_type
+        """,
+        "user_cumulative_value": """
+            SELECT event_id, user_id,
+                   CAST(ROUND(SUM(value) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) * 100000) AS BIGINT) AS cum_value
+            FROM events
+        """,
+        "union_high_value_keys": """
+            SELECT o_orderkey, COUNT(*) AS n FROM (
+                SELECT o_orderkey FROM orders WHERE o_totalprice > 200000.0
+                UNION ALL
+                SELECT l_orderkey AS o_orderkey FROM lineitem WHERE l_quantity > 45.0
+            ) GROUP BY o_orderkey
+        """,
+        # ------------- text / dedup / similarity --------------------------
+        "token_counts": """
+            SELECT doc_id,
+                   len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+                   len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS n_pieces
+            FROM documents
+        """,
+        "quality_scores": """
+            SELECT doc_id, length(text) AS n_chars2,
+                   len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                       x -> x IN ('a','and','in','is','of','the','to'))) AS n_stop
+            FROM documents
+        """,
+        "lang_source_counts": """
+            SELECT lang, source, COUNT(*) AS n_docs,
+                   SUM(n_chars) AS total_chars,
+                   CAST(ROUND(AVG(n_chars) * 100000) AS BIGINT) AS avg_chars
+            FROM documents GROUP BY lang, source
+        """,
+        "doc_fingerprints": """
+            SELECT doc_id, md5(text) AS fp FROM documents
+        """,
+        "exact_dedup": """
+            SELECT md5(text) AS h, MIN(doc_id) AS doc_id
+            FROM documents GROUP BY md5(text)
+        """,
+        "ann_cosine_topk": """
+            SELECT q.vec_id AS query_id, e.vec_id
+            FROM embeddings e
+            CROSS JOIN (SELECT vec_id, embedding FROM embeddings
+                        ORDER BY vec_id LIMIT 5) q
+            WHERE e.vec_id != q.vec_id
+            QUALIFY row_number() OVER (
+                PARTITION BY q.vec_id
+                ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC,
+                         e.vec_id ASC) <= 10
         """,
     }

@@ -1,0 +1,133 @@
+#!/usr/bin/env python
+"""Benchmark driver (BASELINE.md protocol).
+
+Runs the flagship delineation pipeline end-to-end (H3 encode → cluster →
+hull → PIP assignment — BASELINE.json "metric") over the deterministic
+synthetic world at the scale matching $GRAFT_SF_DIR, plus timed sub-stages,
+and prints ONE JSON line.
+
+    python bench.py                # full bench at $RAY_GRAFT_CPUS (default 32)
+    python bench.py --scaling      # same pipeline at 8 vs 32 CPUs in fresh
+                                   # processes; reports throughputs + efficiency
+                                   # (the north_rule's N vs 4N cluster evidence,
+                                   # sandbox protocol per driver instruction)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def _sf_dir() -> str:
+    return os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _ncpus() -> int:
+    return int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def run_bench() -> dict:
+    import logging
+
+    logging.getLogger("ray").setLevel(logging.ERROR)
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    import ray
+
+    ncpu = _ncpus()
+    ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
+             logging_level="ERROR", ignore_reinit_error=True)
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from ibray import pipeline, synth
+
+    sf = synth.sf_of_dir(_sf_dir())
+    # bench runs a 10x-denser world than the correctness scale so compute,
+    # not fixed scheduling overhead, dominates (the metric is footprints/sec;
+    # n_footprints is reported alongside) — BASELINE.md protocol
+    bench_sf = sf * 10
+    world = synth.ensure_world(bench_sf)  # cached after first run; not timed
+
+    # warm the page cache with one untimed read
+    import pyarrow.parquet as pq
+
+    pq.read_table(world + "/documents")
+
+    queries: dict[str, float] = {}
+
+    # headline: end-to-end delineation (footprints/sec)
+    t0 = time.time()
+    res = pipeline.delineate(world)
+    n_assign = res["assignments"].count()
+    headline = time.time() - t0
+    n_fp = res["n_footprints"]
+    queries["delineate_e2e"] = round(headline, 3)
+
+    # sub-stage timings (separately, on the same session)
+    t0 = time.time()
+    fp = pipeline.footprint_dataset(world)
+    _ = fp.count()
+    queries["extract_encode"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    tiles = res["tiles"]
+    _ = tiles.count()
+    queries["tile_assignments"] = round(time.time() - t0, 3)
+
+    out = {
+        "metric": "footprints/sec end-to-end delineation (H3 encode -> cluster -> hull -> PIP)",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "num_cpus": ncpu,
+        "n_footprints": n_fp,
+        "n_settlements": res["settlements"].num_rows,
+        "n_assignments": n_assign,
+        "footprints_per_sec": round(n_fp / headline, 1),
+    }
+    ray.shutdown()
+    return out
+
+
+def run_scaling() -> dict:
+    """Same input, fresh process per parallelism level (8 vs 32 CPUs)."""
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = run(lo)
+    r_hi = run(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "scaling efficiency (N=8 vs 4N=32 CPUs, fresh processes, same input)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "sec_8": t_lo,
+        "sec_32": t_hi,
+        "fps_8": r_lo["footprints_per_sec"],
+        "fps_32": r_hi["footprints_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "sf": r_hi["sf"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

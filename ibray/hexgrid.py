@@ -11,7 +11,7 @@ res 10 ≈ 66 m, res 11 ≈ 25 m).  Coordinates are planar meters (the reference
 operates in projected EPSG 25832/25833 — ``IB-Tool2.py:78``), so a planar
 lattice is faithful.
 
-Cell id layout (uint64):  [res:6 bits | q+OFFSET:28 bits | r+OFFSET:28 bits]
+Cell id layout (int64, always < 2**60 so int64-safe):  [res:6 bits | q+OFFSET:28 bits | r+OFFSET:28 bits]
 with OFFSET = 2**27, so q, r ∈ (-2**27, 2**27) — covers the planet at res 15.
 
 All functions are vectorized over numpy arrays.
@@ -38,7 +38,7 @@ def edge_length_m(res: int) -> float:
 
 
 def encode(x: np.ndarray, y: np.ndarray, res: int) -> np.ndarray:
-    """Planar meters -> uint64 cell ids at ``res`` (vectorized).
+    """Planar meters -> int64 cell ids at ``res`` (vectorized).
 
     Pointy-top axial lattice:  x = s*sqrt(3)*(q + r/2),  y = s*1.5*r
     with s = edge length.  Uses exact cube rounding.
@@ -69,18 +69,18 @@ def _cube_round(qf: np.ndarray, rf: np.ndarray) -> tuple[np.ndarray, np.ndarray]
 
 def _pack(res: int, q: np.ndarray, r: np.ndarray) -> np.ndarray:
     return (
-        (np.uint64(res) << np.uint64(56))
-        | (np.asarray(q + _OFF, dtype=np.uint64) << np.uint64(28))
-        | np.asarray(r + _OFF, dtype=np.uint64)
+        (np.int64(res) << np.int64(56))
+        | (np.asarray(q + _OFF, dtype=np.int64) << np.int64(28))
+        | np.asarray(r + _OFF, dtype=np.int64)
     )
 
 
 def unpack(cell: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """uint64 cell ids -> (res, q, r) int64 arrays."""
-    cell = np.asarray(cell, dtype=np.uint64)
-    res = (cell >> np.uint64(56)).astype(np.int64)
-    q = ((cell >> np.uint64(28)) & np.uint64(_MASK28)).astype(np.int64) - _OFF
-    r = (cell & np.uint64(_MASK28)).astype(np.int64) - _OFF
+    """int64 cell ids -> (res, q, r) int64 arrays."""
+    cell = np.asarray(cell, dtype=np.int64)
+    res = cell >> np.int64(56)
+    q = ((cell >> np.int64(28)) & np.int64(_MASK28)) - _OFF
+    r = (cell & np.int64(_MASK28)) - _OFF
     return res, q, r
 
 
@@ -105,7 +105,7 @@ _AX_NEIGHBORS = np.array(
 
 
 def neighbors(cell: np.ndarray) -> np.ndarray:
-    """The 6 adjacent cells of each cell -> shape (n, 6) uint64."""
+    """The 6 adjacent cells of each cell -> shape (n, 6) int64."""
     res, q, r = unpack(np.atleast_1d(cell))
     nq = q[:, None] + _AX_NEIGHBORS[None, :, 0]
     nr = r[:, None] + _AX_NEIGHBORS[None, :, 1]
@@ -125,7 +125,7 @@ def k_ring_offsets(k: int) -> np.ndarray:
 
 
 def k_ring(cell: np.ndarray, k: int) -> np.ndarray:
-    """All cells within hex distance k of each cell -> shape (n, m) uint64."""
+    """All cells within hex distance k of each cell -> shape (n, m) int64."""
     res, q, r = unpack(np.atleast_1d(cell))
     offs = k_ring_offsets(k)
     nq = q[:, None] + offs[None, :, 0]
@@ -165,14 +165,14 @@ def dilate(cells: np.ndarray, k: int) -> np.ndarray:
     k = ceil(d / cell_width).
     """
     if len(cells) == 0:
-        return np.asarray(cells, dtype=np.uint64)
-    ring = k_ring(np.unique(np.asarray(cells, dtype=np.uint64)), k)
+        return np.asarray(cells, dtype=np.int64)
+    ring = k_ring(np.unique(np.asarray(cells, dtype=np.int64)), k)
     return np.unique(ring.ravel())
 
 
 def erode(cells: np.ndarray, k: int) -> np.ndarray:
     """Cells all of whose k-ring lies inside the set (morphological erode)."""
-    cells = np.unique(np.asarray(cells, dtype=np.uint64))
+    cells = np.unique(np.asarray(cells, dtype=np.int64))
     if len(cells) == 0 or k == 0:
         return cells
     ring = k_ring(cells, k)  # (n, m)
@@ -184,7 +184,7 @@ def closing(cells: np.ndarray, k: int) -> np.ndarray:
     """Dilate then erode — bridges gaps ≤ 2k cells, like the reference's
     double-buffer GapClose (+30 m buffer, −30 m erode, ``IB-Tool2.py:1866-1882``)."""
     if k == 0:
-        return np.unique(np.asarray(cells, dtype=np.uint64))
+        return np.unique(np.asarray(cells, dtype=np.int64))
     return erode(dilate(cells, k), k)
 
 
@@ -197,7 +197,7 @@ def connected_components(cells: np.ndarray, gap: int = 1) -> np.ndarray:
     Union-find over cells — the Ray-side analog of the reference's global
     ``Dissolve`` + singlepart explode (``IB-Tool2.py:826,841``).
     """
-    cells = np.asarray(cells, dtype=np.uint64)
+    cells = np.asarray(cells, dtype=np.int64)
     n = len(cells)
     if n == 0:
         return np.zeros(0, dtype=np.int64)
@@ -250,7 +250,7 @@ def boundary_rings(cells: np.ndarray) -> list[np.ndarray]:
     Algorithm: every hex edge shared by exactly one cell of the set is a
     boundary edge; chain edges head-to-tail.  Deterministic.
     """
-    cells = np.unique(np.asarray(cells, dtype=np.uint64))
+    cells = np.unique(np.asarray(cells, dtype=np.int64))
     if len(cells) == 0:
         return []
     res, q, r = unpack(cells)

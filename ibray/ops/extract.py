@@ -64,6 +64,13 @@ def extract_footprints(batch: pa.Table) -> pa.Table:
     mask = np.asarray(pc.equal(kind, "footprint"))
     sel = np.nonzero(mask)[0]
     texts = values.field("text").take(pa.array(sel))
+    # payload = "<fkt>;<ring coords>" (the reference's A_HU carries the
+    # function code as a column of the footprint table, IB-Tool2.py:731-734)
+    parts = pc.split_pattern(texts, ";", max_splits=1)
+    parts = parts.combine_chunks() if isinstance(parts, pa.ChunkedArray) else parts
+    flat = parts.values
+    fkt = flat.take(pa.array(np.asarray(parts.offsets)[:-1]))
+    geom_text = flat.take(pa.array(np.asarray(parts.offsets)[:-1] + 1))
     doc_ids_all = batch.column("doc_id")
     doc_ids_all = doc_ids_all.combine_chunks() if isinstance(
         doc_ids_all, pa.ChunkedArray) else doc_ids_all
@@ -78,7 +85,8 @@ def extract_footprints(batch: pa.Table) -> pa.Table:
             "doc_id": fp_doc,
             "span_idx": pa.array(fp_span, type=pa.int32()),
             "footprint_id": fp_ids,
-            "geom_text": texts,
+            "fkt": fkt,
+            "geom_text": geom_text,
         }
     )
 

@@ -1,0 +1,90 @@
+"""Text-analysis operators over the driver's ``documents`` table
+(doc_id, text, lang, source, n_chars) — the large-scale training-data ops
+the engine adds beyond the reference's operator set: token counting
+(whitespace + BPE-ish regex), quality scoring, language counts,
+document fingerprinting.
+
+All per-batch work is vectorized pandas string ops / compiled regexes held
+in actor state; every query has an exact DuckDB oracle in __ray_entry__.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+from ray.data.aggregate import Count, Mean, Sum
+
+STOPWORDS = ["a", "and", "in", "is", "of", "the", "to"]
+
+
+def _docs(sf_dir: str, columns: list[str]) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+class TokenCounter:
+    """Actor-pool stage: compiled regex state (once per actor), vectorized
+    counting per batch — whitespace tokens and BPE-ish word/punct pieces."""
+
+    def __init__(self):
+        import re
+
+        self.piece = re.compile(r"\w+|[^\w\s]")
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        batch["n_tokens"] = batch["text"].str.split().str.len().astype(np.int64)
+        batch["n_pieces"] = batch["text"].str.findall(self.piece).str.len().astype(np.int64)
+        return batch[["doc_id", "n_tokens", "n_pieces"]]
+
+
+def token_counts(sf_dir: str) -> rd.Dataset:
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        TokenCounter, batch_format="pandas", batch_size=4096, concurrency=2
+    )
+
+
+class QualityScorer:
+    """Length / stopword-ratio quality signals (deterministic, SQL-checkable)."""
+
+    def __init__(self):
+        self.stop = set(STOPWORDS)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].str.lower().str.split()
+        batch["n_chars2"] = batch["text"].str.len().astype(np.int64)
+        batch["n_stop"] = toks.map(
+            lambda ws: sum(1 for w in ws if w in self.stop)
+        ).astype(np.int64)
+        return batch[["doc_id", "n_chars2", "n_stop"]]
+
+
+def quality_scores(sf_dir: str) -> rd.Dataset:
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        QualityScorer, batch_format="pandas", batch_size=4096, concurrency=2
+    )
+
+
+def lang_source_counts(sf_dir: str) -> rd.Dataset:
+    ds = _docs(sf_dir, ["lang", "source", "n_chars"])
+    return ds.groupby(["lang", "source"]).aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_chars", alias_name="total_chars"),
+        Mean("n_chars", alias_name="avg_chars"),
+    )
+
+
+def doc_fingerprints(sf_dir: str) -> rd.Dataset:
+    """Deterministic content fingerprint (md5) per document — the exact-dedup
+    key (U8 analog at corpus scale)."""
+    import hashlib
+
+    def _fp(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["fp"] = [
+            hashlib.md5(t.encode("utf-8")).hexdigest() for t in batch["text"]
+        ]
+        return batch[["doc_id", "fp"]]
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _fp, batch_format="pandas", batch_size=8192
+    )

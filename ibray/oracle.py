@@ -25,12 +25,10 @@ from ibray.ops.cluster import polygonize_cells
 
 
 def run_oracle(world_dir: str, cfg: DelineationConfig = DEFAULT) -> dict:
-    docs = pq.read_table(world_dir + "/documents.parquet")
+    docs = pq.read_table(world_dir + "/documents")
     fp = E.parse_rings(E.extract_footprints(docs))
-    attrs = pq.read_table(world_dir + "/footprint_attrs.parquet").to_pandas()
     fp = F.add_cells(F.add_geometry(fp), cfg)
     df = fp.to_pandas()
-    df = df.merge(attrs[["doc_id", "span_idx", "fkt"]], on=["doc_id", "span_idx"], how="left")
 
     positive = set(synth.POSITIVE_FKT)
     keep = (
@@ -41,28 +39,28 @@ def run_oracle(world_dir: str, cfg: DelineationConfig = DEFAULT) -> dict:
     kept = df[keep]
 
     # --- global clustering: components over ALL occupied cells, one shot ---
-    cells = np.unique(kept["cell_fine"].to_numpy(dtype=np.uint64))
+    cells = np.unique(kept["cell_fine"].to_numpy(dtype=np.int64))
     labels_idx = hg.connected_components(cells, gap=cfg.cluster_gap)
     first_idx = np.unique(labels_idx, return_index=True)[1]
     label_of_cell = dict(zip(cells.tolist(), cells[first_idx][labels_idx].tolist()))
 
     kept_labels = kept["cell_fine"].map(label_of_cell)
-    kept = kept.assign(label=kept_labels.astype(np.uint64))
+    kept = kept.assign(label=kept_labels.astype(np.int64))
 
     # --- settlements: python loop per component ---
     settlements = []
     for label, g in kept.groupby("label", sort=True):
         if len(g) < cfg.min_footprints:
             continue
-        comp_cells = np.unique(g["cell_fine"].to_numpy(dtype=np.uint64))
-        rings_py, area = polygonize_cells(comp_cells, cfg)
+        comp_cells = np.unique(g["cell_fine"].to_numpy(dtype=np.int64))
+        rings_py, area, _cover = polygonize_cells(comp_cells, cfg)
         settlements.append(
             {
                 "settlement_id": g["footprint_id"].min(),
                 "label": int(label),
                 "n_footprints": len(g),
                 "area_m2": area,
-                "part_cell": int(hg.parent(np.array([label], dtype=np.uint64), cfg.res_part)[0]),
+                "part_cell": int(hg.parent(np.array([label], dtype=np.int64), cfg.res_part)[0]),
                 "boundary": rings_py,
                 "_rings_np": [np.array([[p["x"], p["y"]] for p in r]) for r in rings_py],
             }
@@ -97,9 +95,9 @@ def run_oracle(world_dir: str, cfg: DelineationConfig = DEFAULT) -> dict:
     tiles = pa.table(
         {
             "footprint_id": pa.array(df["footprint_id"], type=pa.string()),
-            "cell_r9": pa.array(df["cell_r9"].to_numpy(dtype=np.uint64), type=pa.uint64()),
-            "cell_r10": pa.array(df["cell_r10"].to_numpy(dtype=np.uint64), type=pa.uint64()),
-            "cell_r11": pa.array(df["cell_r11"].to_numpy(dtype=np.uint64), type=pa.uint64()),
+            "cell_r9": pa.array(df["cell_r9"].to_numpy(dtype=np.int64), type=pa.int64()),
+            "cell_r10": pa.array(df["cell_r10"].to_numpy(dtype=np.int64), type=pa.int64()),
+            "cell_r11": pa.array(df["cell_r11"].to_numpy(dtype=np.int64), type=pa.int64()),
         }
     )
     for s in settlements:

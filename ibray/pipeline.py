@@ -27,6 +27,15 @@ from ibray.ops import footprints as F
 from ibray.ops.pip import PIPAssigner
 
 
+def _concat_refs(ds: rd.Dataset, schema: pa.Schema) -> pa.Table:
+    """Materialize a small Dataset to one Arrow table, tolerating Ray's
+    zero-column empty blocks."""
+    import ray
+
+    parts = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows > 0]
+    return pa.concat_tables(parts) if parts else schema.empty_table()
+
+
 def _num_cpus() -> int:
     import ray
 
@@ -36,37 +45,43 @@ def _num_cpus() -> int:
         return 8
 
 
+# above this row count the attrs side is no longer "small": per-worker probe
+# index builds outweigh a partitioned hash join
+BROADCAST_LIMIT = 200_000
+
+
 def footprint_dataset(world_dir: str, cfg: DelineationConfig = DEFAULT,
-                      with_attrs: bool = True) -> rd.Dataset:
-    """documents → extracted footprints with fkt, geometry and hex cells."""
-    docs = rd.read_parquet(world_dir + "/documents.parquet")
+                      join_strategy: str = "auto") -> rd.Dataset:
+    """documents → extracted footprints with fkt, geometry and hex cells.
+
+    The fkt function code rides in the footprint span payload (the reference
+    carries it as an A_HU column, IB-Tool2.py:731-734), so the hot path has
+    no join.  The attrs side table exists to exercise the join operators
+    (ops/joins.py; see queries 'footprint_attr_join_*').
+    """
+    docs = rd.read_parquet(world_dir + "/documents")
     fp = docs.map_batches(E.extract_footprints, batch_format="pyarrow")
-    if with_attrs:
-        attrs = rd.read_parquet(
-            world_dir + "/footprint_attrs.parquet",
-            columns=["doc_id", "span_idx", "fkt"],
-        )
-        # partitioned hash join (J1): both sides scale with the corpus, so no
-        # broadcast — Ray hash-partitions on the composite key
-        fp = fp.join(
-            attrs,
-            join_type="left_outer",
-            num_partitions=max(2, _num_cpus()),
-            on=("doc_id", "span_idx"),
-        )
     fp = fp.map_batches(E.parse_rings, batch_format="pyarrow")
     fp = fp.map_batches(F.add_geometry, batch_format="pyarrow")
     fp = fp.map_batches(lambda b: F.add_cells(b, cfg), batch_format="pyarrow")
     return fp
 
 
-def cluster_cells(fp: rd.Dataset, cfg: DelineationConfig = DEFAULT) -> rd.Dataset:
-    """Filtered footprints → (cell_fine, label) with canonical global labels."""
-    cells = (
-        fp.select_columns(["cell_fine"])
-        .map_batches(C.unique_cells_batch, batch_format="pyarrow")
-        .groupby("cell_fine")
-        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+def cluster_cells(fp: rd.Dataset, cfg: DelineationConfig = DEFAULT) -> pa.Table:
+    """Filtered footprints → (cell_fine, label) with canonical global labels.
+
+    One shuffle only: groupby(coarse part).  Cell-level work is ~10-1000×
+    smaller than the footprint set; per-group Python runs once per coarse
+    partition (thousands of groups), never once per cell or per label.
+    """
+    import numpy as np
+
+    # per-batch dedup only — a global cell dedup would be a ~|cells|-group
+    # aggregate (Python per group in Ray's sort-based path); instead duplicate
+    # (part, cell) rows across batches are tolerated and collapsed by the
+    # np.unique inside local_components, at ~15% extra shuffle volume
+    cells = fp.select_columns(["cell_fine"]).map_batches(
+        C.unique_cells_batch, batch_format="pyarrow"
     )
     replicated = cells.map_batches(
         lambda b: C.replicate_to_parts(b, cfg), batch_format="pyarrow"
@@ -74,89 +89,140 @@ def cluster_cells(fp: rd.Dataset, cfg: DelineationConfig = DEFAULT) -> rd.Datase
     local = replicated.groupby("part").map_groups(
         lambda g: C.local_components(g, cfg), batch_format="pyarrow"
     )
-    local = local.materialize()  # reused twice below; cell-level → small
-    edges = (
-        local.groupby("cell_fine")
-        .map_groups(C.equivalence_edges, batch_format="pyarrow")
-        .take_all()
+    # the labeled-cell table is the SMALL side (~footprints/10); pull it to
+    # the driver in one execution and resolve partition-border equivalences
+    # there (vectorized numpy + tiny union-find).  The 10^12-doc path keeps
+    # this distributed: shared-band groupby + hash label join
+    # (join_strategy="hash" exercises it).
+    local_tbl = _concat_refs(
+        local,
+        pa.schema([("cell_fine", pa.int64()), ("label", pa.int64()),
+                   ("shared", pa.bool_())]),
     )
-    root_map = C.resolve_equivalences([(int(e["a"]), int(e["b"])) for e in edges])
-    cell_labels = (
-        local.map_batches(lambda b: C.apply_root_map(b, root_map), batch_format="pyarrow")
-        .groupby("cell_fine")
-        .map_groups(C.dedup_cell_labels, batch_format="pyarrow")
+    cells_all = np.asarray(local_tbl.column("cell_fine"), dtype=np.int64)
+    labels_all = np.asarray(local_tbl.column("label"), dtype=np.int64)
+    shared_mask = np.asarray(local_tbl.column("shared"))
+    root_map, (sh_cells, sh_labels) = C.resolve_shared(
+        cells_all[shared_mask], labels_all[shared_mask]
     )
-    return cell_labels
+    own_cells = cells_all[~shared_mask]
+    own_labels = labels_all[~shared_mask]
+    if root_map:
+        keys = np.array(sorted(root_map), dtype=np.int64)
+        vals = np.array([root_map[int(k)] for k in keys], dtype=np.int64)
+        pos = np.clip(np.searchsorted(keys, own_labels), 0, len(keys) - 1)
+        hit = keys[pos] == own_labels
+        own_labels = np.where(hit, vals[pos], own_labels)
+    return pa.table({
+        "cell_fine": pa.array(np.concatenate([own_cells, sh_cells]), type=pa.int64()),
+        "label": pa.array(np.concatenate([own_labels, sh_labels]), type=pa.int64()),
+    })
 
 
 def delineate(world_dir: str, cfg: DelineationConfig = DEFAULT,
-              out_dir: str | None = None) -> dict:
+              out_dir: str | None = None,
+              join_strategy: str = "auto") -> dict:
     """End-to-end: returns {"settlements": pa.Table, "assignments": Dataset,
     "tiles": Dataset, "n_footprints": int}.
 
-    At sandbox scale the footprint table is pinned with ``materialize()``
-    (it is consumed by three downstream branches); the 100 TB path swaps this
-    for a parquet checkpoint (ibray/checkpoint.py) with identical semantics.
+    With ``out_dir`` the run is checkpointed: each stage lands as partitioned
+    parquet with a manifest (lineage + metrics), and a rerun with unchanged
+    params resumes past every completed stage (ibray/checkpoint.py).  Without
+    it, the footprint table is pinned with ``materialize()`` (it feeds three
+    downstream branches).
     """
-    fp_all = footprint_dataset(world_dir, cfg).materialize()
+    import time as _time
+
+    import ray
+
+    from ibray.ops import joins as J
+
+    ck = None
+    if out_dir:
+        from ibray.checkpoint import Checkpoint
+
+        ck = Checkpoint(out_dir, cfg, world_dir)
+    if ck and ck.has("footprints"):
+        fp_all = ck.read_dataset("footprints").materialize()
+    else:
+        fp_all = footprint_dataset(world_dir, cfg, join_strategy=join_strategy).materialize()
+        if ck:
+            t0 = _time.time()
+            fp_all = ck.write_dataset(fp_all, "footprints",
+                                      partition_col="part_cell",
+                                      wall_sec=_time.time() - t0).materialize()
     positive = set(synth.POSITIVE_FKT)
     fp = fp_all.map_batches(
         lambda b: F.filter_footprints(b, cfg, positive), batch_format="pyarrow"
     )
-    cell_labels = cluster_cells(fp, cfg)
-    labeled = fp.select_columns(["footprint_id", "cell_fine"]).join(
-        cell_labels,
-        join_type="inner",
-        num_partitions=max(2, _num_cpus()),
-        on=("cell_fine",),
-    )
-    settlements_rows = (
-        labeled.groupby("label")
-        .map_groups(lambda g: C.make_settlement(g, cfg), batch_format="pyarrow")
-        .take_all()
-    )
-    settlements_rows.sort(key=lambda r: r["settlement_id"])
-    settlements = (
-        pa.Table.from_pylist(settlements_rows, schema=_settlement_schema())
-        if settlements_rows
-        else _settlement_schema().empty_table()
-    )
+    if ck and ck.has("settlements"):
+        settlements = ck.read_table("settlements")
+    else:
+        labels_tbl = cluster_cells(fp, cfg)
+        narrow = fp.select_columns(["footprint_id", "cell_fine"])
+        if join_strategy == "hash":
+            labeled = J.hash_join(narrow, rd.from_arrow(labels_tbl),
+                                  keys=("cell_fine",), join_type="inner",
+                                  num_partitions=max(2, _num_cpus()))
+        else:
+            # the cell→label map is ~footprints/10 rows; broadcast it map-side
+            labeled = J.broadcast_join(narrow, labels_tbl, keys=["cell_fine"],
+                                       join_type="inner")
+        settlements = _concat_refs(
+            labeled.map_batches(lambda b: C.add_part_label(b, cfg), batch_format="pyarrow")
+            .groupby("part_label")
+            .map_groups(lambda g: C.settlements_for_part(g, cfg), batch_format="pyarrow"),
+            _settlement_schema(),
+        )
+        settlements = settlements.sort_by("settlement_id")
+        if ck:
+            ck.write_table(settlements, "settlements")
 
-    import ray
+    from ibray.ops.pip import pack_settlements
 
-    ref = ray.put(settlements_rows)
-    assignments = fp_all.map_batches(
-        PIPAssigner,
-        fn_constructor_args=(ref, cfg),
-        batch_format="pyarrow",
-        batch_size=cfg.batch_size,
-        concurrency=min(cfg.pip_concurrency, max(1, _num_cpus() - 1)),
-    )
+    if ck and ck.has("assignments"):
+        assignments = ck.read_dataset("assignments")
+    else:
+        ref = ray.put(pack_settlements(settlements))
+        # sort by the coarse cell first: each PIP batch then touches only the
+        # few settlements of its spatial neighborhood instead of the whole
+        # index (random document order would make every batch probe every
+        # settlement)
+        fp_sorted = fp_all.select_columns(
+            ["footprint_id", "doc_id", "span_idx", "cx", "cy", "part_cell"]
+        ).sort("part_cell")
+        assignments = fp_sorted.map_batches(
+            PIPAssigner,
+            fn_constructor_args=(ref, cfg),
+            batch_format="pyarrow",
+            batch_size=cfg.batch_size,
+            concurrency=min(cfg.pip_concurrency, max(1, _num_cpus() - 1)),
+        )
+        if ck:
+            assignments = ck.write_dataset(assignments, "assignments")
     tiles = fp_all.select_columns(["footprint_id", "cell_r9", "cell_r10", "cell_r11"])
-    out = {
+    if ck and not ck.has("tiles"):
+        tiles = ck.write_dataset(tiles, "tiles")
+    elif ck:
+        tiles = ck.read_dataset("tiles")
+    return {
         "settlements": settlements,
         "assignments": assignments,
         "tiles": tiles,
         "n_footprints": fp_all.count(),
     }
-    if out_dir:
-        assignments.write_parquet(out_dir + "/assignments")
-        tiles.write_parquet(out_dir + "/tiles")
-        import pyarrow.parquet as pq
-
-        pq.write_table(settlements, out_dir + "/settlements.parquet")
-    return out
 
 
 def _settlement_schema() -> pa.Schema:
     return pa.schema(
         [
             ("settlement_id", pa.string()),
-            ("label", pa.uint64()),
+            ("label", pa.int64()),
             ("n_footprints", pa.int64()),
             ("area_m2", pa.float64()),
-            ("part_cell", pa.uint64()),
+            ("part_cell", pa.int64()),
             ("boundary", pa.list_(pa.list_(
                 pa.struct([("x", pa.float64()), ("y", pa.float64())])))),
+            ("cover_cells", pa.list_(pa.int64())),
         ]
     )

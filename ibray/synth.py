@@ -27,7 +27,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 SEED = 42
-WORLD_VERSION = 4  # bump to invalidate cached worlds
+WORLD_VERSION = 8  # bump to invalidate cached worlds
 
 # ATKIS-like building-function codes, same format as the reference filter
 # lists (/root/reference/IB-Tool2_Filter.txt:1-39): positive = residential /
@@ -186,25 +186,24 @@ def build_documents(sf: float, seed: int = SEED):
     rng = np.random.default_rng(seed + 1)
 
     perm = rng.permutation(n)  # mix settlements across documents
-    geo_text = _world_texts(world)[perm]
     fkt = world["fkt"][perm]
     settlement_true = world["settlement_true"][perm]
+    ring_txt = _world_texts(world)[perm]
+    # footprint span payload carries the function code like the reference's
+    # A_HU attribute table: "<fkt>;<ring coords>"
+    geo_text = np.array([f"{k};{t}" for k, t in zip(fkt, ring_txt)], dtype=object)
 
-    # split footprints into documents of 1-4 spans
-    doc_sizes = []
-    left = n
-    while left > 0:
-        k = int(rng.integers(1, 5))
-        k = min(k, left)
-        doc_sizes.append(k)
-        left -= k
-    doc_sizes = np.array(doc_sizes, dtype=np.int64)
-    n_docs = len(doc_sizes)
+    # split footprints into documents of 1-4 spans (vectorized draw + trim)
+    est = rng.integers(1, 5, size=n)
+    cum = np.cumsum(est)
+    n_docs = int(np.searchsorted(cum, n)) + 1
+    doc_sizes = est[:n_docs].copy()
+    doc_sizes[-1] -= int(cum[n_docs - 1] - n)
+    fp_starts = np.concatenate([[0], np.cumsum(doc_sizes)])
     doc_of_fp = np.repeat(np.arange(n_docs), doc_sizes)
 
     doc_ids = np.array([f"doc_{i:08d}" for i in range(n_docs)], dtype=object)
 
-    # build span arrays doc by doc (vector-ish: precompute all pieces)
     lead_text = np.array(_TEXT_SNIPPETS, dtype=object)[
         rng.integers(0, len(_TEXT_SNIPPETS), n_docs)
     ]
@@ -213,61 +212,80 @@ def build_documents(sf: float, seed: int = SEED):
     tx = rng.integers(0, 1 << 12, n)
     ty = rng.integers(0, 1 << 12, n)
 
-    kinds: list[str] = []
-    texts: list[str] = []
-    media: list[str] = []
-    offsets: list[int] = []
-    span_list_offsets = np.zeros(n_docs + 1, dtype=np.int32)
-    attr_doc: list[str] = []
-    attr_span_idx: list[int] = []
-
-    fp_starts = np.concatenate([[0], np.cumsum(doc_sizes)])
-    for d in range(n_docs):
-        off = 0
-        si = 0
-        kinds.append("text")
-        texts.append(lead_text[d])
-        media.append("")
-        offsets.append(off)
-        off += len(lead_text[d]) + 1
-        si += 1
-        for j in range(fp_starts[d], fp_starts[d + 1]):
-            if has_media[j]:
-                cap = "aerial tile"
-                kinds.append("media")
-                texts.append(cap)
-                media.append(f"tile://{tz[j]}/{tx[j]}/{ty[j]}.png")
-                offsets.append(off)
-                off += len(cap) + 1
-                si += 1
-            kinds.append("footprint")
-            texts.append(geo_text[j])
-            media.append("")
-            offsets.append(off)
-            attr_doc.append(doc_ids[d])
-            attr_span_idx.append(si)
-            off += len(geo_text[j]) + 1
-            si += 1
-        span_list_offsets[d + 1] = len(kinds)
+    # --- fully vectorized span assembly ---------------------------------
+    # rows: 1 lead text per doc + 1 media per flagged footprint + 1 footprint
+    # per footprint; within-doc order key: lead=0, media_j=2j+1, footprint_j=2j+2
+    fp_pos = np.arange(n) - fp_starts[doc_of_fp]  # j within doc
+    med_idx = np.nonzero(has_media)[0]
+    n_med = len(med_idx)
+    row_doc = np.concatenate([np.arange(n_docs), doc_of_fp[med_idx], doc_of_fp])
+    row_key = np.concatenate(
+        [np.zeros(n_docs, np.int64), 2 * fp_pos[med_idx] + 1, 2 * fp_pos + 2]
+    )
+    row_kind = np.concatenate(
+        [np.full(n_docs, "text", object), np.full(n_med, "media", object),
+         np.full(n, "footprint", object)]
+    )
+    row_text = np.concatenate(
+        [lead_text, np.full(n_med, "aerial tile", object), geo_text]
+    )
+    row_media = np.concatenate(
+        [np.full(n_docs, "", object),
+         np.array([f"tile://{z}/{x}/{y}.png" for z, x, y in
+                   zip(tz[med_idx], tx[med_idx], ty[med_idx])], dtype=object),
+         np.full(n, "", object)]
+    )
+    row_is_fp = np.concatenate(
+        [np.zeros(n_docs, bool), np.zeros(n_med, bool), np.ones(n, bool)]
+    )
+    row_fp_idx = np.concatenate(
+        [np.full(n_docs, -1), np.full(n_med, -1), np.arange(n)]
+    )
+    order = np.lexsort((row_key, row_doc))
+    row_doc = row_doc[order]
+    row_kind = row_kind[order]
+    row_text = row_text[order]
+    row_media = row_media[order]
+    row_is_fp = row_is_fp[order]
+    row_fp_idx = row_fp_idx[order]
+    # offsets: within-doc exclusive cumsum of (len(text)+1)
+    tlen = np.fromiter((len(t) + 1 for t in row_text), dtype=np.int64,
+                       count=len(row_text))
+    csum = np.cumsum(tlen) - tlen
+    doc_first = np.concatenate([[True], row_doc[1:] != row_doc[:-1]])
+    doc_base = csum[doc_first][np.cumsum(doc_first) - 1]
+    row_offset = csum - doc_base
+    span_idx_in_doc = np.arange(len(row_doc)) - np.nonzero(doc_first)[0][
+        np.cumsum(doc_first) - 1
+    ]
+    span_list_offsets = np.concatenate(
+        [[0], np.cumsum(np.bincount(row_doc, minlength=n_docs))]
+    ).astype(np.int32)
 
     span_struct = pa.StructArray.from_arrays(
         [
-            pa.array(kinds, type=pa.string()),
-            pa.array(texts, type=pa.string()),
-            pa.array(media, type=pa.string()),
-            pa.array(offsets, type=pa.int32()),
+            pa.array(list(row_kind), type=pa.string()),
+            pa.array(list(row_text), type=pa.string()),
+            pa.array(list(row_media), type=pa.string()),
+            pa.array(row_offset.astype(np.int32), type=pa.int32()),
         ],
         names=["kind", "text", "media_ref", "offset"],
     )
     spans = pa.ListArray.from_arrays(pa.array(span_list_offsets), span_struct)
     documents = pa.table({"doc_id": pa.array(doc_ids, type=pa.string()), "spans": spans})
 
+    fp_rows = np.nonzero(row_is_fp)[0]
+    fp_order = row_fp_idx[fp_rows]  # original footprint index of each fp row
+    attr_doc = doc_ids[row_doc[fp_rows]]
+    attr_span = span_idx_in_doc[fp_rows].astype(np.int32)
+    attr_fp_id = [f"{d}:{s:03d}" for d, s in zip(attr_doc, attr_span)]
     attrs = pa.table(
         {
-            "doc_id": pa.array(attr_doc, type=pa.string()),
-            "span_idx": pa.array(attr_span_idx, type=pa.int32()),
-            "fkt": pa.array(list(fkt), type=pa.string()),
-            "settlement_true": pa.array(settlement_true, type=pa.int64()),
+            "doc_id": pa.array(list(attr_doc), type=pa.string()),
+            "span_idx": pa.array(attr_span, type=pa.int32()),
+            "footprint_id": pa.array(attr_fp_id, type=pa.string()),
+            "fkt": pa.array(list(fkt[fp_order]), type=pa.string()),
+            "settlement_true": pa.array(settlement_true[fp_order], type=pa.int64()),
         }
     )
     meta = {
@@ -338,7 +356,15 @@ def ensure_world(sf: float, seed: int = SEED, base: str = "/tmp/ibray_synth") ->
     os.makedirs(tmp, exist_ok=True)
     documents, attrs, meta = build_documents(sf, seed)
     # row-group size keeps read parallelism reasonable at every scale
-    pq.write_table(documents, os.path.join(tmp, "documents.parquet"), row_group_size=4096)
+    # documents split into many files so distributed reads parallelize
+    docs_dir = os.path.join(tmp, "documents")
+    os.makedirs(docs_dir, exist_ok=True)
+    chunk = 16384
+    n_docs = documents.num_rows
+    for i, start in enumerate(range(0, n_docs, chunk)):
+        pq.write_table(documents.slice(start, chunk),
+                       os.path.join(docs_dir, f"part-{i:05d}.parquet"),
+                       row_group_size=4096)
     pq.write_table(attrs, os.path.join(tmp, "footprint_attrs.parquet"), row_group_size=65536)
     pq.write_table(build_roads(sf, seed), os.path.join(tmp, "roads.parquet"))
     with open(os.path.join(tmp, "manifest.json"), "w") as f:

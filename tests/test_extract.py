@@ -17,16 +17,16 @@ def test_footprint_count_matches_manifest():
     import json
 
     d = _world()
-    docs = pq.read_table(d + "/documents.parquet")
+    docs = pq.read_table(d + "/documents")
     fp = E.extract_footprints(docs)
     meta = json.load(open(d + "/manifest.json"))
     assert fp.num_rows == meta["n_footprints"]
-    assert fp.column_names == ["doc_id", "span_idx", "footprint_id", "geom_text"]
+    assert fp.column_names == ["doc_id", "span_idx", "footprint_id", "fkt", "geom_text"]
 
 
 def test_parse_rings_roundtrip():
     d = _world()
-    docs = pq.read_table(d + "/documents.parquet")
+    docs = pq.read_table(d + "/documents")
     fp = E.parse_rings(E.extract_footprints(docs))
     xs = fp.column("xs").combine_chunks()
     lens = np.diff(np.asarray(xs.offsets))
@@ -44,7 +44,7 @@ def test_span_sequence_invariant():
     """Reconstruct every document's span sequence from the flat-span extract
     and check (kind, text, media_ref, order) equality with the source."""
     d = _world()
-    docs = pq.read_table(d + "/documents.parquet")
+    docs = pq.read_table(d + "/documents")
     flat = E.extract_spans(docs).to_pandas()
     src = docs.to_pylist()
     by_doc = dict(tuple(flat.sort_values(["doc_id", "span_idx"]).groupby("doc_id")))
@@ -66,7 +66,7 @@ def test_span_sequence_invariant():
 def test_documents_unchanged_after_extraction():
     """Extraction is read-only over documents: re-read and byte-compare."""
     d = _world()
-    t1 = pq.read_table(d + "/documents.parquet")
+    t1 = pq.read_table(d + "/documents")
     _ = E.extract_footprints(t1)
-    t2 = pq.read_table(d + "/documents.parquet")
+    t2 = pq.read_table(d + "/documents")
     assert t1.equals(t2)

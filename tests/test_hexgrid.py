@@ -125,7 +125,7 @@ def test_boundary_rings_disk():
 def test_boundary_rings_with_hole():
     c = hg.encode(np.array([0.0]), np.array([0.0]), 9)
     disk = hg.dilate(c, 2)
-    donut = np.array(sorted(set(disk.tolist()) - set(c.tolist())), dtype=np.uint64)
+    donut = np.array(sorted(set(disk.tolist()) - set(c.tolist())), dtype=np.int64)
     rings = hg.boundary_rings(donut)
     assert len(rings) == 2  # outer + hole
     from ibray import geom
