@@ -169,6 +169,40 @@ def _q_lang_counts(sf_dir: str):
     return _scale_cols(T.lang_source_counts(sf_dir), {"avg_chars": 5})
 
 
+def _q_road_stats(sf_dir: str):
+    from ibray.ops import roads as RD
+
+    world = synth.ensure_world(synth.sf_of_dir(sf_dir))
+    return _scale_cols(RD.road_length_stats(world), {"total_len_m": 2})
+
+
+def _q_dead_ends(sf_dir: str):
+    from ibray.ops import roads as RD
+
+    world = synth.ensure_world(synth.sf_of_dir(sf_dir))
+    return _scale_cols(RD.dead_end_roads(world), {"len_m": 2})
+
+
+def _q_density_r9(sf_dir: str):
+    from ibray import pipeline
+    from ibray.ops import density as DN
+
+    sf = synth.sf_of_dir(sf_dir)
+    golden.ensure_golden(sf)
+    world = synth.ensure_world(sf)
+    fp = pipeline.footprint_dataset(world)
+    return DN.cell_density(fp, key="cell_r9")
+
+
+def _q_nearest_road(sf_dir: str):
+    from ibray import pipeline
+    from ibray.ops import roads as RD
+
+    world = synth.ensure_world(synth.sf_of_dir(sf_dir))
+    fp = pipeline.footprint_dataset(world)
+    return RD.nearest_road(world, fp)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from ibray.ops import ann as A
     from ibray.ops import dedup as D
@@ -182,6 +216,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "delineate_settlements": _q_settlements,
         "footprint_assignments": _q_assignments,
         "tile_assignments": _q_tiles,
+        "road_length_stats": _q_road_stats,
+        "dead_end_roads": _q_dead_ends,
+        "density_r9": _q_density_r9,
+        "nearest_road": _q_nearest_road,      # rows-only check
         # relational operator layer (SURVEY.md §2 over driver tables)
         "q1_pricing_summary": _q_q1,
         "filter_project_parts": R.filter_project_parts,
@@ -246,6 +284,49 @@ def oracle_sql() -> dict[str, str]:
         "tile_assignments": f"""
             SELECT footprint_id, cell_r9, cell_r10, cell_r11
             FROM read_parquet('{gold}/tiles.parquet')
+        """,
+        # independent SQL recomputation of polyline lengths from the points
+        "road_length_stats": f"""
+            WITH pts AS (
+              SELECT road_id, klass, i, line[i].x AS x, line[i].y AS y
+              FROM (SELECT road_id, klass, line,
+                           unnest(generate_series(1, len(line))) AS i
+                    FROM read_parquet('{world}/roads.parquet'))
+            ), segs AS (
+              SELECT a.road_id, a.klass,
+                     sqrt((b.x-a.x)^2 + (b.y-a.y)^2) AS seg
+              FROM pts a JOIN pts b ON a.road_id = b.road_id AND b.i = a.i + 1
+            )
+            SELECT klass, COUNT(DISTINCT road_id) AS n_roads,
+                   CAST(ROUND(SUM(seg) * 100) AS BIGINT) AS total_len_m
+            FROM segs GROUP BY klass
+        """,
+        # NodesDetect in SQL: endpoint degree over rounded coords
+        "dead_end_roads": f"""
+            WITH r AS (SELECT road_id, klass, line,
+                              len(line) AS np FROM read_parquet('{world}/roads.parquet')),
+            lens AS (
+              SELECT road_id, klass,
+                     (SELECT SUM(sqrt((line[i+1].x-line[i].x)^2 + (line[i+1].y-line[i].y)^2))
+                      FROM unnest(generate_series(1, np - 1)) AS t(i)) AS len_m,
+                     printf('%.2f|%.2f', round(line[1].x, 2), round(line[1].y, 2)) AS k1,
+                     printf('%.2f|%.2f', round(line[np].x, 2), round(line[np].y, 2)) AS k2
+              FROM r
+            ),
+            deg AS (
+              SELECT node_key, COUNT(*) AS d FROM (
+                SELECT k1 AS node_key FROM lens UNION ALL SELECT k2 FROM lens
+              ) GROUP BY node_key
+            )
+            SELECT road_id, klass, CAST(ROUND(len_m * 100) AS BIGINT) AS len_m
+            FROM lens
+            WHERE len_m < 60.0 AND (
+                k1 IN (SELECT node_key FROM deg WHERE d = 1)
+             OR k2 IN (SELECT node_key FROM deg WHERE d = 1))
+        """,
+        # hex-cell density vs the single-process golden (hex encode not SQL-expressible)
+        "density_r9": f"""
+            SELECT cell, n_footprints FROM read_parquet('{gold}/density_r9.parquet')
         """,
         # ------------- relational layer (driver's pre-registered views) ----
         "q1_pricing_summary": """

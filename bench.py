@@ -48,10 +48,10 @@ def run_bench() -> dict:
     from ibray import pipeline, synth
 
     sf = synth.sf_of_dir(_sf_dir())
-    # bench runs a 10x-denser world than the correctness scale so compute,
+    # bench runs a ~33x-denser world than the correctness scale so compute,
     # not fixed scheduling overhead, dominates (the metric is footprints/sec;
     # n_footprints is reported alongside) — BASELINE.md protocol
-    bench_sf = sf * 10
+    bench_sf = sf * 33.4
     world = synth.ensure_world(bench_sf)  # cached after first run; not timed
 
     # warm the page cache with one untimed read

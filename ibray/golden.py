@@ -17,7 +17,7 @@ import pyarrow.parquet as pq
 from ibray import oracle, synth
 from ibray.config import DEFAULT
 
-ORACLE_VERSION = 3
+ORACLE_VERSION = 4
 
 
 def golden_dir(sf: float, base: str = "/tmp/ibray_golden") -> str:
@@ -52,6 +52,15 @@ def ensure_golden(sf: float) -> str:
     pq.write_table(st, os.path.join(tmp, "settlements.parquet"))
     pq.write_table(res["assignments"], os.path.join(tmp, "assignments.parquet"))
     pq.write_table(res["tiles"], os.path.join(tmp, "tiles.parquet"))
+    # density per r9 cell over ALL extracted footprints (T1 analog)
+    import numpy as np
+
+    c9 = res["tiles"].column("cell_r9").to_numpy()
+    u, n = np.unique(c9, return_counts=True)
+    pq.write_table(
+        pa.table({"cell": pa.array(u, type=pa.int64()),
+                  "n_footprints": pa.array(n, type=pa.int64())}),
+        os.path.join(tmp, "density_r9.parquet"))
     open(os.path.join(tmp, "_done"), "w").write("ok")
     try:
         os.rename(tmp, d)

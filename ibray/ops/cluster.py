@@ -213,11 +213,69 @@ def polygonize_cells(cells: np.ndarray, cfg: DelineationConfig):
 def add_part_label(batch: pa.Table, cfg: DelineationConfig) -> pa.Table:
     """part_label = coarse partition of the label cell — the two-level
     groupby key (labels are single cell ids, so this is a pure function and
-    every row of a label lands in exactly one coarse group)."""
+    every row of a label lands in exactly one coarse group; group count is
+    kept modest because Ray's map_groups has ~1 ms per-group overhead)."""
     labels = np.asarray(batch.column("label"), dtype=np.int64)
     return batch.append_column(
         "part_label", pa.array(hg.parent(labels, cfg.res_part), type=pa.int64())
     )
+
+
+def partial_label_stats(batch: pa.Table) -> pa.Table:
+    """Per-batch combiner: (label, n, min_fp) — the map-side partial of the
+    per-settlement count/min aggregate (no shuffle; final combine is a small
+    vectorized driver reduce over ~|labels| rows per batch)."""
+    labels = np.asarray(batch.column("label"), dtype=np.int64)
+    fp = np.asarray(batch.column("footprint_id"))
+    order = np.argsort(labels, kind="stable")
+    ls = labels[order]
+    starts = np.nonzero(np.concatenate([[True], ls[1:] != ls[:-1]]))[0]
+    ends = np.concatenate([starts[1:], [len(ls)]])
+    mins = [fp[order[s:e]].min() for s, e in zip(starts, ends)]
+    return pa.table({
+        "label": pa.array(ls[starts], type=pa.int64()),
+        "n": pa.array(ends - starts, type=pa.int64()),
+        "min_fp": pa.array(mins, type=pa.string()),
+    })
+
+
+def polygonize_batch(batch: pa.Table, cfg: DelineationConfig) -> pa.Table:
+    """Row-parallel settlement polygonization: input rows
+    (label, settlement_id, n_footprints, cells: list<int64>), output the full
+    settlement schema.  Distributed as plain map_batches over the (small)
+    settlement work table — no groupby, no per-group call overhead, and Ray's
+    block splitting load-balances the heavy rows."""
+    labels = np.asarray(batch.column("label"), dtype=np.int64)
+    sids = batch.column("settlement_id").to_pylist()
+    ns = np.asarray(batch.column("n_footprints"), dtype=np.int64)
+    cells_col = batch.column("cells")
+    cells_col = cells_col.combine_chunks() if isinstance(cells_col, pa.ChunkedArray) else cells_col
+    offs = np.asarray(cells_col.offsets, dtype=np.int64)
+    flat = np.asarray(cells_col.values, dtype=np.int64)
+    rows = {k: [] for k in ("settlement_id", "label", "n_footprints", "area_m2",
+                            "part_cell")}
+    boundaries = []
+    covers = []
+    for i in range(len(labels)):
+        cells = flat[offs[i]:offs[i + 1]]
+        rings_py, area, cover = polygonize_cells(cells, cfg)
+        rows["settlement_id"].append(sids[i])
+        rows["label"].append(int(labels[i]))
+        rows["n_footprints"].append(int(ns[i]))
+        rows["area_m2"].append(area)
+        rows["part_cell"].append(int(hg.parent(labels[i:i + 1], cfg.res_part)[0]))
+        boundaries.append(rings_py)
+        covers.append(cover.tolist())
+    return pa.table({
+        "settlement_id": pa.array(rows["settlement_id"], type=pa.string()),
+        "label": pa.array(rows["label"], type=pa.int64()),
+        "n_footprints": pa.array(rows["n_footprints"], type=pa.int64()),
+        "area_m2": pa.array(rows["area_m2"], type=pa.float64()),
+        "part_cell": pa.array(rows["part_cell"], type=pa.int64()),
+        "boundary": pa.array(boundaries, type=pa.list_(pa.list_(
+            pa.struct([("x", pa.float64()), ("y", pa.float64())])))),
+        "cover_cells": pa.array(covers, type=pa.list_(pa.int64())),
+    })
 
 
 def settlements_for_part(group: pa.Table, cfg: DelineationConfig) -> pa.Table:

@@ -145,7 +145,12 @@ def delineate(world_dir: str, cfg: DelineationConfig = DEFAULT,
     if ck and ck.has("footprints"):
         fp_all = ck.read_dataset("footprints").materialize()
     else:
-        fp_all = footprint_dataset(world_dir, cfg, join_strategy=join_strategy).materialize()
+        # ONE spatial sort up front: every later stage then sees spatially
+        # coherent batches (per-batch cell dedup really dedups, per-batch
+        # label partials collapse to ~|labels| rows, and the PIP probe
+        # touches only neighborhood settlements per batch)
+        fp_all = (footprint_dataset(world_dir, cfg, join_strategy=join_strategy)
+                  .sort("part_cell").materialize())
         if ck:
             t0 = _time.time()
             fp_all = ck.write_dataset(fp_all, "footprints",
@@ -168,13 +173,51 @@ def delineate(world_dir: str, cfg: DelineationConfig = DEFAULT,
             # the cell→label map is ~footprints/10 rows; broadcast it map-side
             labeled = J.broadcast_join(narrow, labels_tbl, keys=["cell_fine"],
                                        join_type="inner")
-        settlements = _concat_refs(
-            labeled.map_batches(lambda b: C.add_part_label(b, cfg), batch_format="pyarrow")
-            .groupby("part_label")
-            .map_groups(lambda g: C.settlements_for_part(g, cfg), batch_format="pyarrow"),
-            _settlement_schema(),
+        # per-settlement count/min via shuffle-free partial aggregates + a
+        # small driver combine; polygonize distributed as row-parallel
+        # map_batches over the (label -> cells) work table
+        partials = _concat_refs(
+            labeled.map_batches(C.partial_label_stats, batch_format="pyarrow"),
+            pa.schema([("label", pa.int64()), ("n", pa.int64()),
+                       ("min_fp", pa.string())]),
         )
-        settlements = settlements.sort_by("settlement_id")
+        import pandas as pd
+
+        pdf = partials.to_pandas()
+        agg = pdf.groupby("label", sort=True).agg(
+            n_footprints=("n", "sum"), settlement_id=("min_fp", "min")
+        ).reset_index()
+        agg = agg[agg["n_footprints"] >= cfg.min_footprints]
+        agg_labels = agg["label"].to_numpy()
+        # cells per kept label, fully vectorized (lexsort + run offsets ->
+        # Arrow ListArray; no per-label Python)
+        lc = np.asarray(labels_tbl.column("cell_fine"), dtype=np.int64)
+        ll = np.asarray(labels_tbl.column("label"), dtype=np.int64)
+        keep = np.isin(ll, agg_labels)
+        lc, ll = lc[keep], ll[keep]
+        order = np.lexsort((lc, ll))
+        lc, ll = lc[order], ll[order]
+        starts = np.nonzero(np.concatenate([[True], ll[1:] != ll[:-1]]))[0]
+        run_labels = ll[starts]
+        offsets = np.concatenate([starts, [len(ll)]])
+        # run_labels is sorted and equals agg_labels (both sorted, same set)
+        assert np.array_equal(run_labels, agg_labels)
+        cells_list = pa.ListArray.from_arrays(
+            pa.array(offsets, type=pa.int32()), pa.array(lc, type=pa.int64())
+        )
+        work = pa.table({
+            "label": pa.array(agg_labels, type=pa.int64()),
+            "settlement_id": pa.array(agg["settlement_id"], type=pa.string()),
+            "n_footprints": pa.array(agg["n_footprints"].to_numpy(), type=pa.int64()),
+            "cells": cells_list,
+        })
+        settlements = _concat_refs(
+            rd.from_arrow(work)
+            .repartition(max(2, _num_cpus() * 4))
+            .map_batches(lambda b: C.polygonize_batch(b, cfg),
+                         batch_format="pyarrow", batch_size=4),
+            _settlement_schema(),
+        ).sort_by("settlement_id")
         if ck:
             ck.write_table(settlements, "settlements")
 
@@ -184,19 +227,16 @@ def delineate(world_dir: str, cfg: DelineationConfig = DEFAULT,
         assignments = ck.read_dataset("assignments")
     else:
         ref = ray.put(pack_settlements(settlements))
-        # sort by the coarse cell first: each PIP batch then touches only the
-        # few settlements of its spatial neighborhood instead of the whole
-        # index (random document order would make every batch probe every
-        # settlement)
-        fp_sorted = fp_all.select_columns(
-            ["footprint_id", "doc_id", "span_idx", "cx", "cy", "part_cell"]
-        ).sort("part_cell")
-        assignments = fp_sorted.map_batches(
+        # fp_all is already spatially sorted: each PIP batch touches only the
+        # few settlements of its neighborhood instead of the whole index
+        assignments = fp_all.select_columns(
+            ["footprint_id", "doc_id", "span_idx", "cx", "cy"]
+        ).map_batches(
             PIPAssigner,
             fn_constructor_args=(ref, cfg),
             batch_format="pyarrow",
             batch_size=cfg.batch_size,
-            concurrency=min(cfg.pip_concurrency, max(1, _num_cpus() - 1)),
+            concurrency=max(2, _num_cpus() - 2),
         )
         if ck:
             assignments = ck.write_dataset(assignments, "assignments")
