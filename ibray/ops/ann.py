@@ -16,6 +16,8 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import ray.data as rd
 
+from ibray.util import pool_size as _pool
+
 N_QUERIES = 5
 TOP_K = 10
 
@@ -63,7 +65,7 @@ def cosine_topk(sf_dir: str) -> pa.Table:
     a tiny driver-side final reduce; ties broken by vec_id ascending."""
     cands = _emb(sf_dir).map_batches(
         CosineTopK, fn_constructor_args=(sf_dir,), batch_format="pandas",
-        batch_size=4096, concurrency=2,
+        batch_size=4096, concurrency=_pool(2),
     ).to_pandas()
     cands["rank_sim"] = -cands["sim"]
     cands = cands.sort_values(["query_id", "rank_sim", "vec_id"])

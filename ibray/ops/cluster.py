@@ -31,26 +31,34 @@ import pyarrow as pa
 from ibray import hexgrid as hg
 from ibray.config import DelineationConfig
 
-
-def unique_cells_batch(batch: pa.Table) -> pa.Table:
-    """Partial dedup: emit each distinct cell once per batch (combiner before
-    the small groupby — avoids shuffling one row per footprint)."""
-    cells = np.unique(np.asarray(batch.column("cell_fine"), dtype=np.int64))
-    return pa.table({"cell_fine": pa.array(cells, type=pa.int64())})
+def cell_stats_batch(batch: pa.Table) -> pa.Table:
+    """Per-batch combiner carrying the per-cell footprint count INTO the
+    clustering shuffle: (cell_fine, n).  Per-settlement aggregates then
+    reduce from cell stats — no footprint-level label join at all."""
+    cells = np.asarray(batch.column("cell_fine"), dtype=np.int64)
+    u, counts = np.unique(cells, return_counts=True)
+    return pa.table({
+        "cell_fine": pa.array(u, type=pa.int64()),
+        "n": pa.array(counts, type=pa.int64()),
+    })
 
 
 def replicate_to_parts(batch: pa.Table, cfg: DelineationConfig) -> pa.Table:
-    """Emit (part, cell) for every coarse partition whose territory lies
-    within ``cluster_gap`` of the cell (halo replication).
+    """Emit (part, cell, stats) for every coarse partition whose territory
+    lies within ``cluster_gap`` of the cell (halo replication).
 
-    Vectorized: parts of the whole k-ring, row-wise sorted, dedup by
-    adjacent-difference — no Python loop.
+    Halo copies carry n=0 / min_fp='' so per-cell stats are counted exactly
+    once (by the cell's own partition).  Vectorized: parts of the whole
+    k-ring, row-wise sorted, dedup by adjacent-difference — no Python loop.
     """
     cells = np.asarray(batch.column("cell_fine"), dtype=np.int64)
+    n_in = np.asarray(batch.column("n"), dtype=np.int64)
+    empty = pa.table({"part": pa.array([], type=pa.int64()),
+                      "cell_fine": pa.array([], type=pa.int64()),
+                      "shared": pa.array([], type=pa.bool_()),
+                      "n": pa.array([], type=pa.int64())})
     if len(cells) == 0:
-        return pa.table({"part": pa.array([], type=pa.int64()),
-                         "cell_fine": pa.array([], type=pa.int64()),
-                         "shared": pa.array([], type=pa.bool_())})
+        return empty
     # fast path: a cell whose center is deeper than the halo margin inside its
     # coarse hexagon cannot reach any neighbor partition — no ring needed.
     # (partition assignment = hex Voronoi of part centers, so the exact
@@ -75,20 +83,26 @@ def replicate_to_parts(batch: pa.Table, cfg: DelineationConfig) -> pa.Table:
     out_parts = [parts0[interior]]
     out_cells = [cells[interior]]
     out_shared = [np.zeros(int(interior.sum()), dtype=bool)]
+    out_n = [n_in[interior]]
     if len(border):
         bc = cells[border]
+        own_part = parts0[border]
         ring = hg.k_ring(bc, cfg.cluster_gap)  # (nb, m)
         parts = hg.parent(ring.ravel(), cfg.res_part).reshape(ring.shape)
         parts.sort(axis=1)
         keep = np.ones(parts.shape, dtype=bool)
         keep[:, 1:] = parts[:, 1:] != parts[:, :-1]
         n_copies = keep.sum(axis=1)
+        rep_parts = parts[keep]
+        is_own = rep_parts == np.repeat(own_part, n_copies)
         out_cells.append(np.repeat(bc, n_copies))
-        out_parts.append(parts[keep])
+        out_parts.append(rep_parts)
         out_shared.append(np.repeat(n_copies > 1, n_copies))
+        out_n.append(np.where(is_own, np.repeat(n_in[border], n_copies), 0))
     return pa.table({"part": pa.array(np.concatenate(out_parts), type=pa.int64()),
                      "cell_fine": pa.array(np.concatenate(out_cells), type=pa.int64()),
-                     "shared": pa.array(np.concatenate(out_shared), type=pa.bool_())})
+                     "shared": pa.array(np.concatenate(out_shared), type=pa.bool_()),
+                     "n": pa.array(np.concatenate(out_n), type=pa.int64())})
 
 
 def local_components(group: pa.Table, cfg: DelineationConfig) -> pa.Table:
@@ -100,16 +114,22 @@ def local_components(group: pa.Table, cfg: DelineationConfig) -> pa.Table:
     """
     raw = np.asarray(group.column("cell_fine"), dtype=np.int64)
     raw_shared = np.asarray(group.column("shared"))
+    raw_n = np.asarray(group.column("n"), dtype=np.int64)
     cells, inv = np.unique(raw, return_inverse=True)
     shared = np.zeros(len(cells), dtype=bool)
     shared[inv[raw_shared]] = True
+    # per-cell counts: rows of a cell may repeat (per-batch partials + halo
+    # zero rows) — sum n
+    n_cell = np.zeros(len(cells), dtype=np.int64)
+    np.add.at(n_cell, inv, raw_n)
     labels_idx = hg.connected_components(cells, gap=cfg.cluster_gap)
     # labels_idx are 0..k-1 ordered by smallest member cell (cells sorted asc)
     first_idx = np.unique(labels_idx, return_index=True)[1]
     label_cell = cells[first_idx][labels_idx]
     return pa.table({"cell_fine": pa.array(cells, type=pa.int64()),
                      "label": pa.array(label_cell, type=pa.int64()),
-                     "shared": pa.array(shared, type=pa.bool_())})
+                     "shared": pa.array(shared, type=pa.bool_()),
+                     "n": pa.array(n_cell, type=pa.int64())})
 
 
 def resolve_shared(shared_cells: np.ndarray, shared_labels: np.ndarray):
@@ -143,9 +163,20 @@ def resolve_shared(shared_cells: np.ndarray, shared_labels: np.ndarray):
     cells_u = sc[starts]
     labels_u = sl[starts]
     if root_map:
-        labels_u = np.array([root_map.get(int(l), int(l)) for l in labels_u],
-                            dtype=np.int64)
+        labels_u = apply_root_map_np(labels_u, root_map)
     return root_map, (cells_u, labels_u)
+
+
+def apply_root_map_np(labels: np.ndarray, root_map: dict[int, int]) -> np.ndarray:
+    """Vectorized label -> canonical-root mapping (two sorted arrays +
+    searchsorted; no per-row Python)."""
+    if not root_map:
+        return labels
+    keys = np.array(sorted(root_map), dtype=np.int64)
+    vals = np.array([root_map[int(k)] for k in keys], dtype=np.int64)
+    pos = np.clip(np.searchsorted(keys, labels), 0, len(keys) - 1)
+    hit = keys[pos] == labels
+    return np.where(hit, vals[pos], labels)
 
 
 def resolve_equivalences(edges: list[tuple[int, int]]) -> dict[int, int]:
@@ -209,36 +240,6 @@ def polygonize_cells(cells: np.ndarray, cfg: DelineationConfig):
     cover = hg.dilate(np.unique(hg.parent(closed, cfg.res_mid)), 1)
     return rings_py, area, cover
 
-
-def add_part_label(batch: pa.Table, cfg: DelineationConfig) -> pa.Table:
-    """part_label = coarse partition of the label cell — the two-level
-    groupby key (labels are single cell ids, so this is a pure function and
-    every row of a label lands in exactly one coarse group; group count is
-    kept modest because Ray's map_groups has ~1 ms per-group overhead)."""
-    labels = np.asarray(batch.column("label"), dtype=np.int64)
-    return batch.append_column(
-        "part_label", pa.array(hg.parent(labels, cfg.res_part), type=pa.int64())
-    )
-
-
-def partial_label_stats(batch: pa.Table) -> pa.Table:
-    """Per-batch combiner: (label, n, min_fp) — the map-side partial of the
-    per-settlement count/min aggregate (no shuffle; final combine is a small
-    vectorized driver reduce over ~|labels| rows per batch)."""
-    labels = np.asarray(batch.column("label"), dtype=np.int64)
-    fp = np.asarray(batch.column("footprint_id"))
-    order = np.argsort(labels, kind="stable")
-    ls = labels[order]
-    starts = np.nonzero(np.concatenate([[True], ls[1:] != ls[:-1]]))[0]
-    ends = np.concatenate([starts[1:], [len(ls)]])
-    mins = [fp[order[s:e]].min() for s, e in zip(starts, ends)]
-    return pa.table({
-        "label": pa.array(ls[starts], type=pa.int64()),
-        "n": pa.array(ends - starts, type=pa.int64()),
-        "min_fp": pa.array(mins, type=pa.string()),
-    })
-
-
 def polygonize_batch(batch: pa.Table, cfg: DelineationConfig) -> pa.Table:
     """Row-parallel settlement polygonization: input rows
     (label, settlement_id, n_footprints, cells: list<int64>), output the full
@@ -275,84 +276,4 @@ def polygonize_batch(batch: pa.Table, cfg: DelineationConfig) -> pa.Table:
         "boundary": pa.array(boundaries, type=pa.list_(pa.list_(
             pa.struct([("x", pa.float64()), ("y", pa.float64())])))),
         "cover_cells": pa.array(covers, type=pa.list_(pa.int64())),
-    })
-
-
-def settlements_for_part(group: pa.Table, cfg: DelineationConfig) -> pa.Table:
-    """groupby(part_label).map_groups → all settlements whose label falls in
-    this coarse cell.  Vectorized label segmentation (np.sort boundaries);
-    per-settlement polygonization only for groups ≥ min_footprints — avoids a
-    per-label groupby whose group count at corpus scale (millions of tiny
-    rural components) would shuffle-sort into Python-per-group costs."""
-    labels = np.asarray(group.column("label"), dtype=np.int64)
-    cells = np.asarray(group.column("cell_fine"), dtype=np.int64)
-    fp_ids = np.asarray(group.column("footprint_id"))
-    order = np.argsort(labels, kind="stable")
-    labels_s = labels[order]
-    starts = np.nonzero(np.concatenate([[True], labels_s[1:] != labels_s[:-1]]))[0]
-    ends = np.concatenate([starts[1:], [len(labels_s)]])
-    rows = {k: [] for k in ("settlement_id", "label", "n_footprints", "area_m2",
-                            "part_cell")}
-    boundaries = []
-    covers = []
-    for s, e in zip(starts, ends):
-        n = int(e - s)
-        if n < cfg.min_footprints:
-            continue
-        idx = order[s:e]
-        comp_cells = np.unique(cells[idx])
-        rings_py, area, cover = polygonize_cells(comp_cells, cfg)
-        rows["settlement_id"].append(min(fp_ids[idx]))
-        rows["label"].append(int(labels_s[s]))
-        rows["n_footprints"].append(n)
-        rows["area_m2"].append(area)
-        rows["part_cell"].append(int(hg.parent(labels_s[s:s + 1], cfg.res_part)[0]))
-        boundaries.append(rings_py)
-        covers.append(cover.tolist())
-    return pa.table({
-        "settlement_id": pa.array(rows["settlement_id"], type=pa.string()),
-        "label": pa.array(rows["label"], type=pa.int64()),
-        "n_footprints": pa.array(rows["n_footprints"], type=pa.int64()),
-        "area_m2": pa.array(rows["area_m2"], type=pa.float64()),
-        "part_cell": pa.array(rows["part_cell"], type=pa.int64()),
-        "boundary": pa.array(boundaries, type=pa.list_(pa.list_(
-            pa.struct([("x", pa.float64()), ("y", pa.float64())])))),
-        "cover_cells": pa.array(covers, type=pa.list_(pa.int64())),
-    })
-
-
-def make_settlement(group: pa.Table, cfg: DelineationConfig) -> pa.Table:
-    """groupby(label).map_groups → one settlement row (or empty if the group
-    is below min_footprints — the reference's <10-buildings skip,
-    IB-Tool2.py:2435-2441).
-
-    Polygonization: morphological closing of the cell set then hex-union
-    boundary tracing (the north_star's buffer-dissolve + concave hull).
-    """
-    n = group.num_rows
-    empty = pa.table({
-        "settlement_id": pa.array([], type=pa.string()),
-        "label": pa.array([], type=pa.int64()),
-        "n_footprints": pa.array([], type=pa.int64()),
-        "area_m2": pa.array([], type=pa.float64()),
-        "part_cell": pa.array([], type=pa.int64()),
-        "boundary": pa.array([], type=pa.list_(pa.list_(
-            pa.struct([("x", pa.float64()), ("y", pa.float64())])))),
-        "cover_cells": pa.array([], type=pa.list_(pa.int64())),
-    })
-    if n < cfg.min_footprints:
-        return empty
-    fp_ids = group.column("footprint_id").to_pylist()
-    cells = np.unique(np.asarray(group.column("cell_fine"), dtype=np.int64))
-    rings_py, area, cover = polygonize_cells(cells, cfg)
-    label = np.asarray(group.column("label"), dtype=np.int64)[0]
-    return pa.table({
-        "settlement_id": pa.array([min(fp_ids)], type=pa.string()),
-        "label": pa.array([label], type=pa.int64()),
-        "n_footprints": pa.array([n], type=pa.int64()),
-        "area_m2": pa.array([area], type=pa.float64()),
-        "part_cell": pa.array(hg.parent(np.array([label]), cfg.res_part), type=pa.int64()),
-        "boundary": pa.array([rings_py], type=pa.list_(pa.list_(
-            pa.struct([("x", pa.float64()), ("y", pa.float64())])))),
-        "cover_cells": pa.array([cover.tolist()], type=pa.list_(pa.int64())),
     })

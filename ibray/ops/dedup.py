@@ -16,6 +16,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data as rd
+
+from ibray.util import pool_size as _pool
 from ray.data.aggregate import Count, Min
 
 _M61 = (1 << 61) - 1
@@ -114,7 +116,7 @@ def minhash_dup_groups(sf_dir: str, threshold: float = 0.7,
         ds = ds.map_batches(
             lambda b: b.rename_columns(["doc_id", "text"]), batch_format="pyarrow")
     bands = ds.map_batches(MinHasher, batch_format="pandas", batch_size=2048,
-                           concurrency=4)
+                           concurrency=_pool(4))
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = sorted(g["doc_id"].unique())
@@ -170,7 +172,7 @@ def minhash_dup_groups(sf_dir: str, threshold: float = 0.7,
 
 def simhash_fingerprints(sf_dir: str) -> rd.Dataset:
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        StableSimHasher, batch_format="pandas", batch_size=4096, concurrency=2
+        StableSimHasher, batch_format="pandas", batch_size=4096, concurrency=_pool(2)
     )
 
 

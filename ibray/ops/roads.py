@@ -14,6 +14,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data as rd
+
+from ibray.util import pool_size as _pool
 from ray.data.aggregate import Count, Sum
 
 from ibray import geom
@@ -138,13 +140,17 @@ class NearestRoad:
                 seg_rid.append(rid[i])
         self.segs = np.array(segs) if segs else np.zeros((0, 4))
         self.seg_rid = np.array(seg_rid, dtype=object)
-        # bucket each segment by the cells of its endpoints + 1-ring
+        # bucket each segment into every cell ALONG it (sampled at sub-cell
+        # pitch) + 1-ring, so long segments are found from their middles too
         bucket: dict[int, list[int]] = {}
+        pitch = hg.edge_length_m(res)
         if len(self.segs):
             for j in range(len(self.segs)):
                 x1, y1, x2, y2 = self.segs[j]
-                cells = hg.encode(np.array([x1, x2]), np.array([y1, y2]), res)
-                for c in np.unique(hg.k_ring(cells, 1).ravel()):
+                n = max(2, int(np.hypot(x2 - x1, y2 - y1) / pitch) + 2)
+                t = np.linspace(0.0, 1.0, n)
+                cells = hg.encode(x1 + t * (x2 - x1), y1 + t * (y2 - y1), res)
+                for c in np.unique(hg.k_ring(np.unique(cells), 1).ravel()):
                     bucket.setdefault(int(c), []).append(j)
         self.bucket = {c: np.array(v, dtype=np.int64) for c, v in bucket.items()}
 
@@ -181,5 +187,5 @@ def nearest_road(world_dir: str, fp_ds: rd.Dataset) -> rd.Dataset:
     ref = ray.put(roads_tbl)
     return fp_ds.select_columns(["footprint_id", "cx", "cy"]).map_batches(
         NearestRoad, fn_constructor_args=(ref,), batch_format="pyarrow",
-        batch_size=8192, concurrency=4,
+        batch_size=8192, concurrency=_pool(4),
     )

@@ -14,6 +14,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data as rd
+
+from ibray.util import pool_size as _pool
 from ray.data.aggregate import Count, Mean, Sum
 
 STOPWORDS = ["a", "and", "in", "is", "of", "the", "to"]
@@ -40,7 +42,7 @@ class TokenCounter:
 
 def token_counts(sf_dir: str) -> rd.Dataset:
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        TokenCounter, batch_format="pandas", batch_size=4096, concurrency=2
+        TokenCounter, batch_format="pandas", batch_size=4096, concurrency=_pool(2)
     )
 
 
@@ -61,7 +63,7 @@ class QualityScorer:
 
 def quality_scores(sf_dir: str) -> rd.Dataset:
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        QualityScorer, batch_format="pandas", batch_size=4096, concurrency=2
+        QualityScorer, batch_format="pandas", batch_size=4096, concurrency=_pool(2)
     )
 
 

@@ -56,7 +56,7 @@ def run_oracle(world_dir: str, cfg: DelineationConfig = DEFAULT) -> dict:
         rings_py, area, _cover = polygonize_cells(comp_cells, cfg)
         settlements.append(
             {
-                "settlement_id": g["footprint_id"].min(),
+                "settlement_id": f"s{int(label)}",
                 "label": int(label),
                 "n_footprints": len(g),
                 "area_m2": area,

@@ -1,16 +1,18 @@
 """The flagship delineation pipeline, Ray-Data-first (SURVEY.md §3.1 lifecycle).
 
-    documents ──extract (mb)──▶ footprints ──join attrs──▶ +geometry +cells
-      ──filter──▶ occupied cells ──dedup──▶ halo-replicate ──groupby(part)──▶
-      local components ──equivalences──▶ canonical labels ──join──▶
-      groupby(label) ──▶ settlement polygons ──broadcast──▶ PIP actor pool
-      ──▶ assignments; tiles
+    documents ──extract (mb)──▶ footprints (+fkt, geometry, hex cells)
+      ──filter──▶ per-batch cell counts ──halo replicate──▶
+      groupby(coarse cell) [THE shuffle] ──▶ local components ──▶
+      driver: border union-find + per-label reduce → work table ──▶
+      polygonize (row-parallel mb) ──▶ PIP actor pool over the
+      part_cell-sorted narrow projection ──▶ assignments; tiles
 
-Only two all-to-all exchanges touch per-footprint data (the attrs hash join
-and the label join); everything cell-level shuffles the much smaller unique-
-cell set.  The reference runs the same lifecycle sequentially per partition
-(IB-Tool2.py:2384-2565); here Ray's streaming executor schedules partitions
-across the cluster.
+Exactly two all-to-all exchanges: the cell-level groupby(part) for
+clustering, and the narrow part_cell sort feeding the PIP probe.  No
+footprint-level join exists anywhere — footprint→settlement assignment is
+geometric (PIP).  The reference runs the same lifecycle sequentially per
+partition (IB-Tool2.py:2384-2565); here Ray's streaming executor schedules
+partitions across the cluster.
 """
 
 from __future__ import annotations
@@ -45,11 +47,6 @@ def _num_cpus() -> int:
         return 8
 
 
-# above this row count the attrs side is no longer "small": per-worker probe
-# index builds outweigh a partitioned hash join
-BROADCAST_LIMIT = 200_000
-
-
 def footprint_dataset(world_dir: str, cfg: DelineationConfig = DEFAULT,
                       join_strategy: str = "auto") -> rd.Dataset:
     """documents → extracted footprints with fkt, geometry and hex cells.
@@ -68,54 +65,76 @@ def footprint_dataset(world_dir: str, cfg: DelineationConfig = DEFAULT,
 
 
 def cluster_cells(fp: rd.Dataset, cfg: DelineationConfig = DEFAULT) -> pa.Table:
-    """Filtered footprints → (cell_fine, label) with canonical global labels.
+    """Filtered footprints → settlement work table, ONE shuffle.
 
-    One shuffle only: groupby(coarse part).  Cell-level work is ~10-1000×
-    smaller than the footprint set; per-group Python runs once per coarse
-    partition (thousands of groups), never once per cell or per label.
+    Per-batch combiners emit (cell, n, min_fp); halo replication routes each
+    cell (stats on the own copy only) to every coarse partition within the
+    cluster gap; groupby(part).map_groups labels local components; the driver
+    then — all vectorized numpy — resolves partition-border label
+    equivalences (tiny union-find), reduces per-label footprint stats from
+    the cell stats, and builds the (label, settlement_id, n_footprints,
+    cells) work table.  No footprint-level label join exists: footprint →
+    settlement assignment is done geometrically by the PIP stage.
     """
-    import numpy as np
-
-    # per-batch dedup only — a global cell dedup would be a ~|cells|-group
-    # aggregate (Python per group in Ray's sort-based path); instead duplicate
-    # (part, cell) rows across batches are tolerated and collapsed by the
-    # np.unique inside local_components, at ~15% extra shuffle volume
-    cells = fp.select_columns(["cell_fine"]).map_batches(
-        C.unique_cells_batch, batch_format="pyarrow"
+    stats = fp.select_columns(["cell_fine"]).map_batches(
+        C.cell_stats_batch, batch_format="pyarrow"
     )
-    replicated = cells.map_batches(
+    replicated = stats.map_batches(
         lambda b: C.replicate_to_parts(b, cfg), batch_format="pyarrow"
     )
     local = replicated.groupby("part").map_groups(
         lambda g: C.local_components(g, cfg), batch_format="pyarrow"
     )
-    # the labeled-cell table is the SMALL side (~footprints/10); pull it to
-    # the driver in one execution and resolve partition-border equivalences
-    # there (vectorized numpy + tiny union-find).  The 10^12-doc path keeps
-    # this distributed: shared-band groupby + hash label join
-    # (join_strategy="hash" exercises it).
     local_tbl = _concat_refs(
         local,
         pa.schema([("cell_fine", pa.int64()), ("label", pa.int64()),
-                   ("shared", pa.bool_())]),
+                   ("shared", pa.bool_()), ("n", pa.int64())]),
     )
     cells_all = np.asarray(local_tbl.column("cell_fine"), dtype=np.int64)
     labels_all = np.asarray(local_tbl.column("label"), dtype=np.int64)
     shared_mask = np.asarray(local_tbl.column("shared"))
-    root_map, (sh_cells, sh_labels) = C.resolve_shared(
-        cells_all[shared_mask], labels_all[shared_mask]
+    n_all = np.asarray(local_tbl.column("n"), dtype=np.int64)
+    root_map, _ = C.resolve_shared(cells_all[shared_mask], labels_all[shared_mask])
+    labels_res = C.apply_root_map_np(labels_all, root_map)
+
+    # dedup by cell (halo copies agree on label post-resolution; counts are
+    # carried only by the own copy so summing over deduped rows needs the
+    # per-cell max of n — halo rows have 0)
+    oc = np.lexsort((-n_all, cells_all))
+    cs = cells_all[oc]
+    first = np.concatenate([[True], cs[1:] != cs[:-1]])
+    cell_u = cs[first]
+    lab_u_cell = labels_res[oc][first]
+    n_u = n_all[oc][first]
+
+    # per-label aggregates (vectorized segment reduce)
+    order2 = np.lexsort((cell_u, lab_u_cell))
+    lc = cell_u[order2]
+    ll = lab_u_cell[order2]
+    ln = n_u[order2]
+    run_starts = np.nonzero(np.concatenate([[True], ll[1:] != ll[:-1]]))[0]
+    n_tot = np.add.reduceat(ln, run_starts)
+    lab_u = ll[run_starts]
+    keep_m = n_tot >= cfg.min_footprints
+    # slice kept label runs out of the (label-sorted) cell array
+    run_ends = np.concatenate([run_starts[1:], [len(ll)]])
+    ks = run_starts[keep_m]
+    ke = run_ends[keep_m]
+    counts = ke - ks
+    take_idx = np.repeat(ks, counts) + (np.arange(int(counts.sum()))
+                                        - np.repeat(np.cumsum(counts) - counts, counts))
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+    cells_list = pa.ListArray.from_arrays(
+        pa.array(offsets, type=pa.int32()),
+        pa.array(lc[take_idx], type=pa.int64()),
     )
-    own_cells = cells_all[~shared_mask]
-    own_labels = labels_all[~shared_mask]
-    if root_map:
-        keys = np.array(sorted(root_map), dtype=np.int64)
-        vals = np.array([root_map[int(k)] for k in keys], dtype=np.int64)
-        pos = np.clip(np.searchsorted(keys, own_labels), 0, len(keys) - 1)
-        hit = keys[pos] == own_labels
-        own_labels = np.where(hit, vals[pos], own_labels)
+    agg_labels = lab_u[keep_m]
+    sids = [f"s{int(l)}" for l in agg_labels]
     return pa.table({
-        "cell_fine": pa.array(np.concatenate([own_cells, sh_cells]), type=pa.int64()),
-        "label": pa.array(np.concatenate([own_labels, sh_labels]), type=pa.int64()),
+        "label": pa.array(agg_labels, type=pa.int64()),
+        "settlement_id": pa.array(sids, type=pa.string()),
+        "n_footprints": pa.array(n_tot[keep_m], type=pa.int64()),
+        "cells": cells_list,
     })
 
 
@@ -131,11 +150,19 @@ def delineate(world_dir: str, cfg: DelineationConfig = DEFAULT,
     it, the footprint table is pinned with ``materialize()`` (it feeds three
     downstream branches).
     """
+    import os as _os
+    import sys as _sys
     import time as _time
 
     import ray
 
-    from ibray.ops import joins as J
+    _prof = bool(_os.environ.get("IBRAY_PROFILE"))
+    _t_start = _time.time()
+
+    def _mark(name: str):
+        if _prof:
+            print(f"[ibray-profile] {name}: {_time.time() - _t_start:.1f}s",
+                  file=_sys.stderr, flush=True)
 
     ck = None
     if out_dir:
@@ -145,17 +172,14 @@ def delineate(world_dir: str, cfg: DelineationConfig = DEFAULT,
     if ck and ck.has("footprints"):
         fp_all = ck.read_dataset("footprints").materialize()
     else:
-        # ONE spatial sort up front: every later stage then sees spatially
-        # coherent batches (per-batch cell dedup really dedups, per-batch
-        # label partials collapse to ~|labels| rows, and the PIP probe
-        # touches only neighborhood settlements per batch)
-        fp_all = (footprint_dataset(world_dir, cfg, join_strategy=join_strategy)
-                  .sort("part_cell").materialize())
+        fp_all = footprint_dataset(world_dir, cfg,
+                                   join_strategy=join_strategy).materialize()
         if ck:
             t0 = _time.time()
             fp_all = ck.write_dataset(fp_all, "footprints",
                                       partition_col="part_cell",
                                       wall_sec=_time.time() - t0).materialize()
+    _mark("footprints_materialized")
     positive = set(synth.POSITIVE_FKT)
     fp = fp_all.map_batches(
         lambda b: F.filter_footprints(b, cfg, positive), batch_format="pyarrow"
@@ -163,54 +187,8 @@ def delineate(world_dir: str, cfg: DelineationConfig = DEFAULT,
     if ck and ck.has("settlements"):
         settlements = ck.read_table("settlements")
     else:
-        labels_tbl = cluster_cells(fp, cfg)
-        narrow = fp.select_columns(["footprint_id", "cell_fine"])
-        if join_strategy == "hash":
-            labeled = J.hash_join(narrow, rd.from_arrow(labels_tbl),
-                                  keys=("cell_fine",), join_type="inner",
-                                  num_partitions=max(2, _num_cpus()))
-        else:
-            # the cell→label map is ~footprints/10 rows; broadcast it map-side
-            labeled = J.broadcast_join(narrow, labels_tbl, keys=["cell_fine"],
-                                       join_type="inner")
-        # per-settlement count/min via shuffle-free partial aggregates + a
-        # small driver combine; polygonize distributed as row-parallel
-        # map_batches over the (label -> cells) work table
-        partials = _concat_refs(
-            labeled.map_batches(C.partial_label_stats, batch_format="pyarrow"),
-            pa.schema([("label", pa.int64()), ("n", pa.int64()),
-                       ("min_fp", pa.string())]),
-        )
-        import pandas as pd
-
-        pdf = partials.to_pandas()
-        agg = pdf.groupby("label", sort=True).agg(
-            n_footprints=("n", "sum"), settlement_id=("min_fp", "min")
-        ).reset_index()
-        agg = agg[agg["n_footprints"] >= cfg.min_footprints]
-        agg_labels = agg["label"].to_numpy()
-        # cells per kept label, fully vectorized (lexsort + run offsets ->
-        # Arrow ListArray; no per-label Python)
-        lc = np.asarray(labels_tbl.column("cell_fine"), dtype=np.int64)
-        ll = np.asarray(labels_tbl.column("label"), dtype=np.int64)
-        keep = np.isin(ll, agg_labels)
-        lc, ll = lc[keep], ll[keep]
-        order = np.lexsort((lc, ll))
-        lc, ll = lc[order], ll[order]
-        starts = np.nonzero(np.concatenate([[True], ll[1:] != ll[:-1]]))[0]
-        run_labels = ll[starts]
-        offsets = np.concatenate([starts, [len(ll)]])
-        # run_labels is sorted and equals agg_labels (both sorted, same set)
-        assert np.array_equal(run_labels, agg_labels)
-        cells_list = pa.ListArray.from_arrays(
-            pa.array(offsets, type=pa.int32()), pa.array(lc, type=pa.int64())
-        )
-        work = pa.table({
-            "label": pa.array(agg_labels, type=pa.int64()),
-            "settlement_id": pa.array(agg["settlement_id"], type=pa.string()),
-            "n_footprints": pa.array(agg["n_footprints"].to_numpy(), type=pa.int64()),
-            "cells": cells_list,
-        })
+        work = cluster_cells(fp, cfg)
+        _mark("cluster_and_work_table")
         settlements = _concat_refs(
             rd.from_arrow(work)
             .repartition(max(2, _num_cpus() * 4))
@@ -218,6 +196,7 @@ def delineate(world_dir: str, cfg: DelineationConfig = DEFAULT,
                          batch_format="pyarrow", batch_size=4),
             _settlement_schema(),
         ).sort_by("settlement_id")
+        _mark("polygonize")
         if ck:
             ck.write_table(settlements, "settlements")
 
@@ -227,19 +206,21 @@ def delineate(world_dir: str, cfg: DelineationConfig = DEFAULT,
         assignments = ck.read_dataset("assignments")
     else:
         ref = ray.put(pack_settlements(settlements))
-        # fp_all is already spatially sorted: each PIP batch touches only the
-        # few settlements of its neighborhood instead of the whole index
+        # sort ONLY the narrow probe projection by the coarse cell: each PIP
+        # batch then touches the few settlements of its spatial neighborhood
+        # instead of the whole index
         assignments = fp_all.select_columns(
-            ["footprint_id", "doc_id", "span_idx", "cx", "cy"]
-        ).map_batches(
+            ["footprint_id", "doc_id", "span_idx", "cx", "cy", "part_cell"]
+        ).sort("part_cell").drop_columns(["part_cell"]).map_batches(
             PIPAssigner,
             fn_constructor_args=(ref, cfg),
             batch_format="pyarrow",
             batch_size=cfg.batch_size,
-            concurrency=max(2, _num_cpus() - 2),
+            concurrency=max(2, min(12, _num_cpus() - 2)),
         )
         if ck:
             assignments = ck.write_dataset(assignments, "assignments")
+    _mark("pip_built" if True else "")
     tiles = fp_all.select_columns(["footprint_id", "cell_r9", "cell_r10", "cell_r11"])
     if ck and not ck.has("tiles"):
         tiles = ck.write_dataset(tiles, "tiles")
