@@ -203,6 +203,41 @@ def _q_nearest_road(sf_dir: str):
     return RD.nearest_road(world, fp)
 
 
+def _q_boundary_score(sf_dir: str):
+    """Error_Classification analog: engine boundary vs perturbed expert."""
+    import numpy as np
+
+    from ibray import pipeline
+    from ibray.config import DEFAULT, DelineationConfig
+    from ibray.ops import scoring as S
+
+    sf = synth.sf_of_dir(sf_dir)
+    world = synth.ensure_world(sf)
+    res = _delineate_cached(sf)
+    expert = pipeline.delineate(world, cfg=DelineationConfig(closing_k=1))
+    ca = S.settlement_cells(res["settlements"], DEFAULT)
+    cb = S.settlement_cells(expert["settlements"], DEFAULT)
+    tiles = res["tiles_tbl"].to_pandas()
+    cnt = tiles.groupby("cell_r11").size()
+    return S.score_boundaries(
+        ca, cb, (cnt.index.to_numpy("int64"), cnt.to_numpy("int64")), DEFAULT)
+
+
+def _q_partitions(sf_dir: str):
+    from ibray import pipeline
+    from ibray.config import DEFAULT
+    from ibray.ops import density as DN
+    from ibray.ops import scoring as S
+
+    world = synth.ensure_world(synth.sf_of_dir(sf_dir))
+    fp = pipeline.footprint_dataset(world)
+    import pyarrow as pa
+
+    dens = pa.Table.from_pandas(DN.cell_density(fp, key="cell_r9").to_pandas())
+    return S.compute_partitions(dens, DEFAULT).select(
+        ["part_cell", "n_footprints"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from ibray.ops import ann as A
     from ibray.ops import dedup as D
@@ -220,6 +255,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dead_end_roads": _q_dead_ends,
         "density_r9": _q_density_r9,
         "nearest_road": _q_nearest_road,      # rows-only check
+        "boundary_score": _q_boundary_score,  # rows-only check (scoring harness)
+        "compute_partitions": _q_partitions,  # rows-only check (Partitioning.pyt analog)
         # relational operator layer (SURVEY.md §2 over driver tables)
         "q1_pricing_summary": _q_q1,
         "filter_project_parts": R.filter_project_parts,

@@ -1,0 +1,151 @@
+"""Boundary-agreement scoring — the Error_Classification.py analog
+(SURVEY.md §2.11; /root/reference/Error_Classification.py:253-755).
+
+The reference quantifies agreement between a computed boundary (UGB) and an
+expert boundary (IBS): symmetric difference → single-part patches → label
+POS (computed-only) / NEG (expert-only) → per-patch footprint-density
+OVERLAP → a classification cascade → per-class frequency/area/share report.
+
+Here boundaries are hex-cell sets (the engine's native representation), so
+SymDiff = set XOR, patches = connected components of the XOR set, and
+OVERLAP = footprints-per-cell density within the patch.  All cell-level,
+vectorized; the patch loop is per patch (small).
+
+Classes (density bands mirror the reference's cascade):
+  match           — cells in both boundaries (not a patch; reported for share)
+  pos_dense       — computed-only patch with footprint density >= dense_thr
+  pos_sparse      — computed-only patch, sparse (over-delineation)
+  neg_dense       — expert-only patch, dense (under-delineation / missed)
+  neg_sparse      — expert-only patch, sparse
+  small           — patch below min_patch_area (reference drops < 250 m2)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ibray import hexgrid as hg
+from ibray.config import DelineationConfig
+
+
+def settlement_cells(settlements: pa.Table, cfg: DelineationConfig) -> np.ndarray:
+    """All closed cells of a settlements table (re-rasterized from the
+    boundary cover: cover_cells are the dilated mid-res cover — instead use
+    the fine cells recomputed from the boundary polygons' cell interiors).
+
+    For scoring we re-derive each settlement's fine-cell set from its
+    boundary rings by rasterizing: cells whose centers fall inside the
+    polygon (even-odd over rings)."""
+    from ibray import geom
+
+    boundary = settlements.column("boundary")
+    boundary = boundary.combine_chunks() if isinstance(boundary, pa.ChunkedArray) else boundary
+    out = []
+    spacing = np.sqrt(3.0) * hg.edge_length_m(cfg.res_fine)
+    for srow in boundary:
+        rings = [np.array([[p["x"].as_py(), p["y"].as_py()] for p in ring])
+                 for ring in srow]
+        if not rings:
+            continue
+        allpts = np.concatenate(rings)
+        mn = allpts.min(axis=0) - spacing
+        mx = allpts.max(axis=0) + spacing
+        gx, gy = np.meshgrid(np.arange(mn[0], mx[0], spacing / 2),
+                             np.arange(mn[1], mx[1], spacing / 2))
+        gx, gy = gx.ravel(), gy.ravel()
+        inside = geom.points_in_polygon(gx, gy, rings)
+        out.append(np.unique(hg.encode(gx[inside], gy[inside], cfg.res_fine)))
+    return np.unique(np.concatenate(out)) if out else np.zeros(0, np.int64)
+
+
+def score_boundaries(computed_cells: np.ndarray, expert_cells: np.ndarray,
+                     fp_cell_counts: dict[int, int] | tuple[np.ndarray, np.ndarray],
+                     cfg: DelineationConfig,
+                     dense_thr: float = 0.18,
+                     min_patch_m2: float = 250.0) -> pa.Table:
+    """Classify every symmetric-difference patch; returns the per-class
+    report table (class, n_patches, n_cells, area_m2, share_pct) — the
+    reference's final frequency/area/share print (Error_Classification.py:668-750)."""
+    computed_cells = np.unique(np.asarray(computed_cells, dtype=np.int64))
+    expert_cells = np.unique(np.asarray(expert_cells, dtype=np.int64))
+    if isinstance(fp_cell_counts, tuple):
+        cnt_cells, cnt_vals = fp_cell_counts
+    else:
+        cnt_cells = np.array(sorted(fp_cell_counts), dtype=np.int64)
+        cnt_vals = np.array([fp_cell_counts[int(c)] for c in cnt_cells], dtype=np.int64)
+
+    both = np.intersect1d(computed_cells, expert_cells, assume_unique=True)
+    pos = np.setdiff1d(computed_cells, expert_cells, assume_unique=True)
+    neg = np.setdiff1d(expert_cells, computed_cells, assume_unique=True)
+    xor = np.concatenate([pos, neg])
+    xor.sort()
+    cell_area = 3 * np.sqrt(3) / 2 * hg.edge_length_m(cfg.res_fine) ** 2
+
+    classes = ["match", "pos_dense", "pos_sparse", "neg_dense", "neg_sparse", "small"]
+    stats = {c: [0, 0] for c in classes}  # n_patches, n_cells
+    stats["match"] = [0, len(both)]
+
+    if len(xor):
+        labels = hg.connected_components(xor, gap=1)
+        pos_set = pos  # sorted
+        order = np.argsort(labels, kind="stable")
+        ls = labels[order]
+        cs = xor[order]
+        starts = np.nonzero(np.concatenate([[True], ls[1:] != ls[:-1]]))[0]
+        ends = np.concatenate([starts[1:], [len(ls)]])
+        for s, e in zip(starts, ends):
+            patch = cs[s:e]
+            area = len(patch) * cell_area
+            # footprint density inside the patch (OVERLAP analog)
+            pidx = np.searchsorted(cnt_cells, patch)
+            pidx_c = np.clip(pidx, 0, max(len(cnt_cells) - 1, 0))
+            hit = (cnt_cells[pidx_c] == patch) if len(cnt_cells) else np.zeros(len(patch), bool)
+            n_fp = int(cnt_vals[pidx_c[hit]].sum()) if len(cnt_cells) else 0
+            density = n_fp / max(len(patch), 1)
+            is_pos = bool(np.isin(patch[0], pos_set, assume_unique=False))
+            if area < min_patch_m2:
+                cls = "small"
+            elif is_pos:
+                cls = "pos_dense" if density >= dense_thr else "pos_sparse"
+            else:
+                cls = "neg_dense" if density >= dense_thr else "neg_sparse"
+            stats[cls][0] += 1
+            stats[cls][1] += len(patch)
+
+    total_cells = max(len(both) + len(xor), 1)
+    return pa.table({
+        "class": pa.array(classes, type=pa.string()),
+        "n_patches": pa.array([stats[c][0] for c in classes], type=pa.int64()),
+        "n_cells": pa.array([stats[c][1] for c in classes], type=pa.int64()),
+        "area_m2": pa.array([stats[c][1] * cell_area for c in classes], type=pa.float64()),
+        "share_pct": pa.array(
+            [100.0 * stats[c][1] / total_cells for c in classes], type=pa.float64()),
+    })
+
+
+def compute_partitions(density_tbl: pa.Table, cfg: DelineationConfig,
+                       min_count: int = 5) -> pa.Table:
+    """Partitioning.pyt analog (U10): partitions are computed, not drawn —
+    coarse cells whose footprint count exceeds the threshold become the
+    partition set (replaces the density-raster → Voronoi machinery,
+    Partitioning.pyt:81-119).  Returns (part_cell, n_footprints, boundary)."""
+    cells = np.asarray(density_tbl.column("cell"), dtype=np.int64)
+    n = np.asarray(density_tbl.column("n_footprints"), dtype=np.int64)
+    parts = hg.parent(cells, cfg.res_part)
+    order = np.argsort(parts, kind="stable")
+    ps = parts[order]
+    ns = n[order]
+    starts = np.nonzero(np.concatenate([[True], ps[1:] != ps[:-1]]))[0]
+    tot = np.add.reduceat(ns, starts)
+    pu = ps[starts]
+    keep = tot >= min_count
+    pu, tot = pu[keep], tot[keep]
+    bnd = hg.cell_boundary(pu)  # (n, 6, 2)
+    rings = [[{"x": float(x), "y": float(y)} for x, y in ring] for ring in bnd]
+    return pa.table({
+        "part_cell": pa.array(pu, type=pa.int64()),
+        "n_footprints": pa.array(tot, type=pa.int64()),
+        "boundary": pa.array(rings, type=pa.list_(
+            pa.struct([("x", pa.float64()), ("y", pa.float64())]))),
+    })

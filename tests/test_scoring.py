@@ -1,0 +1,71 @@
+"""Error_Classification analog: symmetric-difference patch scoring."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from ibray import hexgrid as hg
+from ibray.config import DEFAULT
+
+
+def _disk(cx, cy, k):
+    c = hg.encode(np.array([cx]), np.array([cy]), DEFAULT.res_fine)
+    return hg.dilate(c, k)
+
+
+def test_identical_boundaries_all_match():
+    from ibray.ops import scoring as S
+
+    cells = _disk(0, 0, 5)
+    counts = (cells, np.ones(len(cells), dtype=np.int64))
+    rep = S.score_boundaries(cells, cells, counts, DEFAULT).to_pandas().set_index("class")
+    assert rep.loc["match", "n_cells"] == len(cells)
+    assert rep.loc["match", "share_pct"] == 100.0
+    assert rep.drop("match")["n_patches"].sum() == 0
+
+
+def test_pos_and_neg_patches_classified():
+    from ibray.ops import scoring as S
+
+    computed = np.union1d(_disk(0, 0, 5), _disk(3000, 0, 3))   # extra blob -> POS
+    expert = np.union1d(_disk(0, 0, 5), _disk(-3000, 0, 3))    # missing blob -> NEG
+    # dense footprints only inside the POS blob
+    pos_blob = _disk(3000, 0, 3)
+    counts = (np.sort(pos_blob), np.full(len(pos_blob), 3, dtype=np.int64))
+    rep = S.score_boundaries(computed, expert, counts, DEFAULT).to_pandas().set_index("class")
+    assert rep.loc["pos_dense", "n_patches"] == 1      # extra blob is dense
+    assert rep.loc["neg_sparse", "n_patches"] == 1     # missing blob has no fps
+    assert rep.loc["match", "n_cells"] == len(_disk(0, 0, 5))
+
+
+def test_scoring_engine_vs_perturbed_expert(ray_session):
+    """End-to-end: score the engine output against a perturbed 'expert'
+    (different closing radius) — stable class shares on the fixed seed."""
+    from ibray import pipeline, synth
+    from ibray.config import DelineationConfig
+    from ibray.ops import scoring as S
+
+    world = synth.ensure_world(0.001)
+    a = pipeline.delineate(world)
+    b = pipeline.delineate(world, cfg=DelineationConfig(closing_k=1))
+    ca = S.settlement_cells(a["settlements"], DEFAULT)
+    cb = S.settlement_cells(b["settlements"], DEFAULT)
+    tiles = a["tiles"].to_pandas()
+    cnt = tiles.groupby("cell_r11").size()
+    counts = (cnt.index.to_numpy(dtype=np.int64), cnt.to_numpy(dtype=np.int64))
+    rep = S.score_boundaries(ca, cb, counts, DEFAULT).to_pandas().set_index("class")
+    # closing_k=1 also tightens the cluster gap, so boundaries differ a lot;
+    # agreement must still be substantial and POS (computed-only) must exist
+    assert rep.loc["match", "share_pct"] > 25
+    assert rep.loc["pos_sparse", "n_patches"] + rep.loc["pos_dense", "n_patches"] > 0
+
+
+def test_compute_partitions():
+    from ibray.ops import scoring as S
+
+    cells = _disk(0, 0, 8)
+    dens = pa.table({"cell": pa.array(np.sort(cells), type=pa.int64()),
+                     "n_footprints": pa.array(np.ones(len(cells), dtype=np.int64))})
+    parts = S.compute_partitions(dens, DEFAULT, min_count=5).to_pandas()
+    assert len(parts) >= 1
+    assert (parts["n_footprints"] >= 5).all()
