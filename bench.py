@@ -51,7 +51,7 @@ def run_bench() -> dict:
     # bench runs a ~33x-denser world than the correctness scale so compute,
     # not fixed scheduling overhead, dominates (the metric is footprints/sec;
     # n_footprints is reported alongside) — BASELINE.md protocol
-    bench_sf = sf * 33.4
+    bench_sf = float(os.environ.get("IBRAY_BENCH_SF", sf * 33.4))
     world = synth.ensure_world(bench_sf)  # cached after first run; not timed
 
     # warm the page cache with one untimed read

@@ -1,0 +1,106 @@
+"""Multimodal (media-span) operators — opaque binary payloads with typed
+metadata, decoded/featurized on actor pools.
+
+The corpus interleaves ``media`` spans (``media_ref = tile://z/x/y.png``)
+with text and footprint spans.  The image libraries are not available in
+this environment, so the DECODE step is a clearly-marked deterministic fake
+(seeded by the ref string); everything around it — the span extraction, the
+binary payload column, the actor-pool batching, the feature schema — is the
+real Ray-side plumbing a production decoder would drop into.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from ibray.ops import extract as E
+from ibray.util import pool_size as _pool
+
+TILE_W = 16  # fake tile is a TILE_W x TILE_W uint8 "image"
+
+
+def media_assets(world_dir: str) -> rd.Dataset:
+    """documents -> one row per media span with parsed tile coordinates."""
+    docs = rd.read_parquet(world_dir + "/documents")
+
+    def _media(batch: pa.Table) -> pa.Table:
+        spans = E.extract_spans(batch)
+        m = spans.filter(pc.equal(spans.column("kind"), "media"))
+        refs = m.column("media_ref").to_pylist()
+        zxy = np.zeros((len(refs), 3), dtype=np.int64)
+        for i, r in enumerate(refs):
+            # tile://{z}/{x}/{y}.png
+            parts = r.split("//", 1)[1].split("/")
+            zxy[i] = (int(parts[0]), int(parts[1]), int(parts[2].split(".")[0]))
+        return pa.table({
+            "doc_id": m.column("doc_id"),
+            "span_idx": m.column("span_idx"),
+            "media_ref": m.column("media_ref"),
+            "tile_z": pa.array(zxy[:, 0], type=pa.int64()),
+            "tile_x": pa.array(zxy[:, 1], type=pa.int64()),
+            "tile_y": pa.array(zxy[:, 2], type=pa.int64()),
+        })
+
+    return docs.map_batches(_media, batch_format="pyarrow")
+
+
+def _fake_decode(ref: str) -> np.ndarray:
+    """STUB decoder: a real implementation would fetch+decode the tile
+    (PIL/cv2 absent in this container).  Deterministic stand-in: bytes of
+    md5(ref) tiled to TILE_W x TILE_W uint8."""
+    h = hashlib.md5(ref.encode()).digest()
+    base = np.frombuffer(h, dtype=np.uint8)
+    reps = -(-TILE_W * TILE_W // len(base))
+    return np.tile(base, reps)[: TILE_W * TILE_W].reshape(TILE_W, TILE_W)
+
+
+class TileDecoder:
+    """Actor-pool stage: decode media refs to binary pixel payloads.
+
+    __init__ is where a real decoder would load codecs / open the tile
+    store connection — once per actor, never per batch."""
+
+    def __init__(self):
+        self.decode = _fake_decode  # swap for a real decoder
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        refs = batch.column("media_ref").to_pylist()
+        pixels = [self.decode(r).tobytes() for r in refs]
+        return batch.append_column("pixels", pa.array(pixels, type=pa.binary()))
+
+
+class TileFeaturizer:
+    """Actor-pool stage: binary pixel payloads -> numeric features + a
+    64-bit perceptual-hash-style fingerprint (vectorized numpy)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        pixels = batch.column("pixels").to_pylist()
+        arr = np.frombuffer(b"".join(pixels), dtype=np.uint8).reshape(
+            len(pixels), TILE_W, TILE_W).astype(np.float64)
+        mean = arr.mean(axis=(1, 2))
+        std = arr.std(axis=(1, 2))
+        # pHash-style: 8x8 block means vs their median -> 64 bits
+        blocks = arr.reshape(len(pixels), 8, TILE_W // 8, 8, TILE_W // 8).mean(axis=(2, 4))
+        med = np.median(blocks.reshape(len(pixels), 64), axis=1, keepdims=True)
+        bits = (blocks.reshape(len(pixels), 64) > med).astype(np.uint64)
+        phash = (bits << np.arange(64, dtype=np.uint64)[None, :]).sum(axis=1)
+        out = batch.drop_columns(["pixels"])
+        return (out.append_column("px_mean", pa.array(mean))
+                .append_column("px_std", pa.array(std))
+                .append_column("phash", pa.array(phash.astype(np.int64), type=pa.int64())))
+
+
+def tile_features(world_dir: str) -> rd.Dataset:
+    """media spans -> decoded (stub) -> features; binary payloads stay in
+    Arrow between the two actor stages (never pandas object columns)."""
+    assets = media_assets(world_dir)
+    decoded = assets.map_batches(TileDecoder, batch_format="pyarrow",
+                                 batch_size=2048, concurrency=_pool(2))
+    return decoded.map_batches(TileFeaturizer, batch_format="pyarrow",
+                               batch_size=2048, concurrency=_pool(2))

@@ -216,7 +216,7 @@ def delineate(world_dir: str, cfg: DelineationConfig = DEFAULT,
             fn_constructor_args=(ref, cfg),
             batch_format="pyarrow",
             batch_size=cfg.batch_size,
-            concurrency=max(2, min(12, _num_cpus() - 2)),
+            concurrency=max(1, min(12, _num_cpus() - 2)),
         )
         if ck:
             assignments = ck.write_dataset(assignments, "assignments")
