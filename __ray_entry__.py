@@ -238,6 +238,38 @@ def _q_partitions(sf_dir: str):
         ["part_cell", "n_footprints"])
 
 
+def _q_media_assets(sf_dir: str):
+    from ibray.ops import media as M
+
+    world = synth.ensure_world(synth.sf_of_dir(sf_dir))
+    return M.media_assets(world)
+
+
+def _q_tile_features(sf_dir: str):
+    from ibray.ops import media as M
+
+    world = synth.ensure_world(synth.sf_of_dir(sf_dir))
+    return _scale_cols(M.tile_features(world), {"px_mean": 6, "px_std": 6})
+
+
+def _q_knn_graph(sf_dir: str):
+    from ibray import pipeline
+    from ibray.ops import knn as K
+
+    world = synth.ensure_world(synth.sf_of_dir(sf_dir))
+    fp = pipeline.footprint_dataset(world)
+    return _scale_cols(K.knn_graph(fp, k=4), {"dist_m": 4})
+
+
+def _q_mst_graph(sf_dir: str):
+    from ibray import pipeline
+    from ibray.ops import knn as K
+
+    world = synth.ensure_world(synth.sf_of_dir(sf_dir))
+    fp = pipeline.footprint_dataset(world)
+    return _scale_cols(K.mst_graph(fp, k=6), {"dist_m": 4})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from ibray.ops import ann as A
     from ibray.ops import dedup as D
@@ -257,6 +289,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nearest_road": _q_nearest_road,      # rows-only check
         "boundary_score": _q_boundary_score,  # rows-only check (scoring harness)
         "compute_partitions": _q_partitions,  # rows-only check (Partitioning.pyt analog)
+        "media_assets": _q_media_assets,
+        "tile_features": _q_tile_features,    # rows-only (stub decoder features)
+        "knn_graph": _q_knn_graph,            # rows-only check
+        "mst_graph": _q_mst_graph,            # rows-only check
         # relational operator layer (SURVEY.md §2 over driver tables)
         "q1_pricing_summary": _q_q1,
         "filter_project_parts": R.filter_project_parts,
@@ -364,6 +400,18 @@ def oracle_sql() -> dict[str, str]:
         # hex-cell density vs the single-process golden (hex encode not SQL-expressible)
         "density_r9": f"""
             SELECT cell, n_footprints FROM read_parquet('{gold}/density_r9.parquet')
+        """,
+        "media_assets": f"""
+            SELECT doc_id,
+                   CAST(i - 1 AS INTEGER) AS span_idx,
+                   spans[i].media_ref AS media_ref,
+                   CAST(regexp_extract(spans[i].media_ref, 'tile://(\\d+)/(\\d+)/(\\d+)', 1) AS BIGINT) AS tile_z,
+                   CAST(regexp_extract(spans[i].media_ref, 'tile://(\\d+)/(\\d+)/(\\d+)', 2) AS BIGINT) AS tile_x,
+                   CAST(regexp_extract(spans[i].media_ref, 'tile://(\\d+)/(\\d+)/(\\d+)', 3) AS BIGINT) AS tile_y
+            FROM (SELECT doc_id, spans,
+                         unnest(generate_series(1, len(spans))) AS i
+                  FROM {docs})
+            WHERE spans[i].kind = 'media'
         """,
         # ------------- relational layer (driver's pre-registered views) ----
         "q1_pricing_summary": """

@@ -75,25 +75,25 @@ class TileDecoder:
         return batch.append_column("pixels", pa.array(pixels, type=pa.binary()))
 
 
-class TileFeaturizer:
-    """Actor-pool stage: binary pixel payloads -> numeric features + a
-    64-bit perceptual-hash-style fingerprint (vectorized numpy)."""
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        pixels = batch.column("pixels").to_pylist()
-        arr = np.frombuffer(b"".join(pixels), dtype=np.uint8).reshape(
-            len(pixels), TILE_W, TILE_W).astype(np.float64)
-        mean = arr.mean(axis=(1, 2))
-        std = arr.std(axis=(1, 2))
-        # pHash-style: 8x8 block means vs their median -> 64 bits
-        blocks = arr.reshape(len(pixels), 8, TILE_W // 8, 8, TILE_W // 8).mean(axis=(2, 4))
-        med = np.median(blocks.reshape(len(pixels), 64), axis=1, keepdims=True)
-        bits = (blocks.reshape(len(pixels), 64) > med).astype(np.uint64)
-        phash = (bits << np.arange(64, dtype=np.uint64)[None, :]).sum(axis=1)
-        out = batch.drop_columns(["pixels"])
-        return (out.append_column("px_mean", pa.array(mean))
-                .append_column("px_std", pa.array(std))
-                .append_column("phash", pa.array(phash.astype(np.int64), type=pa.int64())))
+def tile_featurize(batch: pa.Table) -> pa.Table:
+    """Stateless stage: binary pixel payloads -> numeric features + a 64-bit
+    perceptual-hash-style fingerprint (vectorized numpy).  Plain function —
+    stacking a second actor pool behind the decoder would reserve every CPU
+    on small clusters."""
+    pixels = batch.column("pixels").to_pylist()
+    arr = np.frombuffer(b"".join(pixels), dtype=np.uint8).reshape(
+        len(pixels), TILE_W, TILE_W).astype(np.float64)
+    mean = arr.mean(axis=(1, 2))
+    std = arr.std(axis=(1, 2))
+    # pHash-style: 8x8 block means vs their median -> 64 bits
+    blocks = arr.reshape(len(pixels), 8, TILE_W // 8, 8, TILE_W // 8).mean(axis=(2, 4))
+    med = np.median(blocks.reshape(len(pixels), 64), axis=1, keepdims=True)
+    bits = (blocks.reshape(len(pixels), 64) > med).astype(np.uint64)
+    phash = (bits << np.arange(64, dtype=np.uint64)[None, :]).sum(axis=1)
+    out = batch.drop_columns(["pixels"])
+    return (out.append_column("px_mean", pa.array(mean))
+            .append_column("px_std", pa.array(std))
+            .append_column("phash", pa.array(phash.astype(np.int64), type=pa.int64())))
 
 
 def tile_features(world_dir: str) -> rd.Dataset:
@@ -102,5 +102,5 @@ def tile_features(world_dir: str) -> rd.Dataset:
     assets = media_assets(world_dir)
     decoded = assets.map_batches(TileDecoder, batch_format="pyarrow",
                                  batch_size=2048, concurrency=_pool(2))
-    return decoded.map_batches(TileFeaturizer, batch_format="pyarrow",
-                               batch_size=2048, concurrency=_pool(2))
+    return decoded.map_batches(tile_featurize, batch_format="pyarrow",
+                               batch_size=2048)
