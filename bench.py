@@ -108,26 +108,26 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = 8, 32
+    lo, hi = (2, 8) if "--scaling-low" in sys.argv else (8, 32)
     r_lo = run(lo)
     r_hi = run(hi)
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     eff = (t_lo / t_hi) / (hi / lo)
     return {
-        "metric": "scaling efficiency (N=8 vs 4N=32 CPUs, fresh processes, same input)",
+        "metric": f"scaling efficiency (N={lo} vs 4N={hi} CPUs, fresh processes, same input)",
         "value": round(eff, 3),
         "unit": "efficiency",
-        "sec_8": t_lo,
-        "sec_32": t_hi,
-        "fps_8": r_lo["footprints_per_sec"],
-        "fps_32": r_hi["footprints_per_sec"],
+        f"sec_{lo}": t_lo,
+        f"sec_{hi}": t_hi,
+        f"fps_{lo}": r_lo["footprints_per_sec"],
+        f"fps_{hi}": r_hi["footprints_per_sec"],
         "scaling_efficiency": round(eff, 3),
         "sf": r_hi["sf"],
     }
 
 
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if any(a.startswith("--scaling") for a in sys.argv):
         print(json.dumps(run_scaling()))
     else:
         print(json.dumps(run_bench()))
