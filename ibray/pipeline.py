@@ -47,14 +47,14 @@ def _num_cpus() -> int:
         return 8
 
 
-def footprint_dataset(world_dir: str, cfg: DelineationConfig = DEFAULT,
-                      join_strategy: str = "auto") -> rd.Dataset:
+def footprint_dataset(world_dir: str,
+                      cfg: DelineationConfig = DEFAULT) -> rd.Dataset:
     """documents → extracted footprints with fkt, geometry and hex cells.
 
     The fkt function code rides in the footprint span payload (the reference
     carries it as an A_HU column, IB-Tool2.py:731-734), so the hot path has
-    no join.  The attrs side table exists to exercise the join operators
-    (ops/joins.py; see queries 'footprint_attr_join_*').
+    no join; equi-join operators live in ops/joins.py and are exercised by
+    the relational queries.
     """
     docs = rd.read_parquet(world_dir + "/documents")
     fp = docs.map_batches(E.extract_footprints, batch_format="pyarrow")
@@ -67,8 +67,8 @@ def footprint_dataset(world_dir: str, cfg: DelineationConfig = DEFAULT,
 def cluster_cells(fp: rd.Dataset, cfg: DelineationConfig = DEFAULT) -> pa.Table:
     """Filtered footprints → settlement work table, ONE shuffle.
 
-    Per-batch combiners emit (cell, n, min_fp); halo replication routes each
-    cell (stats on the own copy only) to every coarse partition within the
+    Per-batch combiners emit (cell, n); halo replication routes each cell
+    (its count on the own copy only) to every coarse partition within the
     cluster gap; groupby(part).map_groups labels local components; the driver
     then — all vectorized numpy — resolves partition-border label
     equivalences (tiny union-find), reduces per-label footprint stats from
@@ -139,8 +139,7 @@ def cluster_cells(fp: rd.Dataset, cfg: DelineationConfig = DEFAULT) -> pa.Table:
 
 
 def delineate(world_dir: str, cfg: DelineationConfig = DEFAULT,
-              out_dir: str | None = None,
-              join_strategy: str = "auto") -> dict:
+              out_dir: str | None = None) -> dict:
     """End-to-end: returns {"settlements": pa.Table, "assignments": Dataset,
     "tiles": Dataset, "n_footprints": int}.
 
@@ -172,8 +171,7 @@ def delineate(world_dir: str, cfg: DelineationConfig = DEFAULT,
     if ck and ck.has("footprints"):
         fp_all = ck.read_dataset("footprints").materialize()
     else:
-        fp_all = footprint_dataset(world_dir, cfg,
-                                   join_strategy=join_strategy).materialize()
+        fp_all = footprint_dataset(world_dir, cfg).materialize()
         if ck:
             t0 = _time.time()
             fp_all = ck.write_dataset(fp_all, "footprints",
