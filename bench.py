@@ -80,6 +80,20 @@ def run_bench() -> dict:
     _ = tiles.count()
     queries["tile_assignments"] = round(time.time() - t0, 3)
 
+    # secondary training-data ops over the driver tables at this scale
+    try:
+        from ibray.ops import ann as A
+        from ibray.ops import dedup as D
+
+        t0 = time.time()
+        _ = A.cosine_topk(_sf_dir())
+        queries["ann_cosine_topk"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        _ = D.exact_dedup(_sf_dir()).count()
+        queries["exact_dedup"] = round(time.time() - t0, 3)
+    except Exception:
+        pass
+
     out = {
         "metric": "footprints/sec end-to-end delineation (H3 encode -> cluster -> hull -> PIP)",
         "value": round(headline, 3),
