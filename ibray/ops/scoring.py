@@ -86,12 +86,16 @@ def score_boundaries(computed_cells: np.ndarray, expert_cells: np.ndarray,
     stats = {c: [0, 0] for c in classes}  # n_patches, n_cells
     stats["match"] = [0, len(both)]
 
-    if len(xor):
-        labels = hg.connected_components(xor, gap=1)
-        pos_set = pos  # sorted
+    # Label pos and neg cell sets SEPARATELY: the reference's SymDiff
+    # single-part polygons are always one-sided, so a computed-only patch
+    # touching an expert-only patch must not fuse into one mixed patch.
+    for side_cells, side in ((pos, "pos"), (neg, "neg")):
+        if not len(side_cells):
+            continue
+        labels = hg.connected_components(side_cells, gap=1)
         order = np.argsort(labels, kind="stable")
         ls = labels[order]
-        cs = xor[order]
+        cs = side_cells[order]
         starts = np.nonzero(np.concatenate([[True], ls[1:] != ls[:-1]]))[0]
         ends = np.concatenate([starts[1:], [len(ls)]])
         for s, e in zip(starts, ends):
@@ -103,13 +107,10 @@ def score_boundaries(computed_cells: np.ndarray, expert_cells: np.ndarray,
             hit = (cnt_cells[pidx_c] == patch) if len(cnt_cells) else np.zeros(len(patch), bool)
             n_fp = int(cnt_vals[pidx_c[hit]].sum()) if len(cnt_cells) else 0
             density = n_fp / max(len(patch), 1)
-            is_pos = bool(np.isin(patch[0], pos_set, assume_unique=False))
             if area < min_patch_m2:
                 cls = "small"
-            elif is_pos:
-                cls = "pos_dense" if density >= dense_thr else "pos_sparse"
             else:
-                cls = "neg_dense" if density >= dense_thr else "neg_sparse"
+                cls = f"{side}_dense" if density >= dense_thr else f"{side}_sparse"
             stats[cls][0] += 1
             stats[cls][1] += len(patch)
 

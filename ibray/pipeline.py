@@ -171,9 +171,9 @@ def delineate(world_dir: str, cfg: DelineationConfig = DEFAULT,
     if ck and ck.has("footprints"):
         fp_all = ck.read_dataset("footprints").materialize()
     else:
+        t0 = _time.time()
         fp_all = footprint_dataset(world_dir, cfg).materialize()
         if ck:
-            t0 = _time.time()
             fp_all = ck.write_dataset(fp_all, "footprints",
                                       partition_col="part_cell",
                                       wall_sec=_time.time() - t0).materialize()
