@@ -2,24 +2,30 @@
 
 - brute-force cosine top-k: numpy matmul per batch against a broadcast query
   matrix (the baseline; exact, SQL-checkable via list_cosine_similarity).
-- IVF variant (the scale path): k-means-ish coarse centroids (deterministic
-  seeded init, few Lloyd iterations computed on a sample), assign each vector
-  to its nearest centroid inside map_batches, probe only the closest nprobe
-  centroid buckets at query time.
+- IVF variant (the scale path): k-means-ish coarse centroids trained on a
+  deterministic DISTRIBUTED sample, assignment inside map_batches, and a
+  bucket-partitioned parquet layout so queries read only the nprobe closest
+  buckets instead of scanning the corpus.
+
+No step reads the full embeddings table to the driver: queries come from a
+per-batch partial min-k + tiny final reduce, the centroid-training sample is
+a hash-filtered distributed read, and probes read only their buckets.
 """
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-import pyarrow.parquet as pq
 import ray.data as rd
 
 from ibray.util import pool_size as _pool
 
 N_QUERIES = 5
 TOP_K = 10
+_SAMPLE_TARGET = 4096
 
 
 def _emb(sf_dir: str) -> rd.Dataset:
@@ -27,67 +33,44 @@ def _emb(sf_dir: str) -> rd.Dataset:
 
 
 def _query_matrix(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
-    """The first N_QUERIES vectors (by vec_id) as the query set."""
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    df = t.to_pandas().sort_values("vec_id").head(N_QUERIES)
+    """The first N_QUERIES vectors (by vec_id) as the query set.
+
+    Distributed min-k: each batch emits its N_QUERIES smallest vec_ids, the
+    driver reduces the tiny partials — never the full table.
+    """
+    def _part(b: pa.Table) -> pa.Table:
+        idx = np.argsort(np.asarray(b.column("vec_id")))[:N_QUERIES]
+        return b.take(idx)
+
+    parts = _emb(sf_dir).map_batches(_part, batch_format="pyarrow").take_all()
+    df = pd.DataFrame(parts).sort_values("vec_id").head(N_QUERIES)
     q = np.stack(df["embedding"].to_numpy()).astype(np.float64)
     return df["vec_id"].to_numpy(), q
 
 
-class CosineTopK:
-    """Actor-pool stage: holds the normalized query matrix; emits per-batch
-    candidate top-k rows (query_id, vec_id, sim) — reduced to the global
-    top-k afterwards (small)."""
+def _sample_matrix(sf_dir: str, target: int = _SAMPLE_TARGET) -> np.ndarray:
+    """Deterministic distributed sample of embeddings for centroid training:
+    keep rows whose Knuth-hashed vec_id falls under the sampling fraction
+    (partitioning-invariant), sort by vec_id, truncate to ``target``."""
+    ds = _emb(sf_dir)
+    n = ds.count()
+    frac = min(1.0, 2.0 * target / max(n, 1))
+    lim = np.uint64(int(frac * 2 ** 32))
 
-    def __init__(self, sf_dir: str):
-        self.qids, q = _query_matrix(sf_dir)
-        self.q = q / np.linalg.norm(q, axis=1, keepdims=True)
+    def _filt(b: pa.Table) -> pa.Table:
+        vid = np.asarray(b.column("vec_id"), dtype=np.uint64)
+        h = (vid * np.uint64(2654435761)) & np.uint64(0xFFFFFFFF)
+        return b.filter(pa.array(h < lim))
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        vecs = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
-        vids = batch["vec_id"].to_numpy()
-        nv = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
-        sims = nv @ self.q.T  # (batch, nq)
-        out = []
-        for j, qid in enumerate(self.qids):
-            s = sims[:, j]
-            mask = vids != qid  # exclude self
-            vv, ss = vids[mask], s[mask]
-            k = min(TOP_K, len(vv))
-            idx = np.argpartition(-ss, k - 1)[:k] if k else np.array([], int)
-            out.append(pd.DataFrame(
-                {"query_id": qid, "vec_id": vv[idx], "sim": ss[idx]}))
-        return pd.concat(out, ignore_index=True)
+    rows = ds.map_batches(_filt, batch_format="pyarrow").take_all()
+    df = pd.DataFrame(rows).sort_values("vec_id").head(target)
+    return np.stack(df["embedding"].to_numpy()).astype(np.float64)
 
 
-def cosine_topk(sf_dir: str) -> pa.Table:
-    """Exact global top-k per query: per-batch partial top-k (actor pool) then
-    a tiny driver-side final reduce; ties broken by vec_id ascending."""
-    cands = _emb(sf_dir).map_batches(
-        CosineTopK, fn_constructor_args=(sf_dir,), batch_format="pandas",
-        batch_size=4096, concurrency=_pool(2),
-    ).to_pandas()
-    cands["rank_sim"] = -cands["sim"]
-    cands = cands.sort_values(["query_id", "rank_sim", "vec_id"])
-    top = cands.groupby("query_id", sort=True).head(TOP_K)
-    # sim is intentionally NOT returned: DuckDB computes cosine in float32,
-    # numpy in float64 (~1e-7 apart); rank-boundary gaps are ~1e-2 so the SET
-    # of (query_id, vec_id) is stable and exactly comparable.
-    return pa.table({
-        "query_id": pa.array(top["query_id"].to_numpy()),
-        "vec_id": pa.array(top["vec_id"].to_numpy()),
-    })
-
-
-# ------------------------------- IVF --------------------------------------
-
-
-def _train_centroids(sf_dir: str, n_cent: int = 16, iters: int = 5,
-                     seed: int = 11) -> np.ndarray:
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
-    x = np.stack(t.column("embedding").to_pandas().to_numpy()).astype(np.float64)
-    rng = np.random.default_rng(seed)
-    sample = x[rng.choice(len(x), min(len(x), 4096), replace=False)]
+def _train_centroids(sf_dir: str, n_cent: int = 16, iters: int = 5) -> np.ndarray:
+    """Lloyd iterations over the distributed sample (deterministic: init =
+    first n_cent sample rows in vec_id order)."""
+    sample = _sample_matrix(sf_dir)
     cent = sample[:n_cent].copy()
     for _ in range(iters):
         d = ((sample[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
@@ -101,61 +84,119 @@ def _train_centroids(sf_dir: str, n_cent: int = 16, iters: int = 5,
 
 def ivf_assign(sf_dir: str, n_cent: int = 16) -> rd.Dataset:
     """Assign every vector to its nearest coarse centroid (the IVF bucketing
-    map_batches; at scale the buckets become the shuffle key)."""
+    map_batches; at scale the buckets become the shuffle/partition key)."""
     import ray
 
     cent = _train_centroids(sf_dir, n_cent)
     ref = ray.put(cent)
 
-    def _assign(batch: pd.DataFrame) -> pd.DataFrame:
+    def _assign(batch: pa.Table) -> pa.Table:
         c = ray.get(ref)
-        vecs = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        vecs = np.stack(batch.column("embedding").to_pandas().to_numpy()).astype(np.float64)
         d = ((vecs[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
-        batch["centroid"] = d.argmin(axis=1).astype(np.int64)
-        return batch[["vec_id", "centroid"]]
+        return pa.table({
+            "vec_id": batch.column("vec_id"),
+            "centroid": pa.array(d.argmin(axis=1).astype(np.int64)),
+        })
 
-    return _emb(sf_dir).map_batches(_assign, batch_format="pandas", batch_size=4096)
+    return _emb(sf_dir).map_batches(_assign, batch_format="pyarrow", batch_size=4096)
+
+
+def _ivf_index_dir(sf_dir: str, n_cent: int) -> str:
+    tag = sf_dir.strip("/").replace("/", "_")
+    return f"/tmp/ibray_ivf/{tag}_c{n_cent}"
+
+
+def ivf_build(sf_dir: str, n_cent: int = 16) -> str:
+    """Materialize the bucket-partitioned layout: embeddings written as
+    parquet partitioned by centroid id, so a probe reads only its buckets.
+    Idempotent (cached per sf_dir)."""
+    import ray
+
+    out = _ivf_index_dir(sf_dir, n_cent)
+    if os.path.exists(os.path.join(out, "_done")):
+        return out
+    cent = _train_centroids(sf_dir, n_cent)
+    ref = ray.put(cent)
+
+    def _assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        vecs = np.stack(batch.column("embedding").to_pandas().to_numpy()).astype(np.float64)
+        d = ((vecs[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        return batch.append_column(
+            "centroid", pa.array(d.argmin(axis=1).astype(np.int64)))
+
+    ds = _emb(sf_dir).map_batches(_assign, batch_format="pyarrow", batch_size=4096)
+    os.makedirs(out, exist_ok=True)
+    ds.write_parquet(os.path.join(out, "data"), partition_cols=["centroid"])
+    np.save(os.path.join(out, "centroids.npy"), cent)
+    open(os.path.join(out, "_done"), "w").write("ok")
+    return out
 
 
 def ivf_topk(sf_dir: str, n_cent: int = 16, nprobe: int = 4) -> pa.Table:
-    """IVF-pruned cosine top-k (approximate; recall vs brute force is checked
-    in tests, not by the SQL oracle)."""
-    import ray
-
-    cent = _train_centroids(sf_dir, n_cent)
+    """IVF-pruned cosine top-k: reads ONLY the nprobe closest buckets per
+    query from the partitioned layout (approximate; recall vs brute force is
+    checked in tests)."""
+    idx_dir = ivf_build(sf_dir, n_cent)
+    cent = np.load(os.path.join(idx_dir, "centroids.npy"))
     qids, q = _query_matrix(sf_dir)
     qn = q / np.linalg.norm(q, axis=1, keepdims=True)
     d = ((q[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
     probe = np.argsort(d, axis=1)[:, :nprobe]  # (nq, nprobe)
-    cent_ref = ray.put(cent)
-    probe_ref = ray.put(probe)
-    q_ref = ray.put((qids, qn))
+    needed = sorted({int(c) for row in probe for c in row})
+    # partition-pruned read: only the probed buckets' files leave storage
+    # (explicit per-bucket file lists — Ray 2.49's filter-sampling can't see
+    # hive partition columns, so the pruning is done at path level)
+    import glob
 
-    def _probe(batch: pd.DataFrame) -> pd.DataFrame:
-        c = ray.get(cent_ref)
-        pr = ray.get(probe_ref)
-        qi, qq = ray.get(q_ref)
-        vecs = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
-        vids = batch["vec_id"].to_numpy()
-        dd = ((vecs[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
-        vc = dd.argmin(axis=1)
+    per_bucket = []
+    for c in needed:
+        files = sorted(glob.glob(os.path.join(idx_dir, "data",
+                                              f"centroid={c}", "*.parquet")))
+        if not files:
+            continue
+        dsc = rd.read_parquet(files, columns=["vec_id", "embedding"])
+        per_bucket.append(dsc.map_batches(
+            lambda b, cc=c: b.append_column(
+                "centroid", pa.array(np.full(len(b), cc), type=pa.int64())),
+            batch_format="pyarrow"))
+    buckets = (per_bucket[0].union(*per_bucket[1:])
+               if len(per_bucket) > 1 else per_bucket[0])
+    import ray
+
+    probe_ref = ray.put((qids, qn, probe))
+
+    def _probe(batch: pa.Table) -> pa.Table:
+        qi, qq, pr = ray.get(probe_ref)
+        vecs = np.stack(batch.column("embedding").to_pandas().to_numpy()).astype(np.float64)
+        vids = np.asarray(batch.column("vec_id"))
+        vcent = np.asarray(batch.column("centroid").cast(pa.int64()))
         nv = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
-        out = []
+        out_q, out_v, out_s = [], [], []
         for j, qid in enumerate(qi):
-            m = np.isin(vc, pr[j]) & (vids != qid)
+            # per-query bucket restriction: only vectors whose bucket this
+            # query probes are candidates
+            m = np.isin(vcent, pr[j]) & (vids != qid)
             if not m.any():
                 continue
             ss = nv[m] @ qq[j]
             vv = vids[m]
             k = min(TOP_K, len(vv))
-            idx = np.argpartition(-ss, k - 1)[:k]
-            out.append(pd.DataFrame({"query_id": qid, "vec_id": vv[idx], "sim": ss[idx]}))
-        if not out:
-            return pd.DataFrame({"query_id": [], "vec_id": [], "sim": []})
-        return pd.concat(out, ignore_index=True)
+            sel = np.argpartition(-ss, k - 1)[:k]
+            out_q.append(np.full(k, qid))
+            out_v.append(vv[sel])
+            out_s.append(ss[sel])
+        if not out_q:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        return pa.table({"query_id": pa.array(np.concatenate(out_q)),
+                         "vec_id": pa.array(np.concatenate(out_v)),
+                         "sim": pa.array(np.concatenate(out_s))})
 
-    cands = _emb(sf_dir).map_batches(_probe, batch_format="pandas",
-                                     batch_size=4096).to_pandas()
+    cands = pd.DataFrame(
+        buckets.map_batches(_probe, batch_format="pyarrow", batch_size=4096).take_all())
     cands["rank_sim"] = -cands["sim"]
     cands = cands.sort_values(["query_id", "rank_sim", "vec_id"])
     top = cands.groupby("query_id", sort=True).head(TOP_K)
@@ -163,4 +204,53 @@ def ivf_topk(sf_dir: str, n_cent: int = 16, nprobe: int = 4) -> pa.Table:
         "query_id": pa.array(top["query_id"].to_numpy(dtype=np.int64)),
         "vec_id": pa.array(top["vec_id"].to_numpy(dtype=np.int64)),
         "sim_r": pa.array(np.round(top["sim"].to_numpy(), 4)),
+    })
+
+
+class CosineTopK:
+    """Actor-pool stage: holds the normalized query matrix; emits per-batch
+    candidate top-k rows (query_id, vec_id, sim) — reduced to the global
+    top-k afterwards (small)."""
+
+    def __init__(self, sf_dir: str):
+        self.qids, q = _query_matrix(sf_dir)
+        self.q = q / np.linalg.norm(q, axis=1, keepdims=True)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = np.stack(batch.column("embedding").to_pandas().to_numpy()).astype(np.float64)
+        vids = np.asarray(batch.column("vec_id"))
+        nv = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        sims = nv @ self.q.T  # (batch, nq)
+        out_q, out_v, out_s = [], [], []
+        for j, qid in enumerate(self.qids):
+            mask = vids != qid  # exclude self
+            vv, ss = vids[mask], sims[:, j][mask]
+            k = min(TOP_K, len(vv))
+            if not k:
+                continue
+            idx = np.argpartition(-ss, k - 1)[:k]
+            out_q.append(np.full(k, qid))
+            out_v.append(vv[idx])
+            out_s.append(ss[idx])
+        return pa.table({"query_id": pa.array(np.concatenate(out_q)),
+                         "vec_id": pa.array(np.concatenate(out_v)),
+                         "sim": pa.array(np.concatenate(out_s))})
+
+
+def cosine_topk(sf_dir: str) -> pa.Table:
+    """Exact global top-k per query: per-batch partial top-k (actor pool) then
+    a tiny driver-side final reduce; ties broken by vec_id ascending."""
+    cands = pd.DataFrame(_emb(sf_dir).map_batches(
+        CosineTopK, fn_constructor_args=(sf_dir,), batch_format="pyarrow",
+        batch_size=4096, concurrency=_pool(2),
+    ).take_all())
+    cands["rank_sim"] = -cands["sim"]
+    cands = cands.sort_values(["query_id", "rank_sim", "vec_id"])
+    top = cands.groupby("query_id", sort=True).head(TOP_K)
+    # sim is intentionally NOT returned: DuckDB computes cosine in float32,
+    # numpy in float64 (~1e-7 apart); rank-boundary gaps are ~1e-2 so the SET
+    # of (query_id, vec_id) is stable and exactly comparable.
+    return pa.table({
+        "query_id": pa.array(top["query_id"].to_numpy()),
+        "vec_id": pa.array(top["vec_id"].to_numpy()),
     })

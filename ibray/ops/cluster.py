@@ -220,25 +220,45 @@ def apply_root_map(batch: pa.Table, root_map: dict[int, int]) -> pa.Table:
 def polygonize_cells(cells: np.ndarray, cfg: DelineationConfig):
     """Closing + hex-union boundary tracing + HoleClose (drop interior rings
     smaller than max_hole_m2 — the reference's final HoleClose,
-    IB-Tool2.py:2645-2649).  Returns (rings_py, area_m2)."""
+    IB-Tool2.py:2645-2649).  Returns (rings: list[(k,2) float64], area_m2,
+    cover_cells)."""
     from ibray import geom
 
     closed = hg.closing(cells, cfg.closing_k)
     rings = hg.boundary_rings(closed)
     area = 0.0
-    rings_py = []
+    kept: list[np.ndarray] = []
     for ring in rings:
         off = np.array([0, len(ring)])
         a = float(geom.ring_area(ring[:, 0], ring[:, 1], off)[0])
         if a < 0 and -a < cfg.max_hole_m2:
             continue  # HoleClose: small interior hole absorbed
         area += a
-        rings_py.append([{"x": float(x), "y": float(y)} for x, y in ring])
+        kept.append(np.asarray(ring, dtype=np.float64))
     # PIP candidate cover: every point inside the polygon lies in a closed
     # fine cell, whose mid-res parent is within 1 mid-res ring of the point's
     # own mid-res cell — so parents ∪ their 1-ring is a sound cover
     cover = hg.dilate(np.unique(hg.parent(closed, cfg.res_mid)), 1)
-    return rings_py, area, cover
+    return kept, area, cover
+
+
+def rings_to_arrow(ring_lists: list[list[np.ndarray]]) -> pa.ListArray:
+    """Nested numpy rings → list<list<struct<x,y>>> built from flat arrays
+    (no per-vertex Python objects)."""
+    ring_counts = np.array([len(r) for r in ring_lists], dtype=np.int64)
+    all_rings = [r for rl in ring_lists for r in rl]
+    vert_counts = np.array([len(r) for r in all_rings], dtype=np.int64)
+    flat = (np.concatenate(all_rings, axis=0) if all_rings
+            else np.zeros((0, 2), dtype=np.float64))
+    pts = pa.StructArray.from_arrays(
+        [pa.array(flat[:, 0]), pa.array(flat[:, 1])], names=["x", "y"])
+    inner = pa.ListArray.from_arrays(
+        pa.array(np.concatenate([[0], np.cumsum(vert_counts)]), type=pa.int32()),
+        pts)
+    return pa.ListArray.from_arrays(
+        pa.array(np.concatenate([[0], np.cumsum(ring_counts)]), type=pa.int32()),
+        inner)
+
 
 def polygonize_batch(batch: pa.Table, cfg: DelineationConfig) -> pa.Table:
     """Row-parallel settlement polygonization: input rows
@@ -247,33 +267,31 @@ def polygonize_batch(batch: pa.Table, cfg: DelineationConfig) -> pa.Table:
     settlement work table — no groupby, no per-group call overhead, and Ray's
     block splitting load-balances the heavy rows."""
     labels = np.asarray(batch.column("label"), dtype=np.int64)
-    sids = batch.column("settlement_id").to_pylist()
+    sids = batch.column("settlement_id")
     ns = np.asarray(batch.column("n_footprints"), dtype=np.int64)
     cells_col = batch.column("cells")
     cells_col = cells_col.combine_chunks() if isinstance(cells_col, pa.ChunkedArray) else cells_col
     offs = np.asarray(cells_col.offsets, dtype=np.int64)
     flat = np.asarray(cells_col.values, dtype=np.int64)
-    rows = {k: [] for k in ("settlement_id", "label", "n_footprints", "area_m2",
-                            "part_cell")}
-    boundaries = []
-    covers = []
+    areas = np.empty(len(labels), dtype=np.float64)
+    boundaries: list[list[np.ndarray]] = []
+    covers: list[np.ndarray] = []
     for i in range(len(labels)):
-        cells = flat[offs[i]:offs[i + 1]]
-        rings_py, area, cover = polygonize_cells(cells, cfg)
-        rows["settlement_id"].append(sids[i])
-        rows["label"].append(int(labels[i]))
-        rows["n_footprints"].append(int(ns[i]))
-        rows["area_m2"].append(area)
-        rows["part_cell"].append(int(hg.parent(labels[i:i + 1], cfg.res_part)[0]))
-        boundaries.append(rings_py)
-        covers.append(cover.tolist())
+        rings, area, cover = polygonize_cells(flat[offs[i]:offs[i + 1]], cfg)
+        areas[i] = area
+        boundaries.append(rings)
+        covers.append(cover)
+    cov_counts = np.array([len(c) for c in covers], dtype=np.int64)
+    cover_col = pa.ListArray.from_arrays(
+        pa.array(np.concatenate([[0], np.cumsum(cov_counts)]), type=pa.int32()),
+        pa.array(np.concatenate(covers) if covers else np.zeros(0, np.int64),
+                 type=pa.int64()))
     return pa.table({
-        "settlement_id": pa.array(rows["settlement_id"], type=pa.string()),
-        "label": pa.array(rows["label"], type=pa.int64()),
-        "n_footprints": pa.array(rows["n_footprints"], type=pa.int64()),
-        "area_m2": pa.array(rows["area_m2"], type=pa.float64()),
-        "part_cell": pa.array(rows["part_cell"], type=pa.int64()),
-        "boundary": pa.array(boundaries, type=pa.list_(pa.list_(
-            pa.struct([("x", pa.float64()), ("y", pa.float64())])))),
-        "cover_cells": pa.array(covers, type=pa.list_(pa.int64())),
+        "settlement_id": sids,
+        "label": pa.array(labels, type=pa.int64()),
+        "n_footprints": pa.array(ns, type=pa.int64()),
+        "area_m2": pa.array(areas, type=pa.float64()),
+        "part_cell": pa.array(hg.parent(labels, cfg.res_part), type=pa.int64()),
+        "boundary": rings_to_arrow(boundaries),
+        "cover_cells": cover_col,
     })

@@ -57,7 +57,13 @@ def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
 
 
 class MinHasher:
-    """Actor-pool stage: 64 permutations (a*x+b mod p), built once per actor."""
+    """Actor-pool stage: 64 permutations (a*x+b mod p), built once per actor.
+
+    The per-batch path is vectorized across documents: all documents'
+    shingle hashes are flattened into one array with offsets, the permuted
+    minima computed with ``np.minimum.reduceat``, and the per-band bucket
+    keys derived with wrapping uint64 polynomial hashing — no per-document
+    or per-band Python loops."""
 
     NUM_HASHES = 64
     BANDS = 16  # 16 bands x 4 rows
@@ -73,25 +79,31 @@ class MinHasher:
         v = (sh[:, None] * self.a[None, :] + self.b[None, :]) % _M61
         return v.min(axis=0)
 
+    def signatures(self, texts) -> np.ndarray:
+        """(n_docs, NUM_HASHES) signature matrix, one reduceat pass."""
+        hashes = [_shingle_hashes(t) for t in texts]
+        offs = np.concatenate([[0], np.cumsum([len(h) for h in hashes])])[:-1]
+        flat = np.concatenate(hashes) if hashes else np.empty(0, np.uint64)
+        v = (flat[:, None] * self.a[None, :] + self.b[None, :]) % _M61
+        return np.minimum.reduceat(v, offs, axis=0)
+
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         """Emit one row per (doc, band): band id + hashed band signature."""
-        rows_doc: list[str] = []
-        rows_band: list[int] = []
-        rows_sig: list[int] = []
+        n = len(batch)
+        if not n:
+            return pd.DataFrame({"doc_id": [], "band": [], "band_sig": []})
+        sig = self.signatures(batch["text"])  # (n, 64)
         rpb = self.NUM_HASHES // self.BANDS
-        for doc_id, text in zip(batch["doc_id"], batch["text"]):
-            sig = self.signature(text)
-            for band in range(self.BANDS):
-                chunk = sig[band * rpb:(band + 1) * rpb]
-                h = int(chunk[0])
-                for x in chunk[1:]:
-                    h = (h * 1000003 + int(x)) % (1 << 61)
-                rows_doc.append(doc_id)
-                rows_band.append(band)
-                rows_sig.append(h)
-        return pd.DataFrame(
-            {"doc_id": rows_doc, "band": rows_band, "band_sig": rows_sig}
-        )
+        chunks = sig.reshape(n, self.BANDS, rpb)
+        h = chunks[:, :, 0].copy()
+        for r in range(1, rpb):
+            h = h * np.uint64(1000003) + chunks[:, :, r]  # wraps mod 2^64
+        h = (h & np.uint64((1 << 61) - 1)).astype(np.int64)
+        return pd.DataFrame({
+            "doc_id": np.repeat(batch["doc_id"].to_numpy(), self.BANDS),
+            "band": np.tile(np.arange(self.BANDS), n),
+            "band_sig": h.ravel(),
+        })
 
 
 def _jaccard(a: np.ndarray, b: np.ndarray) -> float:
@@ -137,12 +149,17 @@ def minhash_dup_groups(sf_dir: str, threshold: float = 0.7,
         return pa.table({"doc_id": pa.array([], pa.int64()),
                          "dup_group": pa.array([], pa.int64())})
     cand = set(map(tuple, pairs[["a", "b"]].drop_duplicates().values))
-    # verify candidates with exact shingle Jaccard (fetch texts of candidates)
+    # verify candidates with exact shingle Jaccard: fetch candidate texts
+    # with a DISTRIBUTED semi-join (is_in filter inside map_batches) — the
+    # driver sees only the candidate rows, never the corpus
     need = sorted({d for p in cand for d in p})
-    texts = {}
-    for batch in ds.iter_batches(batch_size=8192, batch_format="pandas"):
-        sel = batch[batch["doc_id"].isin(need)]
-        texts.update(zip(sel["doc_id"], sel["text"]))
+    need_arr = pa.array(need)
+
+    def _sel(b: pa.Table) -> pa.Table:
+        return b.filter(pa.compute.is_in(b.column("doc_id"), value_set=need_arr))
+
+    cand_rows = ds.map_batches(_sel, batch_format="pyarrow").take_all()
+    texts = {r["doc_id"]: r["text"] for r in cand_rows}
     sh = {d: _shingle_hashes(t) for d, t in texts.items()}
     parent: dict[str, str] = {}
 
@@ -188,21 +205,42 @@ def _fnv1a(token: str) -> int:
     return h
 
 
+def _fnv1a_vec(tokens: list[str]) -> np.ndarray:
+    """FNV-1a of many tokens at once: one flat byte buffer + a loop over
+    byte POSITIONS (tokens are short), each iteration vectorized across all
+    tokens — bit-identical to the scalar ``_fnv1a``."""
+    if not tokens:
+        return np.empty(0, dtype=np.uint64)
+    enc = [t.encode("utf-8") for t in tokens]
+    lens = np.array([len(e) for e in enc], dtype=np.int64)
+    buf = np.frombuffer(b"".join(enc), dtype=np.uint8)
+    offs = np.concatenate([[0], np.cumsum(lens)])[:-1]
+    h = np.full(len(enc), 0xCBF29CE484222325, dtype=np.uint64)
+    prime = np.uint64(0x100000001B3)
+    for i in range(int(lens.max()) if len(lens) else 0):
+        m = lens > i
+        h[m] = (h[m] ^ buf[offs[m] + i].astype(np.uint64)) * prime
+    return h
+
+
 class StableSimHasher:
-    """SimHash with process-stable FNV-1a token hashes (deterministic)."""
+    """SimHash with process-stable FNV-1a token hashes (deterministic);
+    vectorized across the whole batch (reduceat per-doc bit votes)."""
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        out = []
         shift = np.arange(64, dtype=np.uint64)
-        for t in batch["text"]:
-            toks = t.split()
-            if not toks:
-                out.append(0)
-                continue
-            hs = np.array([_fnv1a(w) for w in toks], dtype=np.uint64)
-            bits = ((hs[:, None] >> shift[None, :]) & np.uint64(1)).astype(np.int64)
-            votes = (2 * bits - 1).sum(axis=0)
-            v = ((votes > 0).astype(np.uint64) << shift).sum()
-            out.append(int(np.uint64(v).astype(np.int64)))
-        batch["simhash"] = np.array(out, dtype=np.int64)
+        toks_per_doc = [t.split() for t in batch["text"]]
+        counts = np.array([len(t) for t in toks_per_doc], dtype=np.int64)
+        flat = [w for ts in toks_per_doc for w in ts]
+        out = np.zeros(len(batch), dtype=np.int64)
+        nz = counts > 0
+        if nz.any():
+            hs = _fnv1a_vec(flat)
+            votes = (2 * ((hs[:, None] >> shift[None, :]) & np.uint64(1)
+                          ).astype(np.int32) - 1)
+            offs = np.concatenate([[0], np.cumsum(counts[nz])])[:-1]
+            sums = np.add.reduceat(votes, offs, axis=0)
+            v = ((sums > 0).astype(np.uint64) << shift[None, :]).sum(axis=1)
+            out[nz] = v.astype(np.int64)
+        batch["simhash"] = out
         return batch[["doc_id", "simhash"]]

@@ -76,10 +76,12 @@ def extract_footprints(batch: pa.Table) -> pa.Table:
         doc_ids_all, pa.ChunkedArray) else doc_ids_all
     fp_doc = doc_ids_all.take(pa.array(doc_idx[sel]))
     fp_span = span_idx[sel]
-    fp_ids = pa.array(
-        [f"{d}:{s:03d}" for d, s in zip(fp_doc.to_pylist(), fp_span)],
-        type=pa.string(),
-    )
+    # "<doc_id>:<span_idx %03d>" fully in Arrow kernels (no per-row Python)
+    fp_ids = pc.binary_join_element_wise(
+        fp_doc,
+        pc.utf8_lpad(pc.cast(pa.array(fp_span, type=pa.int32()), pa.string()),
+                     3, padding="0"),
+        ":")
     return pa.table(
         {
             "doc_id": fp_doc,

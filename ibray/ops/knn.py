@@ -7,54 +7,135 @@ and takes the networkx MST (IB-Tool2.py:1438-1447).  The north_star
 sanctions a kNN proximity graph instead of Delaunay (scipy is absent here).
 
 Execution: groupby(coarse partition).map_groups — parallel across
-partitions, vectorized (chunked exact brute-force kNN) within; MST via
-networkx per partition.  Partitioning assumption (documented per the build
-brief): edges are intra-partition; cross-border edges are covered by the
-halo in the cell-clustering path, and MST consumers (cluster refinement)
-operate per settlement, which the coarse cells contain after closure.
+partitions, vectorized within:
+
+- kNN: grid-bucket candidate pruning (square bins sized for ~4 points per
+  bin; block radius doubles for the few points whose k-th neighbor falls
+  outside the guaranteed radius) — O(m·k) expected instead of the O(m²)
+  distance matrix, so a 1M-footprint urban partition stays tractable.
+- MST: Kruskal over distance-sorted edges with a numpy union-find —
+  deterministic ties by (dist, src, dst); networkx stays as the test oracle.
+
+Partitioning assumption (documented per the build brief): edges are
+intra-partition; cross-border edges are covered by the halo in the
+cell-clustering path, and MST consumers (cluster refinement) operate per
+settlement, which the coarse cells contain after closure.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-import pyarrow as pa
 import ray.data as rd
 
 from ibray.config import DEFAULT, DelineationConfig
 
+_CHUNK = 8192  # active points per gather chunk (bounds candidate memory)
 
-def knn_edges_group(group: pd.DataFrame, k: int = 6) -> pd.DataFrame:
-    """Exact kNN inside one partition (chunked brute force, vectorized).
 
-    Emits one row per directed edge (src, dst, dist_m), k nearest per point.
-    """
-    x = group["cx"].to_numpy()
-    y = group["cy"].to_numpy()
-    ids = group["footprint_id"].to_numpy()
+def _knn_indices(x: np.ndarray, y: np.ndarray, k: int,
+                 id_rank: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Exact kNN via grid buckets.  Returns (rows, cols, dist) of directed
+    edges row→col, up to k per row, ties broken by ascending ``id_rank``
+    (an int array ranking the points' external ids)."""
     m = len(x)
     kk = min(k, m - 1)
-    if kk <= 0:
-        return pd.DataFrame({"src": [], "dst": [], "dist_m": []})
-    src_list = []
-    dst_list = []
-    d_list = []
-    chunk = max(1, min(512, m))
-    for s in range(0, m, chunk):
-        e = min(s + chunk, m)
-        d2 = (x[s:e, None] - x[None, :]) ** 2 + (y[s:e, None] - y[None, :]) ** 2
-        d2[np.arange(e - s), np.arange(s, e)] = np.inf  # no self edges
-        idx = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
-        rows = np.repeat(np.arange(s, e), kk)
-        cols = idx.ravel()
-        src_list.append(ids[rows])
-        dst_list.append(ids[cols])
-        d_list.append(np.sqrt(d2[rows - s, cols]))
-    return pd.DataFrame({
-        "src": np.concatenate(src_list),
-        "dst": np.concatenate(dst_list),
-        "dist_m": np.concatenate(d_list),
-    })
+    x0, y0 = x.min(), y.min()
+    span_x = max(x.max() - x0, 1e-9)
+    span_y = max(y.max() - y0, 1e-9)
+    s = max(np.sqrt(span_x * span_y * 4.0 / m), 1e-9)  # ~4 points per bin
+    nbx = int(span_x / s) + 1
+    nby = int(span_y / s) + 1
+    bx = np.minimum(((x - x0) / s).astype(np.int64), nbx - 1)
+    by = np.minimum(((y - y0) / s).astype(np.int64), nby - 1)
+    cell = bx * nby + by
+    order = np.argsort(cell, kind="stable")  # points sorted by bin
+    counts = np.bincount(cell, minlength=nbx * nby)
+    starts = np.concatenate([[0], np.cumsum(counts)])
+
+    res_r: list[np.ndarray] = []
+    res_c: list[np.ndarray] = []
+    res_d: list[np.ndarray] = []
+    active = np.arange(m)
+    R = 1
+    while len(active):
+        next_active: list[np.ndarray] = []
+        full_cover = (2 * R + 1) >= 2 * max(nbx, nby)
+        for cs in range(0, len(active), _CHUNK):
+            pts = active[cs:cs + _CHUNK]
+            # candidate ranges over the (2R+1)^2 neighboring bins
+            st_l, en_l = [], []
+            for dxi in range(-R, R + 1):
+                nb_x = bx[pts] + dxi
+                okx = (nb_x >= 0) & (nb_x < nbx)
+                for dyi in range(-R, R + 1):
+                    nb_y = by[pts] + dyi
+                    ok = okx & (nb_y >= 0) & (nb_y < nby)
+                    nb = np.where(ok, nb_x * nby + nb_y, 0)
+                    st_l.append(np.where(ok, starts[nb], 0))
+                    en_l.append(np.where(ok, starts[nb + 1], 0))
+            st = np.stack(st_l, axis=1)  # (points, bins)
+            en = np.stack(en_l, axis=1)
+            bin_len = en - st
+            # flatten candidate indices point-major (nonzero is row-major)
+            nz_p, nz_b = np.nonzero(bin_len)
+            lens = bin_len[nz_p, nz_b]
+            if not len(lens):
+                next_active.append(pts)
+                continue
+            offs = np.concatenate([[0], np.cumsum(lens)])
+            idx = np.arange(int(lens.sum()))
+            flat = np.repeat(st[nz_p, nz_b], lens) + idx - np.repeat(offs[:-1], lens)
+            row_of = np.repeat(nz_p, lens)
+            cand = order[flat]
+            d2 = (x[cand] - x[pts][row_of]) ** 2 + (y[cand] - y[pts][row_of]) ** 2
+            d2[cand == pts[row_of]] = np.inf  # no self edge
+            # per-point k smallest by (d2, id-rank)
+            so = np.lexsort((id_rank[cand], d2, row_of))
+            ro, co, do = row_of[so], cand[so], d2[so]
+            first = np.concatenate([[True], ro[1:] != ro[:-1]])
+            grp_start = np.nonzero(first)[0]
+            grp_of = np.cumsum(first) - 1
+            rank = np.arange(len(ro)) - grp_start[grp_of]
+            # per-point candidate count (capped at kk) and k-th distance
+            n_per = np.bincount(grp_of)
+            got = np.zeros(len(pts), dtype=np.int64)
+            got[ro[grp_start]] = np.minimum(n_per, kk)
+            kth_d2 = np.full(len(pts), np.inf)
+            kth_d2[ro[grp_start]] = do[grp_start + np.minimum(n_per, kk) - 1]
+            ok_pts = (got >= kk) & (full_cover | (kth_d2 <= (R * s) ** 2))
+            emit = (rank < kk) & ok_pts[ro] & np.isfinite(do)
+            res_r.append(pts[ro[emit]])
+            res_c.append(co[emit])
+            res_d.append(np.sqrt(do[emit]))
+            if not ok_pts.all():
+                next_active.append(pts[~ok_pts])
+        active = (np.concatenate(next_active) if next_active
+                  else np.empty(0, dtype=np.int64))
+        R *= 2
+    return (np.concatenate(res_r) if res_r else np.empty(0, np.int64),
+            np.concatenate(res_c) if res_c else np.empty(0, np.int64),
+            np.concatenate(res_d) if res_d else np.empty(0, np.float64))
+
+
+def knn_edges_group(group: pd.DataFrame, k: int = 6) -> pd.DataFrame:
+    """Exact kNN inside one partition (grid-bucket pruning, vectorized).
+
+    Emits one row per directed edge (src, dst, dist_m), the k nearest per
+    point, ties broken deterministically by ascending dst id.
+    """
+    x = group["cx"].to_numpy(dtype=np.float64)
+    y = group["cy"].to_numpy(dtype=np.float64)
+    ids = group["footprint_id"].to_numpy()
+    if min(k, len(x) - 1) <= 0:
+        return pd.DataFrame({"src": pd.Series([], dtype=object),
+                             "dst": pd.Series([], dtype=object),
+                             "dist_m": pd.Series([], dtype=np.float64)})
+    # rank ids once so tie-breaks avoid string compares in the hot loop
+    id_rank = np.empty(len(ids), dtype=np.int64)
+    id_rank[np.argsort(ids, kind="stable")] = np.arange(len(ids))
+    rows, cols, dist = _knn_indices(x, y, k, id_rank)
+    return pd.DataFrame({"src": ids[rows], "dst": ids[cols], "dist_m": dist})
 
 
 def knn_graph(fp: rd.Dataset, cfg: DelineationConfig = DEFAULT, k: int = 6) -> rd.Dataset:
@@ -65,28 +146,58 @@ def knn_graph(fp: rd.Dataset, cfg: DelineationConfig = DEFAULT, k: int = 6) -> r
     )
 
 
-def mst_edges_group(group: pd.DataFrame) -> pd.DataFrame:
-    """networkx MST over one partition's kNN edges (undirected, min weight
-    per pair) — the reference's MST step (IB-Tool2.py:1438-1447)."""
-    import networkx as nx
+def _find(parent: np.ndarray, a: int) -> int:
+    while parent[a] != a:
+        parent[a] = parent[parent[a]]
+        a = parent[a]
+    return a
 
-    g = nx.Graph()
-    for s, d, w in zip(group["src"], group["dst"], group["dist_m"]):
-        a, b = (s, d) if s < d else (d, s)
-        if g.has_edge(a, b):
-            if g[a][b]["weight"] > w:
-                g[a][b]["weight"] = w
-        else:
-            g.add_edge(a, b, weight=w)
-    rows = sorted(
-        (min(a, b), max(a, b), float(dd["weight"]))
-        for a, b, dd in nx.minimum_spanning_edges(g, data=True)
-    )
-    return pd.DataFrame({
-        "src": [r[0] for r in rows],
-        "dst": [r[1] for r in rows],
-        "dist_m": [r[2] for r in rows],
-    })
+
+def _kruskal(si: np.ndarray, di: np.ndarray, n: int) -> np.ndarray:
+    """Kruskal over pre-sorted edges; returns bool mask of tree edges."""
+    parent = np.arange(n, dtype=np.int64)
+    take = np.zeros(len(si), dtype=bool)
+    for e in range(len(si)):
+        a = _find(parent, int(si[e]))
+        b = _find(parent, int(di[e]))
+        if a != b:
+            if a < b:
+                parent[b] = a
+            else:
+                parent[a] = b
+            take[e] = True
+    return take
+
+
+def mst_edges_group(group: pd.DataFrame) -> pd.DataFrame:
+    """MST over one partition's kNN edges (undirected, min weight per pair)
+    — the reference's MST step (IB-Tool2.py:1438-1447), as numpy Kruskal
+    (sorted-edge union-find; no per-edge graph-object inserts)."""
+    if not len(group):
+        return pd.DataFrame({"src": pd.Series([], dtype=object),
+                             "dst": pd.Series([], dtype=object),
+                             "dist_m": pd.Series([], dtype=np.float64)})
+    src = group["src"].to_numpy()
+    dst = group["dst"].to_numpy()
+    w = group["dist_m"].to_numpy(dtype=np.float64)
+    all_ids = np.unique(np.concatenate([src, dst]))
+    si = np.searchsorted(all_ids, src)
+    di = np.searchsorted(all_ids, dst)
+    lo = np.minimum(si, di)
+    hi = np.maximum(si, di)
+    # min weight per undirected pair
+    o1 = np.lexsort((w, hi, lo))
+    lo, hi, w = lo[o1], hi[o1], w[o1]
+    first = np.concatenate([[True], (lo[1:] != lo[:-1]) | (hi[1:] != hi[:-1])])
+    lo, hi, w = lo[first], hi[first], w[first]
+    # deterministic Kruskal order: (weight, lo id, hi id) — all_ids is
+    # sorted, so index order == id order
+    o2 = np.lexsort((hi, lo, w))
+    take = _kruskal(lo[o2], hi[o2], len(all_ids))
+    tl, th, tw = lo[o2][take], hi[o2][take], w[o2][take]
+    o3 = np.lexsort((th, tl))
+    return pd.DataFrame({"src": all_ids[tl[o3]], "dst": all_ids[th[o3]],
+                         "dist_m": tw[o3]})
 
 
 def mst_graph(fp: rd.Dataset, cfg: DelineationConfig = DEFAULT, k: int = 6) -> rd.Dataset:
@@ -111,18 +222,21 @@ def mst_cluster_group(group: pd.DataFrame, cut_m: float = 120.0) -> pd.DataFrame
     """MST-clustering analog (IB-Tool2.py:1543-1623 greedy grouping,
     simplified to the classic cut-long-edges variant): drop MST edges longer
     than ``cut_m``, components become clusters (cluster id = min member)."""
-    import networkx as nx
-
-    g = nx.Graph()
-    nodes = set(group["src"]) | set(group["dst"])
-    g.add_nodes_from(nodes)
-    for s, d, w in zip(group["src"], group["dst"], group["dist_m"]):
-        if w <= cut_m:
-            g.add_edge(s, d)
-    rows = []
-    for comp in nx.connected_components(g):
-        cid = min(comp)
-        for m in sorted(comp):
-            rows.append((m, cid))
-    return pd.DataFrame({"footprint_id": [r[0] for r in rows],
-                         "cluster_id": [r[1] for r in rows]})
+    src = group["src"].to_numpy()
+    dst = group["dst"].to_numpy()
+    w = group["dist_m"].to_numpy(dtype=np.float64)
+    all_ids = np.unique(np.concatenate([src, dst]))
+    si = np.searchsorted(all_ids, src)
+    di = np.searchsorted(all_ids, dst)
+    keep = w <= cut_m
+    parent = np.arange(len(all_ids), dtype=np.int64)
+    for a, b in zip(si[keep], di[keep]):
+        ra, rb = _find(parent, int(a)), _find(parent, int(b))
+        if ra != rb:
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    roots = np.array([_find(parent, i) for i in range(len(all_ids))])
+    return pd.DataFrame({"footprint_id": all_ids,
+                         "cluster_id": all_ids[roots]})

@@ -32,19 +32,17 @@ def media_assets(world_dir: str) -> rd.Dataset:
     def _media(batch: pa.Table) -> pa.Table:
         spans = E.extract_spans(batch)
         m = spans.filter(pc.equal(spans.column("kind"), "media"))
-        refs = m.column("media_ref").to_pylist()
-        zxy = np.zeros((len(refs), 3), dtype=np.int64)
-        for i, r in enumerate(refs):
-            # tile://{z}/{x}/{y}.png
-            parts = r.split("//", 1)[1].split("/")
-            zxy[i] = (int(parts[0]), int(parts[1]), int(parts[2].split(".")[0]))
+        # tile://{z}/{x}/{y}.png parsed with one vectorized regex kernel
+        refs = m.column("media_ref")
+        refs = refs.combine_chunks() if isinstance(refs, pa.ChunkedArray) else refs
+        zxy = pc.extract_regex(refs, r"tile://(?P<z>\d+)/(?P<x>\d+)/(?P<y>\d+)")
         return pa.table({
             "doc_id": m.column("doc_id"),
             "span_idx": m.column("span_idx"),
             "media_ref": m.column("media_ref"),
-            "tile_z": pa.array(zxy[:, 0], type=pa.int64()),
-            "tile_x": pa.array(zxy[:, 1], type=pa.int64()),
-            "tile_y": pa.array(zxy[:, 2], type=pa.int64()),
+            "tile_z": pc.cast(pc.struct_field(zxy, "z"), pa.int64()),
+            "tile_x": pc.cast(pc.struct_field(zxy, "x"), pa.int64()),
+            "tile_y": pc.cast(pc.struct_field(zxy, "y"), pa.int64()),
         })
 
     return docs.map_batches(_media, batch_format="pyarrow")

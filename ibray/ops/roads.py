@@ -88,18 +88,17 @@ def dead_end_roads(world_dir: str, max_len: float = 60.0) -> pa.Table:
         batch_format="pyarrow",
     )
     deg1_parts = [t for t in ray.get(deg1.to_arrow_refs()) if t.num_rows > 0]
-    deg1_keys = set(
-        pa.concat_tables(deg1_parts).column("node_key").to_pylist()
-    ) if deg1_parts else set()
-    ref = ray.put(sorted(deg1_keys))
+    deg1_arr = (pa.concat_tables(deg1_parts).column("node_key").combine_chunks()
+                if deg1_parts else pa.array([], type=pa.string()))
+    ref = ray.put(deg1_arr)
 
     def _mark(batch: pa.Table) -> pa.Table:
-        keys = set(ray.get(ref))
+        keys = ray.get(ref)
         e = endpoints_batch(batch)
         half = len(e) // 2
-        k = e.column("node_key").to_pylist()
-        is_dead = np.array([a in keys or b in keys
-                            for a, b in zip(k[:half], k[half:])])
+        hit = pa.compute.is_in(e.column("node_key"), value_set=keys)
+        hit = np.asarray(hit.combine_chunks() if isinstance(hit, pa.ChunkedArray) else hit)
+        is_dead = hit[:half] | hit[half:]
         ln = np.asarray(batch.column("len_m"))
         m = is_dead & (ln < max_len)
         return batch.filter(pa.array(m)).select(["road_id", "klass", "len_m"])
@@ -115,11 +114,18 @@ def dead_end_roads(world_dir: str, max_len: float = 60.0) -> pa.Table:
 
 class NearestRoad:
     """Actor-pool stage (T5): per-actor grid-bucket index over road segments;
-    batches of footprint centroids → nearest road id + distance (cutoff 70 m
-    like GenerateNearTable, IB-Tool2.py:1985-1996: closest=CLOSEST, 1 result).
+    batches of footprint centroids → nearest road id + distance (cutoff like
+    GenerateNearTable, IB-Tool2.py:1985-1996: closest=CLOSEST, 1 result).
 
-    Index: segments bucketed by mid-res hex cell of their bounding boxes
-    (cell → segment indices); probe checks the point's cell + 1-ring.
+    Index (built once per actor, fully vectorized): each segment is sampled
+    at sub-cell pitch, its cells' 1-rings become (cell → segment) bucket
+    rows sorted by (cell, segment).  Probe groups the batch's points by cell
+    and evaluates one (points × candidate-segments) distance matrix per
+    occupied cell — no per-point Python.
+
+    At multi-node scale the roads table is sharded by part_cell (each actor
+    builds the index only for the tiles it serves) — this single-node
+    version holds the whole (small) segment index per actor.
     """
 
     CUTOFF = 200.0
@@ -131,28 +137,45 @@ class NearestRoad:
         self.res = res
         xs, ys, offs = _packed_lines(tbl)
         rid = np.asarray(tbl.column("road_id"))
-        segs = []
-        seg_rid = []
-        for i in range(len(offs) - 1):
-            s, e = offs[i], offs[i + 1]
-            for j in range(s, e - 1):
-                segs.append((xs[j], ys[j], xs[j + 1], ys[j + 1]))
-                seg_rid.append(rid[i])
-        self.segs = np.array(segs) if segs else np.zeros((0, 4))
-        self.seg_rid = np.array(seg_rid, dtype=object)
-        # bucket each segment into every cell ALONG it (sampled at sub-cell
-        # pitch) + 1-ring, so long segments are found from their middles too
-        bucket: dict[int, list[int]] = {}
-        pitch = hg.edge_length_m(res)
+        npts = offs[1:] - offs[:-1]
+        # segment = consecutive vertex pair within one line: every vertex
+        # index except each line's last one starts a segment
+        valid = np.ones(max(len(xs) - 1, 0), dtype=bool)
+        inner_ends = offs[1:-1] - 1
+        valid[inner_ends[inner_ends < len(valid)]] = False
+        v = np.nonzero(valid)[0] if len(valid) else np.empty(0, np.int64)
+        self.segs = np.column_stack([xs[v], ys[v], xs[v + 1], ys[v + 1]]) \
+            if len(v) else np.zeros((0, 4))
+        self.seg_rid = np.repeat(rid, np.maximum(npts - 1, 0))
+        # sample each segment at sub-cell pitch (vectorized linspace via
+        # cumsum arithmetic), encode, expand 1-ring, dedupe (cell, seg) pairs
         if len(self.segs):
-            for j in range(len(self.segs)):
-                x1, y1, x2, y2 = self.segs[j]
-                n = max(2, int(np.hypot(x2 - x1, y2 - y1) / pitch) + 2)
-                t = np.linspace(0.0, 1.0, n)
-                cells = hg.encode(x1 + t * (x2 - x1), y1 + t * (y2 - y1), res)
-                for c in np.unique(hg.k_ring(np.unique(cells), 1).ravel()):
-                    bucket.setdefault(int(c), []).append(j)
-        self.bucket = {c: np.array(v, dtype=np.int64) for c, v in bucket.items()}
+            pitch = hg.edge_length_m(res)
+            x1, y1, x2, y2 = self.segs.T
+            n = np.maximum(2, (np.hypot(x2 - x1, y2 - y1) / pitch).astype(np.int64) + 2)
+            seg_of = np.repeat(np.arange(len(n)), n)
+            cum = np.concatenate([[0], np.cumsum(n)])
+            local = np.arange(int(n.sum())) - cum[seg_of]
+            t = local / (n[seg_of] - 1)
+            cells = hg.encode(x1[seg_of] + t * (x2 - x1)[seg_of],
+                              y1[seg_of] + t * (y2 - y1)[seg_of], res)
+            # dedupe (cell, seg) then ring-expand then dedupe again
+            pairs = np.unique(np.column_stack([cells, seg_of]), axis=0)
+            ring = hg.k_ring(pairs[:, 0], 1)  # (np, 7)
+            exp_cell = ring.ravel()
+            exp_seg = np.repeat(pairs[:, 1], ring.shape[1])
+            pairs = np.unique(np.column_stack([exp_cell, exp_seg]), axis=0)
+            self.b_cells = pairs[:, 0]
+            self.b_segs = pairs[:, 1]
+            self.b_starts = np.concatenate(
+                [np.nonzero(np.concatenate([[True],
+                 self.b_cells[1:] != self.b_cells[:-1]]))[0], [len(self.b_cells)]])
+            self.u_cells = self.b_cells[self.b_starts[:-1]]
+        else:
+            self.b_cells = np.empty(0, np.int64)
+            self.b_segs = np.empty(0, np.int64)
+            self.b_starts = np.array([0], np.int64)
+            self.u_cells = np.empty(0, np.int64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cx = np.asarray(batch.column("cx"))
@@ -160,16 +183,25 @@ class NearestRoad:
         near_id = np.full(len(cx), "", dtype=object)
         near_d = np.full(len(cx), np.nan)
         cells = hg.encode(cx, cy, self.res)
-        for i in range(len(cx)):
-            cand = self.bucket.get(int(cells[i]))
-            if cand is None:
+        order = np.argsort(cells, kind="stable")
+        cs = cells[order]
+        grp = np.nonzero(np.concatenate([[True], cs[1:] != cs[:-1]]))[0]
+        grp_end = np.concatenate([grp[1:], [len(cs)]])
+        for gs, ge in zip(grp, grp_end):
+            pos = np.searchsorted(self.u_cells, cs[gs])
+            if pos >= len(self.u_cells) or self.u_cells[pos] != cs[gs]:
                 continue
+            cand = self.b_segs[self.b_starts[pos]:self.b_starts[pos + 1]]
+            pi = order[gs:ge]
             s = self.segs[cand]
-            d = geom.point_segment_dist(cx[i], cy[i], s[:, 0], s[:, 1], s[:, 2], s[:, 3])
-            k = int(np.argmin(d))
-            if d[k] <= self.CUTOFF:
-                near_id[i] = self.seg_rid[cand[k]]
-                near_d[i] = float(d[k])
+            d = geom.point_segment_dist(
+                cx[pi][:, None], cy[pi][:, None],
+                s[None, :, 0], s[None, :, 1], s[None, :, 2], s[None, :, 3])
+            k = d.argmin(axis=1)  # first hit on ties = smallest seg index
+            dk = d[np.arange(len(pi)), k]
+            ok = dk <= self.CUTOFF
+            near_id[pi[ok]] = self.seg_rid[cand[k[ok]]]
+            near_d[pi[ok]] = dk[ok]
         return pa.table({
             "footprint_id": batch.column("footprint_id"),
             "near_road_id": pa.array(list(near_id), type=pa.string()),

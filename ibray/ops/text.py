@@ -55,9 +55,10 @@ class QualityScorer:
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         toks = batch["text"].str.lower().str.split()
         batch["n_chars2"] = batch["text"].str.len().astype(np.int64)
-        batch["n_stop"] = toks.map(
-            lambda ws: sum(1 for w in ws if w in self.stop)
-        ).astype(np.int64)
+        # vectorized stopword count: explode + isin + segment sum
+        ex = toks.explode()
+        hits = ex.isin(self.stop).groupby(level=0).sum()
+        batch["n_stop"] = hits.reindex(batch.index, fill_value=0).astype(np.int64)
         return batch[["doc_id", "n_chars2", "n_stop"]]
 
 

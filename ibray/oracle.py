@@ -53,7 +53,7 @@ def run_oracle(world_dir: str, cfg: DelineationConfig = DEFAULT) -> dict:
         if len(g) < cfg.min_footprints:
             continue
         comp_cells = np.unique(g["cell_fine"].to_numpy(dtype=np.int64))
-        rings_py, area, _cover = polygonize_cells(comp_cells, cfg)
+        rings, area, _cover = polygonize_cells(comp_cells, cfg)
         settlements.append(
             {
                 "settlement_id": f"s{int(label)}",
@@ -61,8 +61,9 @@ def run_oracle(world_dir: str, cfg: DelineationConfig = DEFAULT) -> dict:
                 "n_footprints": len(g),
                 "area_m2": area,
                 "part_cell": int(hg.parent(np.array([label], dtype=np.int64), cfg.res_part)[0]),
-                "boundary": rings_py,
-                "_rings_np": [np.array([[p["x"], p["y"]] for p in r]) for r in rings_py],
+                "boundary": [[{"x": float(x), "y": float(y)} for x, y in r]
+                             for r in rings],
+                "_rings_np": rings,
             }
         )
     settlements.sort(key=lambda s: s["settlement_id"])
