@@ -205,7 +205,7 @@ def _q_nearest_road(sf_dir: str):
 
     world = synth.ensure_world(synth.sf_of_dir(sf_dir))
     fp = pipeline.footprint_dataset(world)
-    return RD.nearest_road(world, fp)
+    return _scale_cols(RD.nearest_road(world, fp), {"near_dist_m": 2})
 
 
 def _q_boundary_score(sf_dir: str):
@@ -224,8 +224,10 @@ def _q_boundary_score(sf_dir: str):
     cb = S.settlement_cells(expert["settlements"], DEFAULT)
     tiles = res["tiles_tbl"].to_pandas()
     cnt = tiles.groupby("cell_r11").size()
-    return S.score_boundaries(
-        ca, cb, (cnt.index.to_numpy("int64"), cnt.to_numpy("int64")), DEFAULT)
+    return _scale_cols(
+        S.score_boundaries(
+            ca, cb, (cnt.index.to_numpy("int64"), cnt.to_numpy("int64")), DEFAULT),
+        {"area_m2": 2, "share_pct": 6})
 
 
 def _q_partitions(sf_dir: str):
@@ -291,13 +293,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "road_length_stats": _q_road_stats,
         "dead_end_roads": _q_dead_ends,
         "density_r9": _q_density_r9,
-        "nearest_road": _q_nearest_road,      # rows-only check
-        "boundary_score": _q_boundary_score,  # rows-only check (scoring harness)
-        "compute_partitions": _q_partitions,  # rows-only check (Partitioning.pyt analog)
+        "nearest_road": _q_nearest_road,      # golden oracle (brute force)
+        "boundary_score": _q_boundary_score,  # golden oracle (scoring harness)
+        "compute_partitions": _q_partitions,  # golden oracle (Partitioning.pyt analog)
         "media_assets": _q_media_assets,
-        "tile_features": _q_tile_features,    # rows-only (stub decoder features)
-        "knn_graph": _q_knn_graph,            # rows-only check
-        "mst_graph": _q_mst_graph,            # rows-only check
+        "tile_features": _q_tile_features,    # golden oracle (deterministic stub decode)
+        "knn_graph": _q_knn_graph,            # golden oracle (O(m^2) brute force)
+        "mst_graph": _q_mst_graph,            # golden oracle (dict Kruskal)
         # relational operator layer (SURVEY.md §2 over driver tables)
         "q1_pricing_summary": _q_q1,
         "filter_project_parts": R.filter_project_parts,
@@ -316,11 +318,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_source_counts": _q_lang_counts,
         "doc_fingerprints": T.doc_fingerprints,
         "exact_dedup": D.exact_dedup,
-        "simhash_fingerprints": D.simhash_fingerprints,   # rows-only check
-        "minhash_dup_groups": D.minhash_dup_groups,       # rows-only check
+        "simhash_fingerprints": D.simhash_fingerprints,   # golden oracle (scalar FNV)
+        "minhash_dup_groups": D.minhash_dup_groups,       # golden oracle (single-process LSH)
         "ann_cosine_topk": A.cosine_topk,
-        "ann_ivf_assign": A.ivf_assign,                   # rows-only check
-        "ann_ivf_topk": A.ivf_topk,                       # rows-only check
+        "ann_ivf_assign": A.ivf_assign,                   # golden oracle
+        "ann_ivf_topk": A.ivf_topk,                       # golden oracle
     }
 
 
@@ -331,6 +333,12 @@ def oracle_sql() -> dict[str, str]:
     sf = 0.01  # the driver's correctness scale
     world = synth.world_dir(sf)
     gold = golden.golden_dir(sf)
+    from ibray import golden_extra
+
+    try:  # goldens over the driver's own tables (cached; cheap after once)
+        dgold = golden_extra.ensure_driver_golden("/root/testdata/sf0.01")
+    except Exception:  # pragma: no cover
+        dgold = golden_extra.driver_golden_dir("/root/testdata/sf0.01")
     docs = f"read_parquet('{world}/documents/*.parquet')"
     return {
         # independent recomputation in SQL from the same documents parquet
@@ -405,6 +413,52 @@ def oracle_sql() -> dict[str, str]:
         # hex-cell density vs the single-process golden (hex encode not SQL-expressible)
         "density_r9": f"""
             SELECT cell, n_footprints FROM read_parquet('{gold}/density_r9.parquet')
+        """,
+        # round-2 golden-parquet oracles (single-process recomputations,
+        # ibray/golden_extra.py — brute force / scalar reference paths)
+        "nearest_road": f"""
+            SELECT footprint_id, near_road_id,
+                   CAST(ROUND(near_dist_m * 100) AS BIGINT) AS near_dist_m
+            FROM read_parquet('{gold}/nearest_road.parquet')
+        """,
+        "knn_graph": f"""
+            SELECT src, dst, CAST(ROUND(dist_m * 10000) AS BIGINT) AS dist_m
+            FROM read_parquet('{gold}/knn_graph.parquet')
+        """,
+        "mst_graph": f"""
+            SELECT src, dst, CAST(ROUND(dist_m * 10000) AS BIGINT) AS dist_m
+            FROM read_parquet('{gold}/mst_graph.parquet')
+        """,
+        "compute_partitions": f"""
+            SELECT part_cell, n_footprints
+            FROM read_parquet('{gold}/partitions.parquet')
+        """,
+        "tile_features": f"""
+            SELECT doc_id, CAST(span_idx AS INTEGER) AS span_idx, media_ref,
+                   tile_z, tile_x, tile_y,
+                   CAST(ROUND(px_mean * 1000000) AS BIGINT) AS px_mean,
+                   CAST(ROUND(px_std * 1000000) AS BIGINT) AS px_std,
+                   phash
+            FROM read_parquet('{gold}/tile_features.parquet')
+        """,
+        "boundary_score": f"""
+            SELECT "class", n_patches, n_cells,
+                   CAST(ROUND(area_m2 * 100) AS BIGINT) AS area_m2,
+                   CAST(ROUND(share_pct * 1000000) AS BIGINT) AS share_pct
+            FROM read_parquet('{gold}/boundary_score.parquet')
+        """,
+        "simhash_fingerprints": f"""
+            SELECT doc_id, simhash FROM read_parquet('{dgold}/simhash.parquet')
+        """,
+        "minhash_dup_groups": f"""
+            SELECT doc_id, dup_group
+            FROM read_parquet('{dgold}/minhash_groups.parquet')
+        """,
+        "ann_ivf_assign": f"""
+            SELECT vec_id, centroid FROM read_parquet('{dgold}/ivf_assign.parquet')
+        """,
+        "ann_ivf_topk": f"""
+            SELECT query_id, vec_id FROM read_parquet('{dgold}/ivf_topk.parquet')
         """,
         "media_assets": f"""
             SELECT doc_id,

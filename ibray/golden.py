@@ -17,7 +17,7 @@ import pyarrow.parquet as pq
 from ibray import oracle, synth
 from ibray.config import DEFAULT
 
-ORACLE_VERSION = 4
+ORACLE_VERSION = 5
 
 
 def golden_dir(sf: float, base: str = "/tmp/ibray_golden") -> str:
@@ -57,10 +57,25 @@ def ensure_golden(sf: float) -> str:
 
     c9 = res["tiles"].column("cell_r9").to_numpy()
     u, n = np.unique(c9, return_counts=True)
-    pq.write_table(
-        pa.table({"cell": pa.array(u, type=pa.int64()),
-                  "n_footprints": pa.array(n, type=pa.int64())}),
-        os.path.join(tmp, "density_r9.parquet"))
+    dens = pa.table({"cell": pa.array(u, type=pa.int64()),
+                     "n_footprints": pa.array(n, type=pa.int64())})
+    pq.write_table(dens, os.path.join(tmp, "density_r9.parquet"))
+    # round-2 goldens: single-process recomputations of the remaining
+    # geometry/graph/media queries (ibray/golden_extra.py)
+    from ibray import golden_extra as GX
+
+    pq.write_table(GX.golden_nearest_road(world),
+                   os.path.join(tmp, "nearest_road.parquet"))
+    pq.write_table(GX.golden_knn(world, k=4),
+                   os.path.join(tmp, "knn_graph.parquet"))
+    pq.write_table(GX.golden_mst(world, k=6),
+                   os.path.join(tmp, "mst_graph.parquet"))
+    pq.write_table(GX.golden_partitions(dens, DEFAULT),
+                   os.path.join(tmp, "partitions.parquet"))
+    pq.write_table(GX.golden_tile_features(world),
+                   os.path.join(tmp, "tile_features.parquet"))
+    pq.write_table(GX.golden_boundary_score(world, DEFAULT, res_a=res),
+                   os.path.join(tmp, "boundary_score.parquet"))
     open(os.path.join(tmp, "_done"), "w").write("ok")
     try:
         os.rename(tmp, d)

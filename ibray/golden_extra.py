@@ -1,0 +1,428 @@
+"""Single-process golden oracles for the operators whose semantics SQL
+cannot express (FIXTURES.md §3 pattern, extended in round 2).
+
+Each function here recomputes one registered query's result with plain
+single-process numpy/pandas — no Ray, no partitioning, no actor pools, no
+grid-bucket pruning — so the driver's DuckDB oracle can value-hash the
+distributed engine against an independently-executed result:
+
+- nearest_road:   brute force over ALL road segments (engine: bucketed probe)
+- knn_graph:      O(m²) brute-force kNN per coarse partition (engine: grid
+                  buckets + radius doubling)
+- mst_graph:      plain-dict Kruskal per partition (engine: numpy union-find)
+- compute_partitions: direct parent-sum over the density table
+- tile_features:  per-span Python extraction + per-tile features
+- simhash:        the scalar FNV-1a reference implementation, per doc
+- minhash groups: per-doc signatures + bucket pairs + Jaccard + union-find
+- ivf assign/topk: the deterministic sampling/kmeans/probe spec, single pass
+
+Outputs land as parquet so ``oracle_sql()`` can read them with DuckDB.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ibray import geom
+from ibray import hexgrid as hg
+from ibray.config import DEFAULT, DelineationConfig
+
+_M61 = (1 << 61) - 1
+
+
+# ------------------------------------------------------- world-table goldens
+
+
+def _fp_table_single(world_dir: str, cfg: DelineationConfig = DEFAULT) -> pd.DataFrame:
+    """Footprints extracted single-process (same kernels, no Ray)."""
+    from ibray.ops import extract as E
+    from ibray.ops import footprints as F
+
+    docs = pq.read_table(world_dir + "/documents")
+    fp = E.parse_rings(E.extract_footprints(docs))
+    fp = F.add_cells(F.add_geometry(fp), cfg)
+    return fp.to_pandas()
+
+
+def golden_nearest_road(world_dir: str, cutoff: float = 200.0,
+                        chunk: int = 256) -> pa.Table:
+    """Brute force: every footprint against EVERY segment."""
+    from ibray.ops.roads import _packed_lines
+
+    fp = _fp_table_single(world_dir)
+    roads = pq.read_table(world_dir + "/roads.parquet")
+    xs, ys, offs = _packed_lines(roads)
+    rid = np.asarray(roads.column("road_id"))
+    npts = offs[1:] - offs[:-1]
+    valid = np.ones(max(len(xs) - 1, 0), dtype=bool)
+    inner_ends = offs[1:-1] - 1
+    valid[inner_ends[inner_ends < len(valid)]] = False
+    v = np.nonzero(valid)[0]
+    x1, y1, x2, y2 = xs[v], ys[v], xs[v + 1], ys[v + 1]
+    seg_rid = np.repeat(rid, np.maximum(npts - 1, 0))
+    px = fp["cx"].to_numpy()
+    py = fp["cy"].to_numpy()
+    near_id = np.full(len(px), "", dtype=object)
+    near_d = np.full(len(px), -1.0)
+    for s in range(0, len(px), chunk):
+        e = min(s + chunk, len(px))
+        d = geom.point_segment_dist(px[s:e, None], py[s:e, None],
+                                    x1[None, :], y1[None, :],
+                                    x2[None, :], y2[None, :])
+        k = d.argmin(axis=1)
+        dk = d[np.arange(e - s), k]
+        ok = dk <= cutoff
+        near_id[s:e][ok] = seg_rid[k[ok]]
+        near_d[s:e][ok] = dk[ok]
+    return pa.table({
+        "footprint_id": pa.array(fp["footprint_id"], type=pa.string()),
+        "near_road_id": pa.array(list(near_id), type=pa.string()),
+        "near_dist_m": pa.array(near_d),
+    })
+
+
+def golden_knn(world_dir: str, k: int = 4) -> pa.Table:
+    """O(m²) brute-force kNN per coarse partition, ties by ascending id."""
+    fp = _fp_table_single(world_dir)
+    out_s, out_d, out_w = [], [], []
+    for _, g in fp.groupby("part_cell", sort=True):
+        x = g["cx"].to_numpy()
+        y = g["cy"].to_numpy()
+        ids = g["footprint_id"].to_numpy()
+        m = len(x)
+        kk = min(k, m - 1)
+        if kk <= 0:
+            continue
+        id_rank = np.empty(m, dtype=np.int64)
+        id_rank[np.argsort(ids, kind="stable")] = np.arange(m)
+        for i in range(m):
+            d2 = (x - x[i]) ** 2 + (y - y[i]) ** 2
+            d2[i] = np.inf
+            sel = np.lexsort((id_rank, d2))[:kk]
+            out_s.append(np.full(kk, ids[i]))
+            out_d.append(ids[sel])
+            out_w.append(np.sqrt(d2[sel]))
+    return pa.table({
+        "src": pa.array(np.concatenate(out_s), type=pa.string()),
+        "dst": pa.array(np.concatenate(out_d), type=pa.string()),
+        "dist_m": pa.array(np.concatenate(out_w)),
+    })
+
+
+def golden_mst(world_dir: str, k: int = 6) -> pa.Table:
+    """Plain-dict Kruskal per partition over the brute-force kNN edges."""
+    fp = _fp_table_single(world_dir)
+    rows_s, rows_d, rows_w = [], [], []
+    for _, g in fp.groupby("part_cell", sort=True):
+        x = g["cx"].to_numpy()
+        y = g["cy"].to_numpy()
+        ids = g["footprint_id"].to_numpy()
+        m = len(x)
+        kk = min(k, m - 1)
+        if kk <= 0:
+            continue
+        id_rank = np.empty(m, dtype=np.int64)
+        id_rank[np.argsort(ids, kind="stable")] = np.arange(m)
+        best: dict[tuple[str, str], float] = {}
+        for i in range(m):
+            d2 = (x - x[i]) ** 2 + (y - y[i]) ** 2
+            d2[i] = np.inf
+            for j in np.lexsort((id_rank, d2))[:kk]:
+                a, b = sorted((ids[i], ids[j]))
+                w = float(np.sqrt(d2[j]))
+                if (a, b) not in best or best[(a, b)] > w:
+                    best[(a, b)] = w
+        parent: dict[str, str] = {}
+
+        def find(u: str) -> str:
+            while parent.get(u, u) != u:
+                u = parent[u]
+            return u
+
+        edges = sorted(best.items(), key=lambda e: (e[1], e[0][0], e[0][1]))
+        for (a, b), w in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                lo2, hi2 = sorted((ra, rb))
+                parent[hi2] = lo2
+                rows_s.append(a)
+                rows_d.append(b)
+                rows_w.append(w)
+    return pa.table({
+        "src": pa.array(rows_s, type=pa.string()),
+        "dst": pa.array(rows_d, type=pa.string()),
+        "dist_m": pa.array(rows_w),
+    })
+
+
+def golden_partitions(density_r9: pa.Table,
+                      cfg: DelineationConfig = DEFAULT,
+                      min_count: int = 5) -> pa.Table:
+    """Partitioning.pyt analog, direct: parent-sum the r9 density table."""
+    cells = np.asarray(density_r9.column("cell"), dtype=np.int64)
+    n = np.asarray(density_r9.column("n_footprints"), dtype=np.int64)
+    parts = hg.parent(cells, cfg.res_part)
+    df = pd.DataFrame({"part_cell": parts, "n": n}).groupby(
+        "part_cell", sort=True)["n"].sum().reset_index()
+    df = df[df["n"] >= min_count]
+    return pa.table({
+        "part_cell": pa.array(df["part_cell"].to_numpy(), type=pa.int64()),
+        "n_footprints": pa.array(df["n"].to_numpy(), type=pa.int64()),
+    })
+
+
+def golden_tile_features(world_dir: str) -> pa.Table:
+    """Per-span Python media extraction + per-tile features (TILE_W spec)."""
+    from ibray.ops.media import TILE_W
+
+    docs = pq.read_table(world_dir + "/documents").to_pylist()
+    rows = []
+    for doc in docs:
+        for i, sp in enumerate(doc["spans"]):
+            if sp["kind"] != "media":
+                continue
+            ref = sp["media_ref"]
+            z, xx, yy = ref.split("//", 1)[1].split("/")
+            h = hashlib.md5(ref.encode()).digest()
+            base = np.frombuffer(h, dtype=np.uint8)
+            reps = -(-TILE_W * TILE_W // len(base))
+            tile = np.tile(base, reps)[: TILE_W * TILE_W].astype(np.float64)
+            mean = tile.mean()
+            std = tile.std()
+            blocks = tile.reshape(8, TILE_W // 8, 8, TILE_W // 8).mean(axis=(1, 3))
+            med = np.median(blocks.reshape(64))
+            bits = (blocks.reshape(64) > med).astype(np.uint64)
+            phash = int((bits << np.arange(64, dtype=np.uint64)).sum())
+            rows.append({
+                "doc_id": doc["doc_id"], "span_idx": i, "media_ref": ref,
+                "tile_z": int(z), "tile_x": int(xx),
+                "tile_y": int(yy.split(".")[0]),
+                "px_mean": float(mean), "px_std": float(std),
+                "phash": int(np.uint64(phash).astype(np.int64)),
+            })
+    return pa.Table.from_pylist(rows)
+
+
+def golden_boundary_score(world_dir: str,
+                          cfg: DelineationConfig = DEFAULT,
+                          res_a: dict | None = None) -> pa.Table:
+    """Score the single-process oracle's boundary against the closing_k=1
+    variant — the same comparison the engine query runs distributed."""
+    from ibray import oracle
+    from ibray.ops import cluster as C
+    from ibray.ops import scoring as S
+
+    if res_a is None:
+        res_a = oracle.run_oracle(world_dir, cfg)
+    res_b = oracle.run_oracle(world_dir, DelineationConfig(closing_k=1))
+
+    def _tbl(res) -> pa.Table:
+        rings = [[np.array([[p["x"], p["y"]] for p in ring])
+                  for ring in s["boundary"]] for s in res["settlements"]]
+        return pa.table({"boundary": C.rings_to_arrow(rings)})
+
+    ca = S.settlement_cells(_tbl(res_a), cfg)
+    cb = S.settlement_cells(_tbl(res_b), cfg)
+    c11 = np.asarray(res_a["tiles"].column("cell_r11"), dtype=np.int64)
+    u, n = np.unique(c11, return_counts=True)
+    return S.score_boundaries(ca, cb, (u, n), cfg)
+
+
+# ------------------------------------------------- driver-table goldens ----
+
+
+def golden_simhash(docs: pd.DataFrame) -> pa.Table:
+    """Scalar per-token FNV-1a SimHash (the reference spec, unvectorized)."""
+    from ibray.ops.dedup import _fnv1a
+
+    out = []
+    for t in docs["text"]:
+        toks = t.split()
+        if not toks:
+            out.append(0)
+            continue
+        votes = [0] * 64
+        for w in toks:
+            h = _fnv1a(w)
+            for b in range(64):
+                votes[b] += 1 if (h >> b) & 1 else -1
+        val = 0
+        for b in range(64):
+            if votes[b] > 0:
+                val |= 1 << b
+        out.append(int(np.uint64(val).astype(np.int64)))
+    return pa.table({"doc_id": pa.array(docs["doc_id"]),
+                     "simhash": pa.array(out, type=pa.int64())})
+
+
+def _shingles_scalar(text: str, k: int = 5) -> np.ndarray:
+    """k-char-shingle rolling hashes, plain per-window loop.  NOTE the spec
+    includes uint64 WRAPAROUND of each byte*power product before the mod
+    (the engine computes the products in uint64), replicated here with an
+    explicit mod 2^64."""
+    b = text.encode("utf-8")
+    if len(b) < k:
+        b = b + b" " * (k - len(b))
+    pows = [pow(257, k - 1 - i, _M61) for i in range(k)]
+    m64 = 1 << 64
+    vals = {sum((b[i + j] * pows[j]) % m64 % _M61 for j in range(k)) % _M61
+            for i in range(len(b) - k + 1)}
+    return np.array(sorted(vals), dtype=np.uint64)
+
+
+def golden_minhash_groups(docs: pd.DataFrame, threshold: float = 0.7,
+                          seed: int = 7) -> pa.Table:
+    """Per-doc MinHash signatures, LSH buckets, all-pairs candidates,
+    exact-Jaccard verify, union-find — one process."""
+    NUM_HASHES, BANDS = 64, 16
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _M61, size=NUM_HASHES, dtype=np.uint64)
+    b = rng.integers(0, _M61, size=NUM_HASHES, dtype=np.uint64)
+    rpb = NUM_HASHES // BANDS
+    sh: dict = {}
+    buckets: dict = {}
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        s = _shingles_scalar(text)
+        sh[doc_id] = s
+        sig = ((s[:, None] * a[None, :] + b[None, :]) % _M61).min(axis=0)
+        for band in range(BANDS):
+            h = int(sig[band * rpb])
+            for x in sig[band * rpb + 1:(band + 1) * rpb]:
+                h = (h * 1000003 + int(x)) % (1 << 64)
+            h &= (1 << 61) - 1
+            buckets.setdefault((band, h), []).append(doc_id)
+    cand = set()
+    for ids in buckets.values():
+        ids = sorted(set(ids))
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                cand.add((ids[i], ids[j]))
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            x = parent[x]
+        return x
+
+    for x, y in sorted(cand):
+        inter = len(np.intersect1d(sh[x], sh[y], assume_unique=True))
+        union = len(sh[x]) + len(sh[y]) - inter
+        if union and inter / union >= threshold:
+            rx, ry = find(x), find(y)
+            if rx != ry:
+                lo, hi = sorted((rx, ry))
+                parent[hi] = lo
+    members: dict = {}
+    for d in sh:
+        members.setdefault(find(d), []).append(d)
+    out_doc, out_grp = [], []
+    for r, ms in sorted(members.items()):
+        if len(ms) > 1:
+            for m in sorted(ms):
+                out_doc.append(m)
+                out_grp.append(min(ms))
+    return pa.table({"doc_id": pa.array(out_doc),
+                     "dup_group": pa.array(out_grp)})
+
+
+def _ivf_centroids_single(emb: pd.DataFrame, n_cent: int = 16,
+                          iters: int = 5, target: int = 4096) -> np.ndarray:
+    """The deterministic sampling + Lloyd spec, one process."""
+    vid = emb["vec_id"].to_numpy(dtype=np.uint64)
+    h = (vid * np.uint64(2654435761)) & np.uint64(0xFFFFFFFF)
+    frac = min(1.0, 2.0 * target / max(len(emb), 1))
+    lim = np.uint64(int(frac * 2 ** 32))
+    sel = emb[h < lim].sort_values("vec_id").head(target)
+    sample = np.stack(sel["embedding"].to_numpy()).astype(np.float64)
+    cent = sample[:n_cent].copy()
+    for _ in range(iters):
+        d = ((sample[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(n_cent):
+            m = assign == c
+            if m.any():
+                cent[c] = sample[m].mean(axis=0)
+    return cent
+
+
+def golden_ivf_assign(emb: pd.DataFrame, n_cent: int = 16) -> pa.Table:
+    cent = _ivf_centroids_single(emb, n_cent)
+    vecs = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    d = ((vecs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    return pa.table({
+        "vec_id": pa.array(emb["vec_id"].to_numpy(dtype=np.int64)),
+        "centroid": pa.array(d.argmin(axis=1).astype(np.int64)),
+    })
+
+
+def golden_ivf_topk(emb: pd.DataFrame, n_cent: int = 16, nprobe: int = 4,
+                    n_queries: int = 5, top_k: int = 10) -> pa.Table:
+    cent = _ivf_centroids_single(emb, n_cent)
+    vecs = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    vids = emb["vec_id"].to_numpy(dtype=np.int64)
+    d = ((vecs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    vcent = d.argmin(axis=1)
+    nv = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    qorder = np.argsort(vids)[:n_queries]
+    qids = vids[qorder]
+    q = vecs[qorder]
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    dq = ((q[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    probe = np.argsort(dq, axis=1)[:, :nprobe]
+    out_q, out_v = [], []
+    for j, qid in enumerate(qids):
+        m = np.isin(vcent, probe[j]) & (vids != qid)
+        ss = nv[m] @ qn[j]
+        vv = vids[m]
+        sel = np.lexsort((vv, -ss))[:top_k]
+        out_q.append(np.full(len(sel), qid))
+        out_v.append(vv[sel])
+    return pa.table({
+        "query_id": pa.array(np.concatenate(out_q), type=pa.int64()),
+        "vec_id": pa.array(np.concatenate(out_v), type=pa.int64()),
+    })
+
+
+# -------------------------------------------------------------- driver dir -
+
+DRIVER_GOLDEN_V = 1
+
+
+def driver_golden_dir(sf_dir: str, base: str = "/tmp/ibray_golden_driver") -> str:
+    tag = sf_dir.strip("/").replace("/", "_")
+    return os.path.join(base, f"{tag}_v{DRIVER_GOLDEN_V}")
+
+
+def ensure_driver_golden(sf_dir: str) -> str:
+    """Goldens over the driver's documents/embeddings tables (cached)."""
+    d = driver_golden_dir(sf_dir)
+    marker = os.path.join(d, "_done")
+    if os.path.exists(marker):
+        return d
+    tmp = d + ".building"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    pq.write_table(golden_simhash(docs), os.path.join(tmp, "simhash.parquet"))
+    pq.write_table(golden_minhash_groups(docs),
+                   os.path.join(tmp, "minhash_groups.parquet"))
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"]).to_pandas()
+    pq.write_table(golden_ivf_assign(emb), os.path.join(tmp, "ivf_assign.parquet"))
+    pq.write_table(golden_ivf_topk(emb), os.path.join(tmp, "ivf_topk.parquet"))
+    open(os.path.join(tmp, "_done"), "w").write("ok")
+    try:
+        os.rename(tmp, d)
+    except OSError:
+        if not os.path.exists(marker):
+            raise
+        shutil.rmtree(tmp, ignore_errors=True)
+    return d

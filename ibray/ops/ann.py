@@ -200,10 +200,11 @@ def ivf_topk(sf_dir: str, n_cent: int = 16, nprobe: int = 4) -> pa.Table:
     cands["rank_sim"] = -cands["sim"]
     cands = cands.sort_values(["query_id", "rank_sim", "vec_id"])
     top = cands.groupby("query_id", sort=True).head(TOP_K)
+    # sim intentionally not returned (float-summation noise across BLAS
+    # shapes); the (query_id, vec_id) SET is the stable contract
     return pa.table({
         "query_id": pa.array(top["query_id"].to_numpy(dtype=np.int64)),
         "vec_id": pa.array(top["vec_id"].to_numpy(dtype=np.int64)),
-        "sim_r": pa.array(np.round(top["sim"].to_numpy(), 4)),
     })
 
 

@@ -217,6 +217,49 @@ def apply_root_map(batch: pa.Table, root_map: dict[int, int]) -> pa.Table:
                             pa.array(out, type=pa.int64()))
 
 
+def apply_root_arrays(batch: pa.Table, keys: np.ndarray,
+                      vals: np.ndarray) -> pa.Table:
+    """apply_root_map with the dict pre-flattened to sorted arrays (the
+    broadcast-friendly form — one ray.put, no per-batch dict rebuild)."""
+    if not len(keys):
+        return batch
+    labels = np.asarray(batch.column("label"), dtype=np.int64)
+    idx_c = np.clip(np.searchsorted(keys, labels), 0, len(keys) - 1)
+    hit = keys[idx_c] == labels
+    out = np.where(hit, vals[idx_c], labels)
+    return batch.set_column(batch.schema.get_field_index("label"), "label",
+                            pa.array(out, type=pa.int64()))
+
+
+def work_row_group(group: pa.Table, cfg: DelineationConfig) -> pa.Table:
+    """Reduce side of the groupby(label) shuffle: one settlement work row
+    per label — (label, settlement_id, n_footprints, cells).  Halo copies
+    carry n=0, so the plain sum is exact; the cells list dedupes the
+    shared-band copies with one np.unique."""
+    labels = np.asarray(group.column("label"), dtype=np.int64)
+    n = np.asarray(group.column("n"), dtype=np.int64)
+    label = int(labels[0])
+    n_tot = int(n.sum())
+    empty = pa.table({
+        "label": pa.array([], type=pa.int64()),
+        "settlement_id": pa.array([], type=pa.string()),
+        "n_footprints": pa.array([], type=pa.int64()),
+        "cells": pa.array([], type=pa.list_(pa.int64())),
+    })
+    if n_tot < cfg.min_footprints:
+        return empty
+    cells = np.unique(np.asarray(group.column("cell_fine"), dtype=np.int64))
+    cells_list = pa.ListArray.from_arrays(
+        pa.array([0, len(cells)], type=pa.int32()),
+        pa.array(cells, type=pa.int64()))
+    return pa.table({
+        "label": pa.array([label], type=pa.int64()),
+        "settlement_id": pa.array([f"s{label}"], type=pa.string()),
+        "n_footprints": pa.array([n_tot], type=pa.int64()),
+        "cells": cells_list,
+    })
+
+
 def polygonize_cells(cells: np.ndarray, cfg: DelineationConfig):
     """Closing + hex-union boundary tracing + HoleClose (drop interior rings
     smaller than max_hole_m2 — the reference's final HoleClose,

@@ -103,7 +103,9 @@ def _knn_indices(x: np.ndarray, y: np.ndarray, k: int,
             got[ro[grp_start]] = np.minimum(n_per, kk)
             kth_d2 = np.full(len(pts), np.inf)
             kth_d2[ro[grp_start]] = do[grp_start + np.minimum(n_per, kk) - 1]
-            ok_pts = (got >= kk) & (full_cover | (kth_d2 <= (R * s) ** 2))
+            # strict <: a candidate tied exactly at the covered radius could
+            # lie outside the block and win the id tie-break — expand instead
+            ok_pts = (got >= kk) & (full_cover | (kth_d2 < (R * s) ** 2))
             emit = (rank < kk) & ok_pts[ro] & np.isfinite(do)
             res_r.append(pts[ro[emit]])
             res_c.append(co[emit])

@@ -54,6 +54,32 @@ def pack_settlements(settlements: pa.Table) -> dict:
     }
 
 
+def pack_settlement_shards(settlements: pa.Table,
+                           cfg: DelineationConfig) -> dict[int, dict]:
+    """Shard the settlements table by coarse partition cell: each settlement
+    is packed into every shard whose part appears among the parents of its
+    cover cells, so a probe routed by parent(mid_cell(point)) always finds
+    every settlement that could contain the point.  This replaces the
+    whole-world settlement broadcast — each PIP actor fetches only the
+    shards its batches touch (SURVEY §7.3's tile routing)."""
+    cover = settlements.column("cover_cells")
+    cover = cover.combine_chunks() if isinstance(cover, pa.ChunkedArray) else cover
+    offs = np.asarray(cover.offsets, dtype=np.int64)
+    flat = np.asarray(cover.values, dtype=np.int64)
+    n = len(settlements)
+    srow = np.repeat(np.arange(n, dtype=np.int64), np.diff(offs))
+    parts = hg.parent(flat, cfg.res_part)
+    pairs = np.unique(np.column_stack([parts, srow]), axis=0)
+    shards: dict[int, dict] = {}
+    starts = np.nonzero(np.concatenate([[True], pairs[1:, 0] != pairs[:-1, 0]]))[0]
+    ends = np.concatenate([starts[1:], [len(pairs)]])
+    for s, e in zip(starts, ends):
+        part = int(pairs[s, 0])
+        rows = pairs[s:e, 1]
+        shards[part] = pack_settlements(settlements.take(pa.array(rows)))
+    return shards
+
+
 def build_settlement_index(payload: dict, cfg: DelineationConfig):
     """Packed payload -> (CSR cover index, ring-slice accessor arrays).
 
@@ -76,18 +102,10 @@ def build_settlement_index(payload: dict, cfg: DelineationConfig):
     return cov_cells, cov_off, sidx
 
 
-class PIPAssigner:
-    """Actor-pool callable: batches of footprints -> assignment rows.
+class _Shard:
+    """One partition's packed settlements + its CSR cover index."""
 
-    ``settlements_ref`` is a ``ray.put`` handle (broadcast once, read per
-    actor — never re-shipped per batch)."""
-
-    def __init__(self, settlements_ref, cfg: DelineationConfig):
-        import ray
-
-        payload = ray.get(settlements_ref) if isinstance(
-            settlements_ref, ray.ObjectRef) else settlements_ref
-        self.cfg = cfg
+    def __init__(self, payload: dict, cfg: DelineationConfig):
         self.p = payload
         self.cov_cells, self.cov_off, self.cov_val = build_settlement_index(
             payload, cfg)
@@ -100,34 +118,94 @@ class PIPAssigner:
             out.append(np.stack([p["xs"][s:e], p["ys"][s:e]], axis=1))
         return out
 
+    def probe(self, cx: np.ndarray, cy: np.ndarray, mid: np.ndarray,
+              out: np.ndarray, sel: np.ndarray) -> None:
+        """Assign settlement ids into out[sel] for points cx/cy[sel]."""
+        if not len(self.cov_cells):
+            return
+        pos = np.searchsorted(self.cov_cells, mid[sel])
+        pos_c = np.clip(pos, 0, len(self.cov_cells) - 1)
+        valid = self.cov_cells[pos_c] == mid[sel]
+        vi = sel[valid]
+        starts = self.cov_off[pos_c[valid]]
+        counts = self.cov_off[pos_c[valid] + 1] - starts
+        total = int(counts.sum())
+        if not total:
+            return
+        # ragged gather: candidate (point, settlement) pairs
+        pair_pt = np.repeat(vi, counts)
+        csum = np.cumsum(counts) - counts
+        flat = np.arange(total) - np.repeat(csum, counts) + np.repeat(starts, counts)
+        pair_s = self.cov_val[flat]
+        o2 = np.argsort(pair_s, kind="stable")
+        pp, ps = pair_pt[o2], pair_s[o2]
+        s_starts = np.nonzero(np.concatenate([[True], ps[1:] != ps[:-1]]))[0]
+        s_ends = np.concatenate([s_starts[1:], [len(ps)]])
+        for s, e in zip(s_starts, s_ends):
+            si = int(ps[s])
+            idx = pp[s:e]
+            inside = geom.points_in_polygon(cx[idx], cy[idx], self._rings_of(si))
+            out[idx[inside]] = self.p["ids"][si]  # disjoint: ≤1 hit/point
+
+
+class PIPAssigner:
+    """Actor-pool callable: batches of footprints -> assignment rows.
+
+    ``shard_refs`` is either a dict {part_cell: ray.put handle} (the sharded
+    index — each actor fetches and caches ONLY the tiles its batches touch)
+    or a single handle/payload covering the whole world (small worlds /
+    tests).  Routing key = parent(mid_cell(point)) — the same parent used to
+    register cover cells into shards, so lookups are exact."""
+
+    def __init__(self, shard_refs, cfg: DelineationConfig):
+        import ray
+
+        self.cfg = cfg
+        if isinstance(shard_refs, dict) and shard_refs and not isinstance(
+                next(iter(shard_refs.values())), dict):
+            self.refs = shard_refs          # {part: ObjectRef}
+            self.single = None
+        elif isinstance(shard_refs, dict):
+            self.refs = {p: v for p, v in shard_refs.items()}  # payloads
+            self.single = None
+        else:
+            payload = ray.get(shard_refs) if isinstance(
+                shard_refs, ray.ObjectRef) else shard_refs
+            self.single = _Shard(payload, cfg)
+            self.refs = {}
+        self._cache: dict[int, _Shard] = {}
+
+    def _shard(self, part: int) -> _Shard | None:
+        import ray
+
+        if part in self._cache:
+            return self._cache[part]
+        ref = self.refs.get(part)
+        if ref is None:
+            self._cache[part] = None
+            return None
+        payload = ray.get(ref) if not isinstance(ref, dict) else ref
+        sh = _Shard(payload, self.cfg)
+        self._cache[part] = sh
+        return sh
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         cx = np.asarray(batch.column("cx"))
         cy = np.asarray(batch.column("cy"))
         out = np.full(len(cx), "", dtype=object)
-        if len(self.cov_cells):
-            mid = hg.encode(cx, cy, self.cfg.res_mid)
-            pos = np.searchsorted(self.cov_cells, mid)
-            pos_c = np.clip(pos, 0, len(self.cov_cells) - 1)
-            valid = self.cov_cells[pos_c] == mid
-            vi = np.nonzero(valid)[0]
-            starts = self.cov_off[pos_c[vi]]
-            counts = self.cov_off[pos_c[vi] + 1] - starts
-            # ragged gather: candidate (point, settlement) pairs
-            total = int(counts.sum())
-            if total:
-                pair_pt = np.repeat(vi, counts)
-                csum = np.cumsum(counts) - counts
-                flat = np.arange(total) - np.repeat(csum, counts) + np.repeat(starts, counts)
-                pair_s = self.cov_val[flat]
-                o2 = np.argsort(pair_s, kind="stable")
-                pp, ps = pair_pt[o2], pair_s[o2]
-                s_starts = np.nonzero(np.concatenate([[True], ps[1:] != ps[:-1]]))[0]
-                s_ends = np.concatenate([s_starts[1:], [len(ps)]])
-                for s, e in zip(s_starts, s_ends):
-                    si = int(ps[s])
-                    idx = pp[s:e]
-                    inside = geom.points_in_polygon(cx[idx], cy[idx], self._rings_of(si))
-                    out[idx[inside]] = self.p["ids"][si]  # disjoint: ≤1 hit/point
+        mid = hg.encode(cx, cy, self.cfg.res_mid)
+        if self.single is not None:
+            self.single.probe(cx, cy, mid, out, np.arange(len(cx)))
+        else:
+            parts = hg.parent(mid, self.cfg.res_part)
+            order = np.argsort(parts, kind="stable")
+            ps = parts[order]
+            grp = np.nonzero(np.concatenate([[True], ps[1:] != ps[:-1]]))[0]
+            grp_end = np.concatenate([grp[1:], [len(ps)]])
+            for gs, ge in zip(grp, grp_end):
+                sh = self._shard(int(ps[gs]))
+                if sh is not None:
+                    sh.probe(cx, cy, mid, out, order[gs:ge])
         return pa.table({
             "footprint_id": batch.column("footprint_id"),
             "doc_id": batch.column("doc_id"),

@@ -147,10 +147,15 @@ class NearestRoad:
         self.segs = np.column_stack([xs[v], ys[v], xs[v + 1], ys[v + 1]]) \
             if len(v) else np.zeros((0, 4))
         self.seg_rid = np.repeat(rid, np.maximum(npts - 1, 0))
-        # sample each segment at sub-cell pitch (vectorized linspace via
-        # cumsum arithmetic), encode, expand 1-ring, dedupe (cell, seg) pairs
+        # sample each segment at half-cell pitch (vectorized linspace via
+        # cumsum arithmetic), encode, expand 1-ring, dedupe (cell, seg) pairs.
+        # Half-cell pitch + 1-ring registration + 1-ring probing makes the
+        # probe EXACT for any cutoff <= one cell edge (see __call__): the
+        # sample cell of the closest segment point is always within hex
+        # graph-distance 2 of the probe cell, and a graph-dist-2 pair shares
+        # an adjacent cell that is both registered and probed.
         if len(self.segs):
-            pitch = hg.edge_length_m(res)
+            pitch = hg.edge_length_m(res) / 2.0
             x1, y1, x2, y2 = self.segs.T
             n = np.maximum(2, (np.hypot(x2 - x1, y2 - y1) / pitch).astype(np.int64) + 2)
             seg_of = np.repeat(np.arange(len(n)), n)
@@ -181,17 +186,26 @@ class NearestRoad:
         cx = np.asarray(batch.column("cx"))
         cy = np.asarray(batch.column("cy"))
         near_id = np.full(len(cx), "", dtype=object)
-        near_d = np.full(len(cx), np.nan)
+        near_d = np.full(len(cx), -1.0)  # -1 = no road within cutoff
         cells = hg.encode(cx, cy, self.res)
         order = np.argsort(cells, kind="stable")
         cs = cells[order]
         grp = np.nonzero(np.concatenate([[True], cs[1:] != cs[:-1]]))[0]
         grp_end = np.concatenate([grp[1:], [len(cs)]])
         for gs, ge in zip(grp, grp_end):
-            pos = np.searchsorted(self.u_cells, cs[gs])
-            if pos >= len(self.u_cells) or self.u_cells[pos] != cs[gs]:
+            # probe the point's cell AND its 1-ring buckets, candidates
+            # unioned ascending (first argmin hit = smallest segment index,
+            # matching the brute-force tie-break)
+            probe_cells = hg.k_ring(cs[gs:gs + 1], 1).ravel()
+            cand_parts = []
+            for c in probe_cells:
+                pos = np.searchsorted(self.u_cells, c)
+                if pos < len(self.u_cells) and self.u_cells[pos] == c:
+                    cand_parts.append(
+                        self.b_segs[self.b_starts[pos]:self.b_starts[pos + 1]])
+            if not cand_parts:
                 continue
-            cand = self.b_segs[self.b_starts[pos]:self.b_starts[pos + 1]]
+            cand = np.unique(np.concatenate(cand_parts))
             pi = order[gs:ge]
             s = self.segs[cand]
             d = geom.point_segment_dist(

@@ -2,17 +2,21 @@
 
     documents ──extract (mb)──▶ footprints (+fkt, geometry, hex cells)
       ──filter──▶ per-batch cell counts ──halo replicate──▶
-      groupby(coarse cell) [THE shuffle] ──▶ local components ──▶
-      driver: border union-find + per-label reduce → work table ──▶
-      polygonize (row-parallel mb) ──▶ PIP actor pool over the
-      part_cell-sorted narrow projection ──▶ assignments; tiles
+      groupby(coarse cell) [shuffle 1] ──▶ local components ──▶
+      driver: union-find over the SHARED BAND ONLY (partition borders,
+      a few % of cells) ──▶ groupby(label) [shuffle 2] ──▶ per-settlement
+      work rows ──▶ polygonize (row-parallel mb) ──▶ sharded PIP actor
+      pool ──▶ assignments; tiles
 
-Exactly two all-to-all exchanges: the cell-level groupby(part) for
-clustering, and the narrow part_cell sort feeding the PIP probe.  No
-footprint-level join exists anywhere — footprint→settlement assignment is
-geometric (PIP).  The reference runs the same lifecycle sequentially per
-partition (IB-Tool2.py:2384-2565); here Ray's streaming executor schedules
-partitions across the cluster.
+The driver never holds the cell table: per-label footprint counts and cell
+lists reduce inside the groupby(label) shuffle; only the shared-band
+equivalence edges (O(border cells)) come back for the tiny union-find.  The
+PIP index is sharded by coarse partition cell (one ray.put per tile shard;
+actors fetch only the shards their batches touch) instead of broadcasting
+every settlement to every actor.  No footprint-level join exists anywhere —
+footprint→settlement assignment is geometric (PIP).  The reference runs the
+same lifecycle sequentially per partition (IB-Tool2.py:2384-2565); here
+Ray's streaming executor schedules partitions across the cluster.
 """
 
 from __future__ import annotations
@@ -26,7 +30,15 @@ from ibray.config import DEFAULT, DelineationConfig
 from ibray.ops import cluster as C
 from ibray.ops import extract as E
 from ibray.ops import footprints as F
-from ibray.ops.pip import PIPAssigner
+from ibray.ops.pip import PIPAssigner, pack_settlement_shards
+
+# the narrow projection every downstream consumer of the materialized
+# footprint table needs — the ring coordinate payload (xs/ys) never has to
+# sit in the object store past extraction
+_FP_COLUMNS = [
+    "footprint_id", "doc_id", "span_idx", "fkt", "area_m2", "shp_idx",
+    "cx", "cy", "cell_r9", "cell_r10", "cell_r11", "cell_fine", "part_cell",
+]
 
 
 def _concat_refs(ds: rd.Dataset, schema: pa.Schema) -> pa.Table:
@@ -64,18 +76,20 @@ def footprint_dataset(world_dir: str,
     return fp
 
 
-def cluster_cells(fp: rd.Dataset, cfg: DelineationConfig = DEFAULT) -> pa.Table:
-    """Filtered footprints → settlement work table, ONE shuffle.
+def cluster_cells(fp: rd.Dataset, cfg: DelineationConfig = DEFAULT) -> rd.Dataset:
+    """Filtered footprints → settlement work-row Dataset, two shuffles.
 
     Per-batch combiners emit (cell, n); halo replication routes each cell
     (its count on the own copy only) to every coarse partition within the
-    cluster gap; groupby(part).map_groups labels local components; the driver
-    then — all vectorized numpy — resolves partition-border label
-    equivalences (tiny union-find), reduces per-label footprint stats from
-    the cell stats, and builds the (label, settlement_id, n_footprints,
-    cells) work table.  No footprint-level label join exists: footprint →
-    settlement assignment is done geometrically by the PIP stage.
+    cluster gap; groupby(part).map_groups labels local components.  The
+    driver pulls ONLY the shared-band rows (cells seen by >1 partition) to
+    union-find the cross-partition label equivalences; the canonical-label
+    map broadcasts back via ray.put, and the per-label reduction (footprint
+    count + deduped cell list) runs inside groupby(label).map_groups — the
+    driver never holds O(occupied cells).
     """
+    import ray
+
     stats = fp.select_columns(["cell_fine"]).map_batches(
         C.cell_stats_batch, batch_format="pyarrow"
     )
@@ -84,58 +98,29 @@ def cluster_cells(fp: rd.Dataset, cfg: DelineationConfig = DEFAULT) -> pa.Table:
     )
     local = replicated.groupby("part").map_groups(
         lambda g: C.local_components(g, cfg), batch_format="pyarrow"
-    )
-    local_tbl = _concat_refs(
-        local,
+    ).materialize()  # consumed twice: shared-band pull + label reduce
+    shared_tbl = _concat_refs(
+        local.map_batches(
+            lambda b: b.filter(pa.array(np.asarray(b.column("shared")))),
+            batch_format="pyarrow"),
         pa.schema([("cell_fine", pa.int64()), ("label", pa.int64()),
                    ("shared", pa.bool_()), ("n", pa.int64())]),
     )
-    cells_all = np.asarray(local_tbl.column("cell_fine"), dtype=np.int64)
-    labels_all = np.asarray(local_tbl.column("label"), dtype=np.int64)
-    shared_mask = np.asarray(local_tbl.column("shared"))
-    n_all = np.asarray(local_tbl.column("n"), dtype=np.int64)
-    root_map, _ = C.resolve_shared(cells_all[shared_mask], labels_all[shared_mask])
-    labels_res = C.apply_root_map_np(labels_all, root_map)
+    root_map, _ = C.resolve_shared(
+        np.asarray(shared_tbl.column("cell_fine"), dtype=np.int64),
+        np.asarray(shared_tbl.column("label"), dtype=np.int64))
+    keys = np.array(sorted(root_map), dtype=np.int64)
+    vals = np.array([root_map[int(k)] for k in keys], dtype=np.int64)
+    rm_ref = ray.put((keys, vals))
 
-    # dedup by cell (halo copies agree on label post-resolution; counts are
-    # carried only by the own copy so summing over deduped rows needs the
-    # per-cell max of n — halo rows have 0)
-    oc = np.lexsort((-n_all, cells_all))
-    cs = cells_all[oc]
-    first = np.concatenate([[True], cs[1:] != cs[:-1]])
-    cell_u = cs[first]
-    lab_u_cell = labels_res[oc][first]
-    n_u = n_all[oc][first]
+    def _apply(b: pa.Table) -> pa.Table:
+        k, v = ray.get(rm_ref)
+        return C.apply_root_arrays(b, k, v)
 
-    # per-label aggregates (vectorized segment reduce)
-    order2 = np.lexsort((cell_u, lab_u_cell))
-    lc = cell_u[order2]
-    ll = lab_u_cell[order2]
-    ln = n_u[order2]
-    run_starts = np.nonzero(np.concatenate([[True], ll[1:] != ll[:-1]]))[0]
-    n_tot = np.add.reduceat(ln, run_starts)
-    lab_u = ll[run_starts]
-    keep_m = n_tot >= cfg.min_footprints
-    # slice kept label runs out of the (label-sorted) cell array
-    run_ends = np.concatenate([run_starts[1:], [len(ll)]])
-    ks = run_starts[keep_m]
-    ke = run_ends[keep_m]
-    counts = ke - ks
-    take_idx = np.repeat(ks, counts) + (np.arange(int(counts.sum()))
-                                        - np.repeat(np.cumsum(counts) - counts, counts))
-    offsets = np.concatenate([[0], np.cumsum(counts)])
-    cells_list = pa.ListArray.from_arrays(
-        pa.array(offsets, type=pa.int32()),
-        pa.array(lc[take_idx], type=pa.int64()),
+    mapped = local.map_batches(_apply, batch_format="pyarrow")
+    return mapped.groupby("label").map_groups(
+        lambda g: C.work_row_group(g, cfg), batch_format="pyarrow"
     )
-    agg_labels = lab_u[keep_m]
-    sids = [f"s{int(l)}" for l in agg_labels]
-    return pa.table({
-        "label": pa.array(agg_labels, type=pa.int64()),
-        "settlement_id": pa.array(sids, type=pa.string()),
-        "n_footprints": pa.array(n_tot[keep_m], type=pa.int64()),
-        "cells": cells_list,
-    })
 
 
 def delineate(world_dir: str, cfg: DelineationConfig = DEFAULT,
@@ -146,8 +131,9 @@ def delineate(world_dir: str, cfg: DelineationConfig = DEFAULT,
     With ``out_dir`` the run is checkpointed: each stage lands as partitioned
     parquet with a manifest (lineage + metrics), and a rerun with unchanged
     params resumes past every completed stage (ibray/checkpoint.py).  Without
-    it, the footprint table is pinned with ``materialize()`` (it feeds three
-    downstream branches).
+    it, the NARROW footprint projection is pinned with ``materialize()`` (it
+    feeds three downstream branches); the wide ring payload streams through
+    extraction only.
     """
     import os as _os
     import sys as _sys
@@ -172,7 +158,8 @@ def delineate(world_dir: str, cfg: DelineationConfig = DEFAULT,
         fp_all = ck.read_dataset("footprints").materialize()
     else:
         t0 = _time.time()
-        fp_all = footprint_dataset(world_dir, cfg).materialize()
+        fp_all = footprint_dataset(world_dir, cfg).select_columns(
+            _FP_COLUMNS).materialize()
         if ck:
             fp_all = ck.write_dataset(fp_all, "footprints",
                                       partition_col="part_cell",
@@ -188,8 +175,7 @@ def delineate(world_dir: str, cfg: DelineationConfig = DEFAULT,
         work = cluster_cells(fp, cfg)
         _mark("cluster_and_work_table")
         settlements = _concat_refs(
-            rd.from_arrow(work)
-            .repartition(max(2, _num_cpus() * 4))
+            work.repartition(max(2, _num_cpus() * 4))
             .map_batches(lambda b: C.polygonize_batch(b, cfg),
                          batch_format="pyarrow", batch_size=4),
             _settlement_schema(),
@@ -198,27 +184,26 @@ def delineate(world_dir: str, cfg: DelineationConfig = DEFAULT,
         if ck:
             ck.write_table(settlements, "settlements")
 
-    from ibray.ops.pip import pack_settlements
-
     if ck and ck.has("assignments"):
         assignments = ck.read_dataset("assignments")
     else:
-        ref = ray.put(pack_settlements(settlements))
-        # sort ONLY the narrow probe projection by the coarse cell: each PIP
-        # batch then touches the few settlements of its spatial neighborhood
-        # instead of the whole index
+        # sharded PIP index: one ray.put per coarse tile; actors fetch only
+        # the shards their batches touch (no whole-world broadcast, no
+        # pre-sort of the probe side — routing is per-row by mid-cell parent)
+        shard_refs = {p: ray.put(payload) for p, payload in
+                      pack_settlement_shards(settlements, cfg).items()}
         assignments = fp_all.select_columns(
-            ["footprint_id", "doc_id", "span_idx", "cx", "cy", "part_cell"]
-        ).sort("part_cell").drop_columns(["part_cell"]).map_batches(
+            ["footprint_id", "doc_id", "span_idx", "cx", "cy"]
+        ).map_batches(
             PIPAssigner,
-            fn_constructor_args=(ref, cfg),
+            fn_constructor_args=(shard_refs, cfg),
             batch_format="pyarrow",
             batch_size=cfg.batch_size,
             concurrency=max(1, min(12, _num_cpus() - 2)),
         )
         if ck:
             assignments = ck.write_dataset(assignments, "assignments")
-    _mark("pip_built" if True else "")
+    _mark("pip_built")
     tiles = fp_all.select_columns(["footprint_id", "cell_r9", "cell_r10", "cell_r11"])
     if ck and not ck.has("tiles"):
         tiles = ck.write_dataset(tiles, "tiles")

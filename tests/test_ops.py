@@ -42,9 +42,9 @@ def test_nearest_road_matches_bruteforce(ray_session, world):
         d = geom.point_segment_dist(p["cx"], p["cy"], segs[:, 0], segs[:, 1],
                                     segs[:, 2], segs[:, 3])
         if row["near_road_id"] == "":
-            # the 1-ring bucket probe guarantees candidates out to at least
-            # one mid-res cell spacing; beyond that '' is acceptable
-            assert d.min() > 170.0
+            # probe is exact within the cutoff (half-cell sampling + 1-ring
+            # registration + 1-ring probing)
+            assert d.min() > R.NearestRoad.CUTOFF
         else:
             assert abs(d.min() - row["near_dist_m"]) < 1e-6
 
