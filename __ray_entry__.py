@@ -245,6 +245,30 @@ def _q_partitions(sf_dir: str):
         ["part_cell", "n_footprints"])
 
 
+def _q_block_overlap(sf_dir: str):
+    from ibray import pipeline
+    from ibray.ops import blocks as B
+
+    sf = synth.sf_of_dir(sf_dir)
+    golden.ensure_golden(sf)
+    world = synth.ensure_world(sf)
+    fp = pipeline.footprint_dataset(world)
+    return _scale_cols(B.block_overlap(world, fp),
+                       {"area_m2": 2, "overlap_pct": 6})
+
+
+def _q_global_overlap(sf_dir: str):
+    from ibray import pipeline
+    from ibray.ops import blocks as B
+
+    sf = synth.sf_of_dir(sf_dir)
+    golden.ensure_golden(sf)
+    world = synth.ensure_world(sf)
+    fp = pipeline.footprint_dataset(world)
+    return _scale_cols(B.global_overlap_threshold(world, fp),
+                       {"global_overlap_pct": 6})
+
+
 def _q_media_assets(sf_dir: str):
     from ibray.ops import media as M
 
@@ -296,6 +320,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nearest_road": _q_nearest_road,      # golden oracle (brute force)
         "boundary_score": _q_boundary_score,  # golden oracle (scoring harness)
         "compute_partitions": _q_partitions,  # golden oracle (Partitioning.pyt analog)
+        "block_overlap": _q_block_overlap,    # golden oracle (Blocker + A3)
+        "global_overlap": _q_global_overlap,  # golden oracle (A4 threshold)
         "media_assets": _q_media_assets,
         "tile_features": _q_tile_features,    # golden oracle (deterministic stub decode)
         "knn_graph": _q_knn_graph,            # golden oracle (O(m^2) brute force)
@@ -446,6 +472,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROUND(area_m2 * 100) AS BIGINT) AS area_m2,
                    CAST(ROUND(share_pct * 1000000) AS BIGINT) AS share_pct
             FROM read_parquet('{gold}/boundary_score.parquet')
+        """,
+        "block_overlap": f"""
+            SELECT block_id, n_footprints,
+                   CAST(ROUND(area_m2 * 100) AS BIGINT) AS area_m2,
+                   CAST(ROUND(overlap_pct * 1000000) AS BIGINT) AS overlap_pct
+            FROM read_parquet('{gold}/block_overlap.parquet')
+        """,
+        "global_overlap": f"""
+            SELECT n_inner_blocks,
+                   CAST(ROUND(global_overlap_pct * 1000000) AS BIGINT) AS global_overlap_pct
+            FROM read_parquet('{gold}/global_overlap.parquet')
         """,
         "simhash_fingerprints": f"""
             SELECT doc_id, simhash FROM read_parquet('{dgold}/simhash.parquet')

@@ -1,0 +1,211 @@
+"""Planar line arrangement → faces (the FeatureToPolygon / Blocker
+primitive, SURVEY.md U6; reference /root/reference/IB-Tool2.py:645-681,
+used again at 1018, 2069, 2167).
+
+Pure numpy, no shapely.  Robustness strategy (SURVEY §7.4 risk 1): snap
+rounding — every vertex (input endpoints AND computed intersection points)
+lands on a fixed 1 cm grid before the half-edge structure is built, so
+near-coincident points merge and orientation tests are taken on exact
+grid coordinates.
+
+Pipeline per call (one partition's segments — never global):
+  1. snap endpoints, drop degenerate segments
+  2. grid-bucketed candidate pairs → segment/segment intersection points
+  3. split segments at their (param-sorted) cut points, snap, dedupe edges
+  4. half-edge face traversal: at each node the next half-edge is the
+     clockwise successor of the twin, which walks every bounded face CCW
+     (interior on the left); unbounded faces come out CW and are dropped
+  5. faces returned as closed CCW rings (k, 2)
+
+Dangling (dead-end) segments are walked forward and back inside the same
+face and cancel in the shoelace area, matching FeatureToPolygon's behavior
+of ignoring dangles.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+SNAP = 100.0  # snap grid: 1/SNAP meters (1 cm)
+
+
+def _snap(a: np.ndarray) -> np.ndarray:
+    return np.round(a * SNAP) / SNAP
+
+
+def _seg_pairs(segs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Candidate intersecting pairs via bbox bucketing on a coarse grid."""
+    n = len(segs)
+    if n < 2:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    lens = np.hypot(segs[:, 2] - segs[:, 0], segs[:, 3] - segs[:, 1])
+    cell = max(float(np.median(lens)) * 2.0, 1.0)
+    x0 = min(segs[:, 0].min(), segs[:, 2].min())
+    y0 = min(segs[:, 1].min(), segs[:, 3].min())
+    pairs = set()
+    # register each segment into every coarse cell its bbox overlaps
+    bx1 = ((np.minimum(segs[:, 0], segs[:, 2]) - x0) / cell).astype(np.int64)
+    bx2 = ((np.maximum(segs[:, 0], segs[:, 2]) - x0) / cell).astype(np.int64)
+    by1 = ((np.minimum(segs[:, 1], segs[:, 3]) - y0) / cell).astype(np.int64)
+    by2 = ((np.maximum(segs[:, 1], segs[:, 3]) - y0) / cell).astype(np.int64)
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for i in range(n):
+        for gx in range(bx1[i], bx2[i] + 1):
+            for gy in range(by1[i], by2[i] + 1):
+                buckets.setdefault((gx, gy), []).append(i)
+    for members in buckets.values():
+        for a in range(len(members)):
+            for b in range(a + 1, len(members)):
+                pairs.add((members[a], members[b]))
+    if not pairs:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    arr = np.array(sorted(pairs), dtype=np.int64)
+    return arr[:, 0], arr[:, 1]
+
+
+def _intersections(segs: np.ndarray):
+    """All proper / touching intersection params between candidate pairs.
+    Returns (seg_idx, t) arrays covering BOTH segments of each hit."""
+    ia, ib = _seg_pairs(segs)
+    if not len(ia):
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    p = segs[ia, :2]
+    r = segs[ia, 2:] - p
+    q = segs[ib, :2]
+    s = segs[ib, 2:] - q
+    rxs = r[:, 0] * s[:, 1] - r[:, 1] * s[:, 0]
+    qp = q - p
+    qpxr = qp[:, 0] * r[:, 1] - qp[:, 1] * r[:, 0]
+    qpxs = qp[:, 0] * s[:, 1] - qp[:, 1] * s[:, 0]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = qpxs / rxs   # param on segment a
+        u = qpxr / rxs   # param on segment b
+    eps = 1e-9
+    ok = (np.abs(rxs) > eps) & (t > -eps) & (t < 1 + eps) & \
+         (u > -eps) & (u < 1 + eps)
+    out_i = np.concatenate([ia[ok], ib[ok]])
+    out_t = np.concatenate([np.clip(t[ok], 0.0, 1.0), np.clip(u[ok], 0.0, 1.0)])
+    return out_i, out_t
+
+
+def _split_edges(segs: np.ndarray) -> np.ndarray:
+    """Split every segment at its intersection points; return snapped,
+    deduplicated undirected edges (m, 4)."""
+    segs = segs.copy()
+    segs[:, 0:2] = _snap(segs[:, 0:2])
+    segs[:, 2:4] = _snap(segs[:, 2:4])
+    keep = (segs[:, 0] != segs[:, 2]) | (segs[:, 1] != segs[:, 3])
+    segs = segs[keep]
+    if not len(segs):
+        return np.zeros((0, 4))
+    idx, ts = _intersections(segs)
+    order = np.argsort(idx, kind="stable")
+    idx, ts = idx[order], ts[order]
+    starts = np.searchsorted(idx, np.arange(len(segs)))
+    ends = np.searchsorted(idx, np.arange(len(segs)) + 1)
+    pieces = []
+    for i in range(len(segs)):
+        t = np.unique(np.concatenate([[0.0, 1.0], ts[starts[i]:ends[i]]]))
+        px = segs[i, 0] + t * (segs[i, 2] - segs[i, 0])
+        py = segs[i, 1] + t * (segs[i, 3] - segs[i, 1])
+        px, py = _snap(px), _snap(py)
+        pieces.append(np.column_stack([px[:-1], py[:-1], px[1:], py[1:]]))
+    e = np.concatenate(pieces, axis=0)
+    keep = (e[:, 0] != e[:, 2]) | (e[:, 1] != e[:, 3])
+    e = e[keep]
+    # canonical undirected ordering + dedupe
+    flip = (e[:, 0] > e[:, 2]) | ((e[:, 0] == e[:, 2]) & (e[:, 1] > e[:, 3]))
+    e[flip] = e[flip][:, [2, 3, 0, 1]]
+    return np.unique(e, axis=0)
+
+
+def polygonize_segments(segs: np.ndarray) -> list[np.ndarray]:
+    """Line arrangement → bounded faces as closed CCW rings.
+
+    ``segs``: (n, 4) array of x1,y1,x2,y2.  Returns a list of (k, 2) rings
+    (first vertex == last vertex NOT repeated; rings are open).
+    """
+    e = _split_edges(np.asarray(segs, dtype=np.float64))
+    if not len(e):
+        return []
+    # node table
+    pts = np.concatenate([e[:, 0:2], e[:, 2:4]], axis=0)
+    uniq, inv = np.unique(pts, axis=0, return_inverse=True)
+    u = inv[: len(e)]
+    v = inv[len(e):]
+    nh = 2 * len(e)
+    he_src = np.concatenate([u, v])       # half-edge i: src -> dst
+    he_dst = np.concatenate([v, u])
+    he_twin = np.concatenate([np.arange(len(e)) + len(e), np.arange(len(e))])
+    ang = np.arctan2(uniq[he_dst, 1] - uniq[he_src, 1],
+                     uniq[he_dst, 0] - uniq[he_src, 0])
+    # per-node outgoing half-edges sorted by angle (CCW)
+    order = np.lexsort((ang, he_src))
+    src_sorted = he_src[order]
+    starts = np.nonzero(np.concatenate([[True], src_sorted[1:] != src_sorted[:-1]]))[0]
+    node_start = np.full(len(uniq), -1, dtype=np.int64)
+    node_deg = np.zeros(len(uniq), dtype=np.int64)
+    node_start[src_sorted[starts]] = starts
+    cnt = np.diff(np.concatenate([starts, [nh]]))
+    node_deg[src_sorted[starts]] = cnt
+    pos_in_node = np.empty(nh, dtype=np.int64)
+    pos_in_node[order] = np.arange(nh) - np.repeat(starts, cnt)
+    # next(h): at node d = dst(h), take the CW successor of twin(h):
+    # position (pos(twin) - 1) mod deg(d) in d's CCW-sorted outgoing list
+    tw = he_twin
+    d_node = he_dst
+    p = (pos_in_node[tw] - 1) % node_deg[d_node]
+    he_next = order[node_start[d_node] + p]
+    # trace faces
+    visited = np.zeros(nh, dtype=bool)
+    faces = []
+    for h0 in range(nh):
+        if visited[h0]:
+            continue
+        ring = []
+        h = h0
+        while not visited[h]:
+            visited[h] = True
+            ring.append(he_src[h])
+            h = he_next[h]
+        ring_pts = uniq[np.array(ring, dtype=np.int64)]
+        # shoelace (ring is closed implicitly)
+        x = ring_pts[:, 0]
+        y = ring_pts[:, 1]
+        area = 0.5 * float(np.dot(x, np.roll(y, -1)) - np.dot(np.roll(x, -1), y))
+        if area > 1e-9:
+            faces.append(ring_pts)
+    return faces
+
+
+def clip_segments_to_hex(segs: np.ndarray, hex_ring: np.ndarray) -> np.ndarray:
+    """Clip segments to one convex polygon (the coarse partition hexagon):
+    vectorized Liang–Barsky against each edge's inward half-plane."""
+    if not len(segs):
+        return np.zeros((0, 4))
+    p1 = segs[:, 0:2]
+    d = segs[:, 2:4] - p1
+    t0 = np.zeros(len(segs))
+    t1 = np.ones(len(segs))
+    m = len(hex_ring)
+    # hexagon assumed CCW: inward normal of edge (a->b) is left of it
+    for i in range(m):
+        a = hex_ring[i]
+        b = hex_ring[(i + 1) % m]
+        nx_, ny_ = -(b[1] - a[1]), b[0] - a[0]   # left normal
+        denom = d[:, 0] * nx_ + d[:, 1] * ny_
+        num = (a[0] - p1[:, 0]) * nx_ + (a[1] - p1[:, 1]) * ny_
+        # inside: (p - a)·n >= 0  →  num <= t*denom form
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = num / denom
+        entering = denom > 0
+        exiting = denom < 0
+        t0 = np.where(entering, np.maximum(t0, t), t0)
+        t1 = np.where(exiting, np.minimum(t1, t), t1)
+        # parallel and outside: reject
+        outside_par = (denom == 0) & (num > 0)
+        t1 = np.where(outside_par, -1.0, t1)
+    ok = t0 < t1
+    q1 = p1[ok] + t0[ok, None] * d[ok]
+    q2 = p1[ok] + t1[ok, None] * d[ok]
+    return np.column_stack([q1, q2])

@@ -17,7 +17,7 @@ import pyarrow.parquet as pq
 from ibray import oracle, synth
 from ibray.config import DEFAULT
 
-ORACLE_VERSION = 5
+ORACLE_VERSION = 6
 
 
 def golden_dir(sf: float, base: str = "/tmp/ibray_golden") -> str:
@@ -76,6 +76,10 @@ def ensure_golden(sf: float) -> str:
                    os.path.join(tmp, "tile_features.parquet"))
     pq.write_table(GX.golden_boundary_score(world, DEFAULT, res_a=res),
                    os.path.join(tmp, "boundary_score.parquet"))
+    pq.write_table(GX.golden_block_overlap(world),
+                   os.path.join(tmp, "block_overlap.parquet"))
+    pq.write_table(GX.golden_global_overlap(world),
+                   os.path.join(tmp, "global_overlap.parquet"))
     open(os.path.join(tmp, "_done"), "w").write("ok")
     try:
         os.rename(tmp, d)

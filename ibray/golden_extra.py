@@ -235,6 +235,103 @@ def golden_boundary_score(world_dir: str,
     return S.score_boundaries(ca, cb, (u, n), cfg)
 
 
+def _blocks_single(world_dir: str, cfg: DelineationConfig = DEFAULT):
+    """Single-process Blocker: same (part, segment) routing rule and the
+    shared arrangement kernel, executed in one plain loop over partitions."""
+    from ibray import arrange
+
+    roads = pq.read_table(world_dir + "/roads.parquet", columns=["line"])
+    from ibray.ops.roads import _packed_lines
+
+    xs, ys, offs = _packed_lines(roads)
+    valid = np.ones(max(len(xs) - 1, 0), dtype=bool)
+    inner_ends = offs[1:-1] - 1
+    valid[inner_ends[inner_ends < len(valid)]] = False
+    v = np.nonzero(valid)[0]
+    x1, y1, x2, y2 = xs[v], ys[v], xs[v + 1], ys[v + 1]
+    p1 = hg.encode(x1, y1, cfg.res_part)
+    p2 = hg.encode(x2, y2, cfg.res_part)
+    rows = []
+    segs_all = np.column_stack([x1, y1, x2, y2])
+    for part in np.unique(np.concatenate([p1, p2])):
+        m = (p1 == part) | (p2 == part)
+        segs = np.unique(segs_all[m], axis=0)
+        hex_ring = hg.cell_boundary(np.array([part], dtype=np.int64))[0]
+        clipped = arrange.clip_segments_to_hex(segs, hex_ring)
+        outline = np.column_stack([hex_ring, np.roll(hex_ring, -1, axis=0)])
+        faces = arrange.polygonize_segments(np.concatenate([clipped, outline]))
+        if not faces:
+            continue
+        cents = np.array([[f[:, 0].mean(), f[:, 1].mean()] for f in faces])
+        order = np.lexsort((cents[:, 1], cents[:, 0]))
+        for rank, fi in enumerate(order):
+            ring = faces[fi]
+            off = np.array([0, len(ring)])
+            area = float(geom.ring_area(ring[:, 0], ring[:, 1], off)[0])
+            rows.append((f"b{int(part)}_{rank:04d}", int(part), area, ring))
+    return rows
+
+
+def golden_block_overlap(world_dir: str,
+                         cfg: DelineationConfig = DEFAULT) -> pa.Table:
+    """FootprintDensity oracle: brute-force footprint→block assignment
+    (bbox prefilter + shared PIP kernel), integer cm² area sums."""
+    blocks = _blocks_single(world_dir, cfg)
+    fp = _fp_table_single(world_dir)
+    px = fp["cx"].to_numpy()
+    py = fp["cy"].to_numpy()
+    acm2 = np.round(fp["area_m2"].to_numpy() * 1e4).astype(np.int64)
+    assigned = np.full(len(px), "", dtype=object)
+    for bid, part, area, ring in sorted(blocks, key=lambda r: r[0]):
+        mn = ring.min(axis=0)
+        mx = ring.max(axis=0)
+        cand = np.nonzero((px >= mn[0]) & (px <= mx[0]) &
+                          (py >= mn[1]) & (py <= mx[1]))[0]
+        if not len(cand):
+            continue
+        inside = geom.points_in_ring(px[cand], py[cand], ring[:, 0], ring[:, 1])
+        assigned[cand[inside]] = bid
+    df = pd.DataFrame({"block_id": assigned, "area_cm2": acm2})
+    df = df[df["block_id"] != ""]
+    agg = df.groupby("block_id", sort=True).agg(
+        n_footprints=("area_cm2", "size"), fp_area_cm2=("area_cm2", "sum"))
+    area_of = {bid: area for bid, _, area, _ in blocks}
+    barea = np.array([area_of[b] for b in agg.index])
+    overlap = (agg["fp_area_cm2"].to_numpy() / 1e4) / barea * 100.0
+    return pa.table({
+        "block_id": pa.array(agg.index.to_numpy(), type=pa.string()),
+        "n_footprints": pa.array(agg["n_footprints"].to_numpy(dtype=np.int64)),
+        "area_m2": pa.array(barea),
+        "overlap_pct": pa.array(overlap),
+    })
+
+
+def golden_global_overlap(world_dir: str,
+                          cfg: DelineationConfig = DEFAULT) -> pa.Table:
+    """CalcFootprintDensity oracle (inner-block mean OVERLAP)."""
+    from ibray.ops.blocks import FALLBACK_THRESHOLD, MIN_BDG_COUNT, _face_cells
+
+    blocks = _blocks_single(world_dir, cfg)
+    ov = golden_block_overlap(world_dir, cfg).to_pandas()
+    fp = _fp_table_single(world_dir)
+    mass = hg.dilate(np.unique(fp["cell_r9"].to_numpy(dtype=np.int64)), 1)
+    inner_ids = set()
+    for bid, part, area, ring in blocks:
+        core = _face_cells(ring, cfg)
+        if len(core) and np.isin(core, mass).all():
+            inner_ids.add(bid)
+    inner = ov[(ov["block_id"].isin(inner_ids))
+               & (ov["n_footprints"] > MIN_BDG_COUNT)]
+    if len(inner) > 5:
+        thr = float(inner["overlap_pct"].sum() / len(inner))
+    else:
+        thr = FALLBACK_THRESHOLD
+    return pa.table({
+        "n_inner_blocks": pa.array([len(inner)], type=pa.int64()),
+        "global_overlap_pct": pa.array([thr], type=pa.float64()),
+    })
+
+
 # ------------------------------------------------- driver-table goldens ----
 
 

@@ -25,11 +25,12 @@ from ibray import hexgrid as hg
 from ibray.config import DelineationConfig
 
 
-def pack_settlements(settlements: pa.Table) -> dict:
-    """Settlements Arrow table -> flat numpy payload for ``ray.put`` (no
-    nested Python objects — serialization and per-actor deserialization are
-    zero-copy-ish plasma reads)."""
-    ids = settlements.column("settlement_id").to_pylist()
+def pack_settlements(settlements: pa.Table, id_col: str = "settlement_id") -> dict:
+    """Polygon table (settlements OR city blocks) -> flat numpy payload for
+    ``ray.put`` (no nested Python objects — serialization and per-actor
+    deserialization are zero-copy-ish plasma reads).  Requires columns
+    ``id_col``, ``boundary``, ``cover_cells``."""
+    ids = settlements.column(id_col).to_pylist()
     boundary = settlements.column("boundary")
     boundary = boundary.combine_chunks() if isinstance(boundary, pa.ChunkedArray) else boundary
     # boundary: list<list<struct<x,y>>>
@@ -55,7 +56,8 @@ def pack_settlements(settlements: pa.Table) -> dict:
 
 
 def pack_settlement_shards(settlements: pa.Table,
-                           cfg: DelineationConfig) -> dict[int, dict]:
+                           cfg: DelineationConfig,
+                           id_col: str = "settlement_id") -> dict[int, dict]:
     """Shard the settlements table by coarse partition cell: each settlement
     is packed into every shard whose part appears among the parents of its
     cover cells, so a probe routed by parent(mid_cell(point)) always finds
@@ -76,7 +78,7 @@ def pack_settlement_shards(settlements: pa.Table,
     for s, e in zip(starts, ends):
         part = int(pairs[s, 0])
         rows = pairs[s:e, 1]
-        shards[part] = pack_settlements(settlements.take(pa.array(rows)))
+        shards[part] = pack_settlements(settlements.take(pa.array(rows)), id_col)
     return shards
 
 
