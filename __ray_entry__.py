@@ -269,6 +269,17 @@ def _q_global_overlap(sf_dir: str):
                        {"global_overlap_pct": 6})
 
 
+def _q_mst_clusters(sf_dir: str):
+    from ibray import pipeline
+    from ibray.ops import mstcluster as MC
+
+    sf = synth.sf_of_dir(sf_dir)
+    golden.ensure_golden(sf)
+    world = synth.ensure_world(sf)
+    fp = pipeline.footprint_dataset(world)
+    return _scale_cols(MC.mst_clusters(fp), {"rect_area_m2": 2})
+
+
 def _q_media_assets(sf_dir: str):
     from ibray.ops import media as M
 
@@ -320,6 +331,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nearest_road": _q_nearest_road,      # golden oracle (brute force)
         "boundary_score": _q_boundary_score,  # golden oracle (scoring harness)
         "compute_partitions": _q_partitions,  # golden oracle (Partitioning.pyt analog)
+        "mst_clusters": _q_mst_clusters,      # golden oracle (greedy rect-ratio)
         "block_overlap": _q_block_overlap,    # golden oracle (Blocker + A3)
         "global_overlap": _q_global_overlap,  # golden oracle (A4 threshold)
         "media_assets": _q_media_assets,
@@ -472,6 +484,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROUND(area_m2 * 100) AS BIGINT) AS area_m2,
                    CAST(ROUND(share_pct * 1000000) AS BIGINT) AS share_pct
             FROM read_parquet('{gold}/boundary_score.parquet')
+        """,
+        "mst_clusters": f"""
+            SELECT footprint_id, group_key,
+                   CAST(ROUND(rect_area_m2 * 100) AS BIGINT) AS rect_area_m2
+            FROM read_parquet('{gold}/mst_clusters.parquet')
         """,
         "block_overlap": f"""
             SELECT block_id, n_footprints,

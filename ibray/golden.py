@@ -17,7 +17,7 @@ import pyarrow.parquet as pq
 from ibray import oracle, synth
 from ibray.config import DEFAULT
 
-ORACLE_VERSION = 6
+ORACLE_VERSION = 7
 
 
 def golden_dir(sf: float, base: str = "/tmp/ibray_golden") -> str:
@@ -80,6 +80,8 @@ def ensure_golden(sf: float) -> str:
                    os.path.join(tmp, "block_overlap.parquet"))
     pq.write_table(GX.golden_global_overlap(world),
                    os.path.join(tmp, "global_overlap.parquet"))
+    pq.write_table(GX.golden_mst_clusters(world),
+                   os.path.join(tmp, "mst_clusters.parquet"))
     open(os.path.join(tmp, "_done"), "w").write("ok")
     try:
         os.rename(tmp, d)

@@ -332,6 +332,74 @@ def golden_global_overlap(world_dir: str,
     })
 
 
+def golden_mst_clusters(world_dir: str, cfg: DelineationConfig = DEFAULT,
+                        k: int = 6, overlap_ratio: float = 18.0) -> pa.Table:
+    """MST_Clustering oracle: brute-force kNN + scalar vertex reweight +
+    dict Kruskal, then the shared greedy rect-ratio kernel, one partition
+    at a time in one process."""
+    from ibray.ops.mstcluster import (_ring_edges, calc_bounding_rect,
+                                      greedy_rect_cluster)
+
+    fp = _fp_table_single(world_dir, cfg)
+    out_f, out_g, out_a = [], [], []
+    for part, g in fp.groupby("part_cell", sort=True):
+        m = len(g)
+        if m < 2:
+            continue
+        ids = g["footprint_id"].to_numpy()
+        x = g["cx"].to_numpy()
+        y = g["cy"].to_numpy()
+        coords = {ids[i]: _ring_edges(np.asarray(g["xs"].iloc[i], dtype=np.float64),
+                                      np.asarray(g["ys"].iloc[i], dtype=np.float64))
+                  for i in range(m)}
+        areas = dict(zip(ids, g["area_m2"].to_numpy()))
+        id_rank = np.empty(m, dtype=np.int64)
+        id_rank[np.argsort(ids, kind="stable")] = np.arange(m)
+        kk = min(k, m - 1)
+        pairs = set()
+        for i in range(m):
+            d2 = (x - x[i]) ** 2 + (y - y[i]) ** 2
+            d2[i] = np.inf
+            for j in np.lexsort((id_rank, d2))[:kk]:
+                pairs.add(tuple(sorted((ids[i], ids[j]))))
+        from ibray.ops.mstcluster import min_vertex_dist
+
+        weighted = [(min_vertex_dist(coords[a], coords[b]), a, b)
+                    for a, b in sorted(pairs)]
+        weighted.sort()
+        parent: dict[str, str] = {}
+
+        def find(u: str) -> str:
+            while parent.get(u, u) != u:
+                u = parent[u]
+            return u
+
+        mst = []
+        for w, a, b in weighted:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                lo, hi = sorted((ra, rb))
+                parent[hi] = lo
+                mst.append((w, a, b))
+        mst.sort(key=lambda t: (t[0], t[1], t[2]))
+        member_group, group_members = greedy_rect_cluster(
+            mst, coords, areas, overlap_ratio)
+        rect_area_of = {}
+        for gid in group_members:
+            pts = np.concatenate([coords[mm] for mm in group_members[gid]])
+            _c, ra = calc_bounding_rect(pts)
+            rect_area_of[gid] = ra if ra is not None else 0.0
+        for fid in sorted(member_group):
+            out_f.append(fid)
+            out_g.append(f"g{int(part)}_{member_group[fid]:05d}")
+            out_a.append(rect_area_of[member_group[fid]])
+    return pa.table({
+        "footprint_id": pa.array(out_f, type=pa.string()),
+        "group_key": pa.array(out_g, type=pa.string()),
+        "rect_area_m2": pa.array(out_a, type=pa.float64()),
+    })
+
+
 # ------------------------------------------------- driver-table goldens ----
 
 
