@@ -208,18 +208,28 @@ def _q_nearest_road(sf_dir: str):
     return _scale_cols(RD.nearest_road(world, fp), {"near_dist_m": 2})
 
 
+def _delineate_k1_cached(sf: float) -> dict:
+    key = ("delineate_k1", sf)
+    if key not in _CACHE:
+        from ibray import pipeline
+        from ibray.config import DelineationConfig
+
+        world = synth.ensure_world(sf)
+        _CACHE[key] = pipeline.delineate(world, cfg=DelineationConfig(closing_k=1))
+    return _CACHE[key]
+
+
 def _q_boundary_score(sf_dir: str):
     """Error_Classification analog: engine boundary vs perturbed expert."""
     import numpy as np
 
-    from ibray import pipeline
-    from ibray.config import DEFAULT, DelineationConfig
+    from ibray.config import DEFAULT
     from ibray.ops import scoring as S
 
     sf = synth.sf_of_dir(sf_dir)
     world = synth.ensure_world(sf)
     res = _delineate_cached(sf)
-    expert = pipeline.delineate(world, cfg=DelineationConfig(closing_k=1))
+    expert = _delineate_k1_cached(sf)
     ca = S.settlement_cells(res["settlements"], DEFAULT)
     cb = S.settlement_cells(expert["settlements"], DEFAULT)
     tiles = res["tiles_tbl"].to_pandas()
@@ -267,6 +277,20 @@ def _q_global_overlap(sf_dir: str):
     fp = pipeline.footprint_dataset(world)
     return _scale_cols(B.global_overlap_threshold(world, fp),
                        {"global_overlap_pct": 6})
+
+
+def _q_exact_symdiff(sf_dir: str):
+    """U2-U5 exact-geometry overlay: SymDiff patches between the flagship
+    boundary and the closing_k=1 variant, per coarse partition."""
+    from ibray.ops import overlay as OV
+
+    sf = synth.sf_of_dir(sf_dir)
+    golden.ensure_golden(sf)
+    res = _delineate_cached(sf)
+    expert = _delineate_k1_cached(sf)
+    return _scale_cols(
+        OV.exact_symdiff(res["settlements"], expert["settlements"]),
+        {"area_m2": 2})
 
 
 def _q_mst_clusters(sf_dir: str):
@@ -331,6 +355,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nearest_road": _q_nearest_road,      # golden oracle (brute force)
         "boundary_score": _q_boundary_score,  # golden oracle (scoring harness)
         "compute_partitions": _q_partitions,  # golden oracle (Partitioning.pyt analog)
+        "exact_symdiff": _q_exact_symdiff,    # golden oracle (U2-U5 overlay)
         "mst_clusters": _q_mst_clusters,      # golden oracle (greedy rect-ratio)
         "block_overlap": _q_block_overlap,    # golden oracle (Blocker + A3)
         "global_overlap": _q_global_overlap,  # golden oracle (A4 threshold)
@@ -484,6 +509,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROUND(area_m2 * 100) AS BIGINT) AS area_m2,
                    CAST(ROUND(share_pct * 1000000) AS BIGINT) AS share_pct
             FROM read_parquet('{gold}/boundary_score.parquet')
+        """,
+        "exact_symdiff": f"""
+            SELECT patch_id, part_cell, side,
+                   CAST(ROUND(area_m2 * 100) AS BIGINT) AS area_m2
+            FROM read_parquet('{gold}/exact_symdiff.parquet')
         """,
         "mst_clusters": f"""
             SELECT footprint_id, group_key,

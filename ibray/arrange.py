@@ -119,12 +119,48 @@ def _split_edges(segs: np.ndarray) -> np.ndarray:
     return np.unique(e, axis=0)
 
 
-def polygonize_segments(segs: np.ndarray) -> list[np.ndarray]:
-    """Line arrangement → bounded faces as closed CCW rings.
+def polygonize_segments(segs: np.ndarray) -> list[list[np.ndarray]]:
+    """Line arrangement → bounded REGIONS.
 
-    ``segs``: (n, 4) array of x1,y1,x2,y2.  Returns a list of (k, 2) rings
-    (first vertex == last vertex NOT repeated; rings are open).
+    ``segs``: (n, 4) array of x1,y1,x2,y2.  Returns a list of regions, each
+    a list of (k, 2) rings: [outer CCW, hole1 CW, ...] (first vertex == last
+    vertex NOT repeated; rings are open).  A floating sub-arrangement inside
+    a face becomes that face's hole(s), so region areas (signed ring-area
+    sums) partition the covered plane exactly.
     """
+    cycles = _ccw_cycles(segs)
+    if not cycles:
+        return []
+    # containment forest over CCW cycles: parent = smallest-area cycle
+    # containing this cycle's interior point
+    from ibray import geom
+
+    areas = np.array([0.5 * float(np.dot(c[:, 0], np.roll(c[:, 1], -1))
+                                  - np.dot(np.roll(c[:, 0], -1), c[:, 1]))
+                      for c in cycles])
+    order = np.argsort(areas, kind="stable")
+    pts = [_interior_point(c) for c in cycles]
+    parent = np.full(len(cycles), -1, dtype=np.int64)
+    for pos, i in enumerate(order):
+        for j in order[pos + 1:]:
+            if areas[j] <= areas[i]:
+                continue
+            if bool(geom.points_in_ring(np.array([pts[i][0]]),
+                                        np.array([pts[i][1]]),
+                                        cycles[j][:, 0], cycles[j][:, 1])[0]):
+                parent[i] = j
+                break
+    regions: list[list[np.ndarray]] = []
+    for i in range(len(cycles)):
+        rings = [cycles[i]]
+        for c in np.nonzero(parent == i)[0]:
+            rings.append(cycles[c][::-1])  # hole, CW
+        regions.append(rings)
+    return regions
+
+
+def _ccw_cycles(segs: np.ndarray) -> list[np.ndarray]:
+    """The raw bounded (CCW) boundary cycles of the arrangement."""
     e = _split_edges(np.asarray(segs, dtype=np.float64))
     if not len(e):
         return []
@@ -176,6 +212,138 @@ def polygonize_segments(segs: np.ndarray) -> list[np.ndarray]:
         if area > 1e-9:
             faces.append(ring_pts)
     return faces
+
+
+# ----------------------------------------------- polygon boolean overlay ---
+# U2 Intersect / U3 SymDiff / U4 Erase / U5 Clip (reference IB-Tool2.py:664,
+# 1844, 1873-1874, 951; Error_Classification.py:258) via the arrangement:
+# overlay both boundaries, polygonize, classify every face by an interior
+# sample point against each input (even-odd).  Faces partition the result —
+# no dissolve is needed for areas/counts; callers may merge faces by label.
+
+
+def _ring_segs(rings: list[np.ndarray]) -> np.ndarray:
+    segs = []
+    for r in rings:
+        rr = np.asarray(r, dtype=np.float64)
+        if len(rr) > 1 and rr[0, 0] == rr[-1, 0] and rr[0, 1] == rr[-1, 1]:
+            rr = rr[:-1]
+        nxt = np.roll(rr, -1, axis=0)
+        segs.append(np.column_stack([rr, nxt]))
+    return np.concatenate(segs, axis=0) if segs else np.zeros((0, 4))
+
+
+def _interior_point(ring: np.ndarray) -> np.ndarray:
+    """A point strictly inside a CCW face ring: edge midpoint nudged along
+    the inward (left) normal; verified with the even-odd test."""
+    from ibray import geom
+
+    nxt = np.roll(ring, -1, axis=0)
+    mids = (ring + nxt) / 2.0
+    ex = nxt[:, 0] - ring[:, 0]
+    ey = nxt[:, 1] - ring[:, 1]
+    ln = np.hypot(ex, ey)
+    ok = ln > 0
+    for eps in (1e-3, 1e-4, 1e-2, 1e-1):
+        # left normal of (ex, ey) is (-ey, ex): interior side of a CCW ring
+        px = mids[ok, 0] - ey[ok] / ln[ok] * eps
+        py = mids[ok, 1] + ex[ok] / ln[ok] * eps
+        inside = geom.points_in_ring(px, py, ring[:, 0], ring[:, 1])
+        hit = np.nonzero(inside)[0]
+        if len(hit):
+            return np.array([px[hit[0]], py[hit[0]]])
+    return ring.mean(axis=0)  # fallback (convex-ish faces)
+
+
+def region_interior_point(region: list[np.ndarray]) -> np.ndarray:
+    """A point inside the region (inside the outer ring, outside holes)."""
+    from ibray import geom
+
+    ring = region[0]
+    nxt = np.roll(ring, -1, axis=0)
+    mids = (ring + nxt) / 2.0
+    ex = nxt[:, 0] - ring[:, 0]
+    ey = nxt[:, 1] - ring[:, 1]
+    ln = np.hypot(ex, ey)
+    ok = ln > 0
+    for eps in (1e-3, 1e-4, 1e-2, 1e-1):
+        px = mids[ok, 0] - ey[ok] / ln[ok] * eps
+        py = mids[ok, 1] + ex[ok] / ln[ok] * eps
+        inside = geom.points_in_polygon(px, py, region)
+        hit = np.nonzero(inside)[0]
+        if len(hit):
+            return np.array([px[hit[0]], py[hit[0]]])
+    return ring.mean(axis=0)
+
+
+def region_area(region: list[np.ndarray]) -> float:
+    """Signed ring-area sum (holes are CW → negative)."""
+    a = 0.0
+    for r in region:
+        x, y = r[:, 0], r[:, 1]
+        a += 0.5 * float(np.dot(x, np.roll(y, -1)) - np.dot(np.roll(x, -1), y))
+    return a
+
+
+def overlay_many(ring_sets: list[list[np.ndarray]]):
+    """Overlay n even-odd polygons.  Returns (regions, member) where
+    member[i, k] tells whether region i lies inside input k."""
+    from ibray import geom
+
+    segs = np.concatenate([_ring_segs(rs) for rs in ring_sets], axis=0)
+    regions = polygonize_segments(segs)
+    member = np.zeros((len(regions), len(ring_sets)), dtype=bool)
+    for i, reg in enumerate(regions):
+        p = region_interior_point(reg)
+        for k, rs in enumerate(ring_sets):
+            if rs:
+                member[i, k] = bool(geom.points_in_polygon(
+                    np.array([p[0]]), np.array([p[1]]), rs)[0])
+    return regions, member
+
+
+def overlay(rings_a: list[np.ndarray], rings_b: list[np.ndarray]):
+    """Overlay two even-odd polygons.  Returns (regions, in_a, in_b): the
+    arrangement's bounded regions and, per region, membership in each input."""
+    from ibray import geom
+
+    segs = np.concatenate([_ring_segs(rings_a), _ring_segs(rings_b)], axis=0)
+    regions = polygonize_segments(segs)
+    in_a = np.zeros(len(regions), dtype=bool)
+    in_b = np.zeros(len(regions), dtype=bool)
+    for i, reg in enumerate(regions):
+        p = region_interior_point(reg)
+        in_a[i] = bool(geom.points_in_polygon(
+            np.array([p[0]]), np.array([p[1]]), rings_a)[0]) if rings_a else False
+        in_b[i] = bool(geom.points_in_polygon(
+            np.array([p[0]]), np.array([p[1]]), rings_b)[0]) if rings_b else False
+    return regions, in_a, in_b
+
+
+def polygon_intersect(a: list[np.ndarray], b: list[np.ndarray]):
+    """U2 Intersect: regions inside BOTH inputs."""
+    regions, in_a, in_b = overlay(a, b)
+    return [f for f, x, y in zip(regions, in_a, in_b) if x and y]
+
+
+def polygon_erase(a: list[np.ndarray], b: list[np.ndarray]):
+    """U4 Erase: regions inside a but NOT b."""
+    regions, in_a, in_b = overlay(a, b)
+    return [f for f, x, y in zip(regions, in_a, in_b) if x and not y]
+
+
+def polygon_symdiff(a: list[np.ndarray], b: list[np.ndarray]):
+    """U3 SymDiff: regions in exactly one input; returns (regions, side)
+    with side True for a-only (the POS/NEG labeling of
+    Error_Classification.py:253-289)."""
+    regions, in_a, in_b = overlay(a, b)
+    keep = [(f, bool(x)) for f, x, y in zip(regions, in_a, in_b) if x != y]
+    return [f for f, _ in keep], np.array([s for _, s in keep], dtype=bool)
+
+
+def polygon_clip(a: list[np.ndarray], clip_ring: np.ndarray):
+    """U5 Clip: crop polygon a to a clip polygon (= intersect)."""
+    return polygon_intersect(a, [clip_ring])
 
 
 def clip_segments_to_hex(segs: np.ndarray, hex_ring: np.ndarray) -> np.ndarray:

@@ -74,7 +74,11 @@ def ensure_golden(sf: float) -> str:
                    os.path.join(tmp, "partitions.parquet"))
     pq.write_table(GX.golden_tile_features(world),
                    os.path.join(tmp, "tile_features.parquet"))
-    pq.write_table(GX.golden_boundary_score(world, DEFAULT, res_a=res),
+    from ibray.config import DelineationConfig
+
+    res_b = oracle.run_oracle(world, DelineationConfig(closing_k=1))
+    pq.write_table(GX.golden_boundary_score(world, DEFAULT, res_a=res,
+                                            res_b=res_b),
                    os.path.join(tmp, "boundary_score.parquet"))
     pq.write_table(GX.golden_block_overlap(world),
                    os.path.join(tmp, "block_overlap.parquet"))
@@ -82,6 +86,9 @@ def ensure_golden(sf: float) -> str:
                    os.path.join(tmp, "global_overlap.parquet"))
     pq.write_table(GX.golden_mst_clusters(world),
                    os.path.join(tmp, "mst_clusters.parquet"))
+    pq.write_table(GX.golden_exact_symdiff(world, DEFAULT, res_a=res,
+                                           res_b=res_b),
+                   os.path.join(tmp, "exact_symdiff.parquet"))
     open(os.path.join(tmp, "_done"), "w").write("ok")
     try:
         os.rename(tmp, d)

@@ -212,7 +212,8 @@ def golden_tile_features(world_dir: str) -> pa.Table:
 
 def golden_boundary_score(world_dir: str,
                           cfg: DelineationConfig = DEFAULT,
-                          res_a: dict | None = None) -> pa.Table:
+                          res_a: dict | None = None,
+                          res_b: dict | None = None) -> pa.Table:
     """Score the single-process oracle's boundary against the closing_k=1
     variant — the same comparison the engine query runs distributed."""
     from ibray import oracle
@@ -221,7 +222,8 @@ def golden_boundary_score(world_dir: str,
 
     if res_a is None:
         res_a = oracle.run_oracle(world_dir, cfg)
-    res_b = oracle.run_oracle(world_dir, DelineationConfig(closing_k=1))
+    if res_b is None:
+        res_b = oracle.run_oracle(world_dir, DelineationConfig(closing_k=1))
 
     def _tbl(res) -> pa.Table:
         rings = [[np.array([[p["x"], p["y"]] for p in ring])
@@ -262,13 +264,12 @@ def _blocks_single(world_dir: str, cfg: DelineationConfig = DEFAULT):
         faces = arrange.polygonize_segments(np.concatenate([clipped, outline]))
         if not faces:
             continue
-        cents = np.array([[f[:, 0].mean(), f[:, 1].mean()] for f in faces])
+        cents = np.array([[f[0][:, 0].mean(), f[0][:, 1].mean()] for f in faces])
         order = np.lexsort((cents[:, 1], cents[:, 0]))
         for rank, fi in enumerate(order):
-            ring = faces[fi]
-            off = np.array([0, len(ring)])
-            area = float(geom.ring_area(ring[:, 0], ring[:, 1], off)[0])
-            rows.append((f"b{int(part)}_{rank:04d}", int(part), area, ring))
+            region = faces[fi]
+            area = arrange.region_area(region)
+            rows.append((f"b{int(part)}_{rank:04d}", int(part), area, region))
     return rows
 
 
@@ -282,14 +283,15 @@ def golden_block_overlap(world_dir: str,
     py = fp["cy"].to_numpy()
     acm2 = np.round(fp["area_m2"].to_numpy() * 1e4).astype(np.int64)
     assigned = np.full(len(px), "", dtype=object)
-    for bid, part, area, ring in sorted(blocks, key=lambda r: r[0]):
+    for bid, part, area, region in sorted(blocks, key=lambda r: r[0]):
+        ring = region[0]
         mn = ring.min(axis=0)
         mx = ring.max(axis=0)
         cand = np.nonzero((px >= mn[0]) & (px <= mx[0]) &
                           (py >= mn[1]) & (py <= mx[1]))[0]
         if not len(cand):
             continue
-        inside = geom.points_in_ring(px[cand], py[cand], ring[:, 0], ring[:, 1])
+        inside = geom.points_in_polygon(px[cand], py[cand], region)
         assigned[cand[inside]] = bid
     df = pd.DataFrame({"block_id": assigned, "area_cm2": acm2})
     df = df[df["block_id"] != ""]
@@ -316,8 +318,8 @@ def golden_global_overlap(world_dir: str,
     fp = _fp_table_single(world_dir)
     mass = hg.dilate(np.unique(fp["cell_r9"].to_numpy(dtype=np.int64)), 1)
     inner_ids = set()
-    for bid, part, area, ring in blocks:
-        core = _face_cells(ring, cfg)
+    for bid, part, area, region in blocks:
+        core = _face_cells(region, cfg)
         if len(core) and np.isin(core, mass).all():
             inner_ids.add(bid)
     inner = ov[(ov["block_id"].isin(inner_ids))
@@ -398,6 +400,55 @@ def golden_mst_clusters(world_dir: str, cfg: DelineationConfig = DEFAULT,
         "group_key": pa.array(out_g, type=pa.string()),
         "rect_area_m2": pa.array(out_a, type=pa.float64()),
     })
+
+
+def _oracle_settlement_table(res: dict) -> pa.Table:
+    """Oracle settlements → the (boundary, cover_cells) arrow shape the
+    overlay operators consume."""
+    from ibray.ops.cluster import rings_to_arrow
+
+    rings = [[np.array([[p["x"], p["y"]] for p in ring])
+              for ring in s["boundary"]] for s in res["settlements"]]
+    covers = [np.asarray(s["cover_cells"], dtype=np.int64)
+              for s in res["settlements"]]
+    cnt = np.array([len(c) for c in covers], dtype=np.int64)
+    cover_col = pa.ListArray.from_arrays(
+        pa.array(np.concatenate([[0], np.cumsum(cnt)]), type=pa.int32()),
+        pa.array(np.concatenate(covers) if covers else np.zeros(0, np.int64),
+                 type=pa.int64()))
+    return pa.table({"boundary": rings_to_arrow(rings),
+                     "cover_cells": cover_col})
+
+
+def golden_exact_symdiff(world_dir: str, cfg: DelineationConfig = DEFAULT,
+                         res_a: dict | None = None,
+                         res_b: dict | None = None) -> pa.Table:
+    """Exact-geometry SymDiff oracle: the same per-partition three-way
+    overlay (shared kernel), one partition at a time in one process, over
+    the single-process oracle's settlements."""
+    from ibray import oracle
+    from ibray.ops import overlay as OV
+
+    if res_a is None:
+        res_a = oracle.run_oracle(world_dir, cfg)
+    if res_b is None:
+        res_b = oracle.run_oracle(world_dir, DelineationConfig(closing_k=1))
+    ta = _oracle_settlement_table(res_a)
+    tb = _oracle_settlement_table(res_b)
+    rings_a = OV.settlement_rings(ta)
+    rings_b = OV.settlement_rings(tb)
+    pa_parts = OV._parts_of(ta, cfg)
+    pb_parts = OV._parts_of(tb, cfg)
+    out = []
+    for p in sorted(set(pa_parts) | set(pb_parts)):
+        ra = [r for i in pa_parts.get(p, []) for r in rings_a[i]]
+        rb = [r for i in pb_parts.get(p, []) for r in rings_b[i]]
+        t = OV.symdiff_part(p, ra, rb)
+        if t.num_rows:
+            out.append(t)
+    if not out:
+        return OV._empty_patches()
+    return pa.concat_tables(out).sort_by("patch_id")
 
 
 # ------------------------------------------------- driver-table goldens ----

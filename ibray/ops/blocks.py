@@ -64,16 +64,17 @@ def road_segments_to_parts(batch: pa.Table, cfg: DelineationConfig) -> pa.Table:
     })
 
 
-def _face_cells(ring: np.ndarray, cfg: DelineationConfig) -> np.ndarray:
-    """Mid-res cells whose centers lie inside the face (the block's core
+def _face_cells(region: list[np.ndarray], cfg: DelineationConfig) -> np.ndarray:
+    """Mid-res cells whose centers lie inside the region (the block's core
     cell set; half-cell sampling so no interior cell is missed)."""
+    ring = region[0]
     spacing = np.sqrt(3.0) * hg.edge_length_m(cfg.res_mid)
     mn = ring.min(axis=0) - spacing
     mx = ring.max(axis=0) + spacing
     gx, gy = np.meshgrid(np.arange(mn[0], mx[0], spacing / 2),
                          np.arange(mn[1], mx[1], spacing / 2))
     gx, gy = gx.ravel(), gy.ravel()
-    inside = geom.points_in_ring(gx, gy, ring[:, 0], ring[:, 1])
+    inside = geom.points_in_polygon(gx, gy, region)
     return np.unique(hg.encode(gx[inside], gy[inside], cfg.res_mid))
 
 
@@ -90,17 +91,16 @@ def polygonize_part(group: pa.Table, cfg: DelineationConfig) -> pa.Table:
     faces = arrange.polygonize_segments(np.concatenate([clipped, outline]))
     if not faces:
         return _empty_blocks()
-    # deterministic ids: faces ordered by centroid
-    cents = np.array([[f[:, 0].mean(), f[:, 1].mean()] for f in faces])
+    # deterministic ids: regions ordered by outer-ring centroid
+    cents = np.array([[f[0][:, 0].mean(), f[0][:, 1].mean()] for f in faces])
     order = np.lexsort((cents[:, 1], cents[:, 0]))
     rows_id, rows_area, rings, covers, cores = [], [], [], [], []
     for rank, fi in enumerate(order):
-        ring = faces[fi]
-        off = np.array([0, len(ring)])
+        region = faces[fi]
         rows_id.append(f"b{part}_{rank:04d}")
-        rows_area.append(float(geom.ring_area(ring[:, 0], ring[:, 1], off)[0]))
-        rings.append([ring])
-        core = _face_cells(ring, cfg)
+        rows_area.append(arrange.region_area(region))
+        rings.append(region)
+        core = _face_cells(region, cfg)
         cores.append(core)
         covers.append(hg.dilate(core, 1) if len(core) else core)
     from ibray.ops.cluster import rings_to_arrow

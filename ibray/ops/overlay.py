@@ -1,0 +1,141 @@
+"""Exact-geometry polygon overlay operators (U2 Intersect / U3 SymDiff /
+U4 Erase / U5 Clip) as distributed table ops.
+
+The flagship consumer is the Error_Classification preparation step
+(/root/reference/Error_Classification.py:253-289): SymDiff of a computed
+boundary against an expert boundary, single-part patches, POS (computed
+only) / NEG (expert only) labels, per-patch areas.  Here both boundary sets
+are clipped to each coarse partition hexagon and the three-way overlay
+(A, B, hexagon) runs per partition — patches that cross a partition border
+are split at it (documented semantics; deterministic, and the golden oracle
+computes the identical per-partition decomposition).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from ibray import arrange
+from ibray import hexgrid as hg
+from ibray.config import DEFAULT, DelineationConfig
+
+
+def settlement_rings(settlements: pa.Table) -> list[list[np.ndarray]]:
+    """boundary column → per-settlement list of (k,2) rings."""
+    boundary = settlements.column("boundary")
+    boundary = boundary.combine_chunks() if isinstance(boundary, pa.ChunkedArray) else boundary
+    poly_off = np.asarray(boundary.offsets, dtype=np.int64)
+    rings = boundary.values
+    ring_off = np.asarray(rings.offsets, dtype=np.int64)
+    pts = rings.values
+    xs = np.asarray(pts.field("x"), dtype=np.float64)
+    ys = np.asarray(pts.field("y"), dtype=np.float64)
+    out = []
+    for i in range(len(poly_off) - 1):
+        rs = []
+        for r in range(poly_off[i], poly_off[i + 1]):
+            s, e = ring_off[r], ring_off[r + 1]
+            rs.append(np.column_stack([xs[s:e], ys[s:e]]))
+        out.append(rs)
+    return out
+
+
+def _parts_of(settlements: pa.Table, cfg: DelineationConfig) -> dict[int, list[int]]:
+    """part_cell → settlement row indices (from cover-cell parents)."""
+    cover = settlements.column("cover_cells")
+    cover = cover.combine_chunks() if isinstance(cover, pa.ChunkedArray) else cover
+    offs = np.asarray(cover.offsets, dtype=np.int64)
+    flat = np.asarray(cover.values, dtype=np.int64)
+    srow = np.repeat(np.arange(len(settlements)), np.diff(offs))
+    parts = hg.parent(flat, cfg.res_part)
+    pairs = np.unique(np.column_stack([parts, srow]), axis=0)
+    out: dict[int, list[int]] = {}
+    for p, r in pairs:
+        out.setdefault(int(p), []).append(int(r))
+    return out
+
+
+def symdiff_part(part: int, rings_a: list[np.ndarray],
+                 rings_b: list[np.ndarray]) -> pa.Table:
+    """One partition's three-way overlay → labeled symdiff patches."""
+    hex_ring = hg.cell_boundary(np.array([part], dtype=np.int64))[0]
+    regions, member = arrange.overlay_many([rings_a, rings_b, [hex_ring]])
+    keep = [i for i in range(len(regions))
+            if member[i, 2] and member[i, 0] != member[i, 1]]
+    if not keep:
+        return _empty_patches()
+    cents = np.array([[regions[i][0][:, 0].mean(), regions[i][0][:, 1].mean()]
+                      for i in keep])
+    order = np.lexsort((cents[:, 1], cents[:, 0]))
+    ids, sides, areas = [], [], []
+    for rank, oi in enumerate(order):
+        i = keep[oi]
+        ids.append(f"p{part}_{rank:04d}")
+        sides.append("pos" if member[i, 0] else "neg")
+        areas.append(arrange.region_area(regions[i]))
+    return pa.table({
+        "patch_id": pa.array(ids, type=pa.string()),
+        "part_cell": pa.array(np.full(len(ids), part), type=pa.int64()),
+        "side": pa.array(sides, type=pa.string()),
+        "area_m2": pa.array(areas, type=pa.float64()),
+    })
+
+
+def _empty_patches() -> pa.Table:
+    return pa.table({
+        "patch_id": pa.array([], type=pa.string()),
+        "part_cell": pa.array([], type=pa.int64()),
+        "side": pa.array([], type=pa.string()),
+        "area_m2": pa.array([], type=pa.float64()),
+    })
+
+
+def exact_symdiff(settlements_a: pa.Table, settlements_b: pa.Table,
+                  cfg: DelineationConfig = DEFAULT) -> pa.Table:
+    """SymDiff(A, B) patches, computed per coarse partition in parallel
+    (rd.from_items over parts → map_batches overlay)."""
+    rings_a = settlement_rings(settlements_a)
+    rings_b = settlement_rings(settlements_b)
+    pa_parts = _parts_of(settlements_a, cfg)
+    pb_parts = _parts_of(settlements_b, cfg)
+    all_parts = sorted(set(pa_parts) | set(pb_parts))
+    def _pack(rings: list[np.ndarray]):
+        """ring list → flat coords + offsets (serialization-friendly)."""
+        offs = [0]
+        for r in rings:
+            offs.append(offs[-1] + len(r))
+        flat = (np.concatenate(rings, axis=0) if rings
+                else np.zeros((0, 2)))
+        return flat[:, 0].tolist(), flat[:, 1].tolist(), offs
+
+    items = []
+    for p in all_parts:
+        ra = [r for i in pa_parts.get(p, []) for r in rings_a[i]]
+        rb = [r for i in pb_parts.get(p, []) for r in rings_b[i]]
+        ax, ay, ao = _pack(ra)
+        bx, by, bo = _pack(rb)
+        items.append({"part": p, "ax": ax, "ay": ay, "ao": ao,
+                      "bx": bx, "by": by, "bo": bo})
+    if not items:
+        return _empty_patches()
+
+    def _unpack(xs, ys, offs):
+        xs = np.asarray(xs, dtype=np.float64)
+        ys = np.asarray(ys, dtype=np.float64)
+        offs = np.asarray(offs, dtype=np.int64)
+        return [np.column_stack([xs[offs[i]:offs[i + 1]],
+                                 ys[offs[i]:offs[i + 1]]])
+                for i in range(len(offs) - 1)]
+
+    def _run(row: dict) -> list[dict]:
+        t = symdiff_part(int(row["part"]),
+                         _unpack(row["ax"], row["ay"], row["ao"]),
+                         _unpack(row["bx"], row["by"], row["bo"]))
+        return t.to_pylist()
+
+    ds = rd.from_items(items).flat_map(_run)
+    from ibray import pipeline
+
+    return pipeline._concat_refs(ds, _empty_patches().schema).sort_by("patch_id")

@@ -53,7 +53,7 @@ def run_oracle(world_dir: str, cfg: DelineationConfig = DEFAULT) -> dict:
         if len(g) < cfg.min_footprints:
             continue
         comp_cells = np.unique(g["cell_fine"].to_numpy(dtype=np.int64))
-        rings, area, _cover = polygonize_cells(comp_cells, cfg)
+        rings, area, cover = polygonize_cells(comp_cells, cfg)
         settlements.append(
             {
                 "settlement_id": f"s{int(label)}",
@@ -63,6 +63,7 @@ def run_oracle(world_dir: str, cfg: DelineationConfig = DEFAULT) -> dict:
                 "part_cell": int(hg.parent(np.array([label], dtype=np.int64), cfg.res_part)[0]),
                 "boundary": [[{"x": float(x), "y": float(y)} for x, y in r]
                              for r in rings],
+                "cover_cells": cover.tolist(),
                 "_rings_np": rings,
             }
         )

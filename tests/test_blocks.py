@@ -16,9 +16,7 @@ def test_polygonize_grid():
     faces = arrange.polygonize_segments(np.array(segs, float))
     assert len(faces) == 9
     for f in faces:
-        x, y = f[:, 0], f[:, 1]
-        area = 0.5 * (np.dot(x, np.roll(y, -1)) - np.dot(np.roll(x, -1), y))
-        assert abs(area - 100.0) < 1e-6  # CCW unit blocks
+        assert abs(arrange.region_area(f) - 100.0) < 1e-6  # CCW unit blocks
 
 
 def test_polygonize_ignores_dangles():
@@ -28,12 +26,8 @@ def test_polygonize_ignores_dangles():
     segs = np.array([[0, 0, 10, 0], [10, 0, 10, 10], [10, 10, 0, 10],
                      [0, 10, 0, 0], [5, 5, 5, 20]], float)
     faces = arrange.polygonize_segments(segs)
-    areas = []
-    for f in faces:
-        x, y = f[:, 0], f[:, 1]
-        areas.append(0.5 * (np.dot(x, np.roll(y, -1)) - np.dot(np.roll(x, -1), y)))
     assert len(faces) == 1
-    assert abs(areas[0] - 100.0) < 1e-6  # spur cancels in the shoelace
+    assert abs(arrange.region_area(faces[0]) - 100.0) < 1e-6  # spur cancels
 
 
 def test_clip_segments_convex():
@@ -73,3 +67,37 @@ def test_global_overlap_threshold(ray_session, world):
     t = B.global_overlap_threshold(world, fp).to_pandas()
     assert len(t) == 1
     assert t["global_overlap_pct"].iloc[0] > 0
+
+
+def test_polygon_boolean_ops():
+    from ibray import arrange
+
+    area = lambda regs: sum(arrange.region_area(r) for r in regs)
+    sq = lambda x0, y0, s: np.array(
+        [[x0, y0], [x0 + s, y0], [x0 + s, y0 + s], [x0, y0 + s]], float)
+    a = [sq(0, 0, 10)]
+    b = [sq(5, 5, 10)]
+    assert abs(area(arrange.polygon_intersect(a, b)) - 25) < 1e-6  # U2
+    assert abs(area(arrange.polygon_erase(a, b)) - 75) < 1e-6      # U4
+    sd, side = arrange.polygon_symdiff(a, b)                       # U3
+    assert abs(area(sd) - 150) < 1e-6
+    assert sorted(side.tolist()) == [False, True]
+    assert abs(area(arrange.polygon_clip(a, sq(5, 5, 10))) - 25) < 1e-6  # U5
+    # holes via even-odd and hole attachment in the arrangement
+    holey = [sq(0, 0, 10), sq(2, 2, 6)]
+    assert abs(area(arrange.polygon_intersect(holey, [sq(0, 0, 10)])) - 64) < 1e-6
+
+
+def test_exact_symdiff_matches_golden(ray_session, world):
+    from ibray import golden_extra as GX
+    from ibray import pipeline
+    from ibray.config import DelineationConfig
+    from ibray.ops import overlay as OV
+
+    a = pipeline.delineate(world)["settlements"]
+    b = pipeline.delineate(world, cfg=DelineationConfig(closing_k=1))["settlements"]
+    e = OV.exact_symdiff(a, b).to_pandas().reset_index(drop=True)
+    g = GX.golden_exact_symdiff(world).to_pandas().reset_index(drop=True)
+    assert e.equals(g)
+    assert len(e) > 0
+    assert (e["area_m2"] > 0).all()
