@@ -293,6 +293,36 @@ def _q_exact_symdiff(sf_dir: str):
         {"area_m2": 2})
 
 
+def _edge_catch_cached(sf: float):
+    key = ("edge_catch", sf)
+    if key not in _CACHE:
+        from ibray import pipeline
+        from ibray.ops import blocks as B
+        from ibray.ops import edgecatch as EC
+
+        world = synth.ensure_world(sf)
+        fp = pipeline.footprint_dataset(world)
+        settlements = _delineate_cached(sf)["settlements"]
+        blocks = pipeline._concat_refs(B.blocks_dataset(world),
+                                       B._empty_blocks().schema)
+        _CACHE[key] = EC.edge_catch(fp, settlements, blocks)
+    return _CACHE[key]
+
+
+def _q_edge_catch(sf_dir: str):
+    sf = synth.sf_of_dir(sf_dir)
+    golden.ensure_golden(sf)
+    refined, _ = _edge_catch_cached(sf)
+    return _scale_cols(refined, {"area_m2": 2, "refined_area_m2": 2})
+
+
+def _q_gap_fix(sf_dir: str):
+    sf = synth.sf_of_dir(sf_dir)
+    golden.ensure_golden(sf)
+    _, merges = _edge_catch_cached(sf)
+    return merges
+
+
 def _q_mst_clusters(sf_dir: str):
     from ibray import pipeline
     from ibray.ops import mstcluster as MC
@@ -356,6 +386,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boundary_score": _q_boundary_score,  # golden oracle (scoring harness)
         "compute_partitions": _q_partitions,  # golden oracle (Partitioning.pyt analog)
         "exact_symdiff": _q_exact_symdiff,    # golden oracle (U2-U5 overlay)
+        "edge_catch_refined": _q_edge_catch,  # golden oracle (EdgeCatch analog)
+        "gap_fix_merges": _q_gap_fix,         # golden oracle (GapFix analog)
         "mst_clusters": _q_mst_clusters,      # golden oracle (greedy rect-ratio)
         "block_overlap": _q_block_overlap,    # golden oracle (Blocker + A3)
         "global_overlap": _q_global_overlap,  # golden oracle (A4 threshold)
@@ -509,6 +541,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROUND(area_m2 * 100) AS BIGINT) AS area_m2,
                    CAST(ROUND(share_pct * 1000000) AS BIGINT) AS share_pct
             FROM read_parquet('{gold}/boundary_score.parquet')
+        """,
+        "edge_catch_refined": f"""
+            SELECT settlement_id,
+                   CAST(ROUND(area_m2 * 100) AS BIGINT) AS area_m2,
+                   CAST(ROUND(refined_area_m2 * 100) AS BIGINT) AS refined_area_m2,
+                   n_blocks_snapped
+            FROM read_parquet('{gold}/edge_catch.parquet')
+        """,
+        "gap_fix_merges": f"""
+            SELECT settlement_id, merged_id
+            FROM read_parquet('{gold}/gap_fix.parquet')
         """,
         "exact_symdiff": f"""
             SELECT patch_id, part_cell, side,

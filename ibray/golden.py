@@ -89,6 +89,9 @@ def ensure_golden(sf: float) -> str:
     pq.write_table(GX.golden_exact_symdiff(world, DEFAULT, res_a=res,
                                            res_b=res_b),
                    os.path.join(tmp, "exact_symdiff.parquet"))
+    ec_refined, ec_merges = GX.golden_edge_catch(world, DEFAULT, res_a=res)
+    pq.write_table(ec_refined, os.path.join(tmp, "edge_catch.parquet"))
+    pq.write_table(ec_merges, os.path.join(tmp, "gap_fix.parquet"))
     open(os.path.join(tmp, "_done"), "w").write("ok")
     try:
         os.rename(tmp, d)

@@ -451,6 +451,90 @@ def golden_exact_symdiff(world_dir: str, cfg: DelineationConfig = DEFAULT,
     return pa.concat_tables(out).sort_by("patch_id")
 
 
+def golden_edge_catch(world_dir: str, cfg: DelineationConfig = DEFAULT,
+                      res_a: dict | None = None):
+    """EdgeCatch/GapFix oracle: brute-force dual assignment over the oracle
+    settlements and the single-process blocks, same snap gate / erase /
+    union-find spec, one process.  Returns (refined, merges)."""
+    from ibray import arrange, oracle
+    from ibray.ops.edgecatch import SNAP_AREA_FACTOR
+
+    if res_a is None:
+        res_a = oracle.run_oracle(world_dir, cfg)
+    blocks = _blocks_single(world_dir, cfg)
+    fp = _fp_table_single(world_dir, cfg)
+    px = fp["cx"].to_numpy()
+    py = fp["cy"].to_numpy()
+    # footprint → block (brute force, sorted block order)
+    b_assigned = np.full(len(px), "", dtype=object)
+    region_of_b = {}
+    area_of_b = {}
+    for bid, part, area, region in sorted(blocks, key=lambda r: r[0]):
+        region_of_b[bid] = region
+        area_of_b[bid] = area
+        ring = region[0]
+        mn = ring.min(axis=0)
+        mx = ring.max(axis=0)
+        cand = np.nonzero((px >= mn[0]) & (px <= mx[0]) &
+                          (py >= mn[1]) & (py <= mx[1]))[0]
+        if not len(cand):
+            continue
+        inside = geom.points_in_polygon(px[cand], py[cand], region)
+        b_assigned[cand[inside]] = bid
+    # footprint → settlement from the oracle's own assignments (row-aligned)
+    s_assigned = np.asarray(res_a["assignments"].column("settlement_id"))
+    rings_of_s = {}
+    area_of_s = {}
+    for s in res_a["settlements"]:
+        rings_of_s[s["settlement_id"]] = [
+            np.array([[p["x"], p["y"]] for p in ring]) for ring in s["boundary"]]
+        area_of_s[s["settlement_id"]] = s["area_m2"]
+    both = (s_assigned != "") & (b_assigned != "")
+    pairs = pd.DataFrame({"settlement_id": s_assigned[both],
+                          "block_id": b_assigned[both]})
+    cnt = pairs.groupby(["settlement_id", "block_id"]).size().reset_index()
+    snap_rows = [(s, b) for s, b in zip(cnt["settlement_id"], cnt["block_id"])
+                 if area_of_b[b] < SNAP_AREA_FACTOR * area_of_s[s]]
+    gain_cm2: dict[str, int] = {}
+    nsnap: dict[str, int] = {}
+    for s, b in snap_rows:
+        regions = arrange.polygon_erase(region_of_b[b], rings_of_s[s])
+        gain = sum(arrange.region_area(r) for r in regions)
+        gain_cm2[s] = gain_cm2.get(s, 0) + int(round(gain * 1e4))
+        nsnap[s] = nsnap.get(s, 0) + 1
+    sids = sorted(rings_of_s)
+    refined = pa.table({
+        "settlement_id": pa.array(sids, type=pa.string()),
+        "area_m2": pa.array([area_of_s[s] for s in sids]),
+        "refined_area_m2": pa.array(
+            [area_of_s[s] + gain_cm2.get(s, 0) / 1e4 for s in sids]),
+        "n_blocks_snapped": pa.array([nsnap.get(s, 0) for s in sids],
+                                     type=pa.int64()),
+    })
+    parent: dict[str, str] = {}
+
+    def find(u: str) -> str:
+        while parent.get(u, u) != u:
+            u = parent[u]
+        return u
+
+    by_block: dict[str, list[str]] = {}
+    for s, b in snap_rows:
+        by_block.setdefault(b, []).append(s)
+    for b in sorted(by_block):
+        ss = sorted(set(by_block[b]))
+        for other in ss[1:]:
+            ra, rb = find(ss[0]), find(other)
+            if ra != rb:
+                lo, hi = sorted((ra, rb))
+                parent[hi] = lo
+    merges = pa.table({
+        "settlement_id": pa.array(sids, type=pa.string()),
+        "merged_id": pa.array([find(s) for s in sids], type=pa.string()),
+    })
+    return refined, merges
+
+
 # ------------------------------------------------- driver-table goldens ----
 
 

@@ -1,0 +1,32 @@
+"""EdgeCatch + GapFix analogs vs the single-process golden."""
+
+import pytest
+
+from ibray import synth
+
+
+@pytest.fixture(scope="module")
+def world():
+    return synth.ensure_world(0.001)
+
+
+def test_edge_catch_matches_golden(ray_session, world):
+    from ibray import golden_extra as GX
+    from ibray import pipeline
+    from ibray.ops import blocks as B
+    from ibray.ops import edgecatch as EC
+
+    fp = pipeline.footprint_dataset(world)
+    settlements = pipeline.delineate(world)["settlements"]
+    blocks = pipeline._concat_refs(B.blocks_dataset(world),
+                                   B._empty_blocks().schema)
+    refined, merges = EC.edge_catch(fp, settlements, blocks)
+    g_refined, g_merges = GX.golden_edge_catch(world)
+    assert refined.to_pandas().reset_index(drop=True).equals(
+        g_refined.to_pandas().reset_index(drop=True))
+    assert merges.to_pandas().reset_index(drop=True).equals(
+        g_merges.to_pandas().reset_index(drop=True))
+    r = refined.to_pandas()
+    # snapping can only grow a settlement
+    assert (r["refined_area_m2"] >= r["area_m2"] - 1e-9).all()
+    assert r["n_blocks_snapped"].sum() > 0
