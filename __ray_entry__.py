@@ -323,6 +323,44 @@ def _q_gap_fix(sf_dir: str):
     return merges
 
 
+def _blocks_cached(sf: float):
+    key = ("blocks", sf)
+    if key not in _CACHE:
+        from ibray import pipeline
+        from ibray.ops import blocks as B
+
+        world = synth.ensure_world(sf)
+        _CACHE[key] = pipeline._concat_refs(B.blocks_dataset(world),
+                                            B._empty_blocks().schema)
+    return _CACHE[key]
+
+
+def _q_spatial_join(sf_dir: str):
+    """J3 SpatialJoin ONE_TO_ONE: settlements x blocks INTERSECT."""
+    from ibray.ops import spatialjoin as SJ
+
+    sf = synth.sf_of_dir(sf_dir)
+    golden.ensure_golden(sf)
+    res = _delineate_cached(sf)
+    return SJ.spatial_join(res["settlements"], _blocks_cached(sf))
+
+
+def _q_settlement_parts(sf_dir: str):
+    """M13 multipart -> singlepart over the settlement boundaries."""
+    import ray.data as rd
+
+    from ibray.ops import overlay as OV
+
+    sf = synth.sf_of_dir(sf_dir)
+    golden.ensure_golden(sf)
+    res = _delineate_cached(sf)
+    parts = rd.from_arrow(res["settlements"].select(
+        ["settlement_id", "boundary"])).map_batches(
+        OV.explode_multipart, batch_format="pyarrow")
+    return _scale_cols(parts.select_columns(["part_id", "area_m2"]),
+                       {"area_m2": 2})
+
+
 def _q_mst_clusters(sf_dir: str):
     from ibray import pipeline
     from ibray.ops import mstcluster as MC
@@ -387,6 +425,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compute_partitions": _q_partitions,  # golden oracle (Partitioning.pyt analog)
         "exact_symdiff": _q_exact_symdiff,    # golden oracle (U2-U5 overlay)
         "edge_catch_refined": _q_edge_catch,  # golden oracle (EdgeCatch analog)
+        "spatial_join_blocks": _q_spatial_join,   # golden oracle (J3 generic)
+        "settlement_parts": _q_settlement_parts,  # golden oracle (M13 explode)
         "gap_fix_merges": _q_gap_fix,         # golden oracle (GapFix analog)
         "mst_clusters": _q_mst_clusters,      # golden oracle (greedy rect-ratio)
         "block_overlap": _q_block_overlap,    # golden oracle (Blocker + A3)
@@ -541,6 +581,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROUND(area_m2 * 100) AS BIGINT) AS area_m2,
                    CAST(ROUND(share_pct * 1000000) AS BIGINT) AS share_pct
             FROM read_parquet('{gold}/boundary_score.parquet')
+        """,
+        "spatial_join_blocks": f"""
+            SELECT settlement_id, join_count, first_block_id
+            FROM read_parquet('{gold}/spatial_join.parquet')
+        """,
+        "settlement_parts": f"""
+            SELECT part_id, CAST(ROUND(area_m2 * 100) AS BIGINT) AS area_m2
+            FROM read_parquet('{gold}/settlement_parts.parquet')
         """,
         "edge_catch_refined": f"""
             SELECT settlement_id,

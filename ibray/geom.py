@@ -251,6 +251,30 @@ def main_angle(x1, y1, x2, y2, lengths=None) -> float:
 # ------------------------------------------------------- parsing / formatting
 
 
+def vector_angle(xy11, xy12, xy21, xy22) -> float:
+    """Angle between two straight lines sharing a point, in degrees —
+    the reference's VectorAngle (IB-Tool2.py:515-557), including its
+    central-point reordering and the direction fold applied when the two
+    non-shared endpoints have equal y (the 'direction is calculated'
+    branch fires whenever xy11[1] == xy22[1] after reordering)."""
+    pts = [tuple(xy11), tuple(xy12), tuple(xy21), tuple(xy22)]
+    if pts.count(pts[0]) == 2:  # xy11 is the central point
+        if pts[2] != pts[0]:
+            pts[2], pts[3] = pts[3], pts[2]
+    else:  # xy12 is the central point
+        pts[0], pts[1] = pts[1], pts[0]
+        if pts[2] != pts[0]:
+            pts[2], pts[3] = pts[3], pts[2]
+    v1 = np.array([pts[1][0] - pts[0][0], pts[1][1] - pts[0][1]], dtype=float)
+    v2 = np.array([pts[3][0] - pts[2][0], pts[3][1] - pts[2][1]], dtype=float)
+    cos_a = float(np.dot(v1, v2) / (np.linalg.norm(v1) * np.linalg.norm(v2)))
+    ang = float(np.degrees(np.arccos(np.clip(cos_a, -1.0, 1.0))))
+    if pts[0][1] == pts[3][1]:
+        if v1[1] <= 0:
+            ang = 180.0 - ang
+    return ang
+
+
 def parse_ring_text(text: str) -> np.ndarray:
     """Parse the span geometry payload ``"x1 y1,x2 y2,...,xn yn"`` (FIXTURES.md §1)
     into an (n, 2) float array."""

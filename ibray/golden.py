@@ -92,6 +92,10 @@ def ensure_golden(sf: float) -> str:
     ec_refined, ec_merges = GX.golden_edge_catch(world, DEFAULT, res_a=res)
     pq.write_table(ec_refined, os.path.join(tmp, "edge_catch.parquet"))
     pq.write_table(ec_merges, os.path.join(tmp, "gap_fix.parquet"))
+    pq.write_table(GX.golden_spatial_join(world, DEFAULT, res_a=res),
+                   os.path.join(tmp, "spatial_join.parquet"))
+    pq.write_table(GX.golden_settlement_parts(world, DEFAULT, res_a=res),
+                   os.path.join(tmp, "settlement_parts.parquet"))
     open(os.path.join(tmp, "_done"), "w").write("ok")
     try:
         os.rename(tmp, d)

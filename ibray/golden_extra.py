@@ -403,8 +403,8 @@ def golden_mst_clusters(world_dir: str, cfg: DelineationConfig = DEFAULT,
 
 
 def _oracle_settlement_table(res: dict) -> pa.Table:
-    """Oracle settlements → the (boundary, cover_cells) arrow shape the
-    overlay operators consume."""
+    """Oracle settlements → the (settlement_id, boundary, cover_cells)
+    arrow shape the overlay operators consume."""
     from ibray.ops.cluster import rings_to_arrow
 
     rings = [[np.array([[p["x"], p["y"]] for p in ring])
@@ -416,8 +416,23 @@ def _oracle_settlement_table(res: dict) -> pa.Table:
         pa.array(np.concatenate([[0], np.cumsum(cnt)]), type=pa.int32()),
         pa.array(np.concatenate(covers) if covers else np.zeros(0, np.int64),
                  type=pa.int64()))
-    return pa.table({"boundary": rings_to_arrow(rings),
-                     "cover_cells": cover_col})
+    return pa.table({
+        "settlement_id": pa.array([s["settlement_id"] for s in res["settlements"]],
+                                  type=pa.string()),
+        "boundary": rings_to_arrow(rings),
+        "cover_cells": cover_col})
+
+
+def golden_settlement_parts(world_dir: str, cfg: DelineationConfig = DEFAULT,
+                            res_a: dict | None = None) -> pa.Table:
+    """M13 multipart→singlepart oracle (shared kernel, oracle settlements)."""
+    from ibray import oracle
+    from ibray.ops.overlay import explode_multipart
+
+    if res_a is None:
+        res_a = oracle.run_oracle(world_dir, cfg)
+    t = explode_multipart(_oracle_settlement_table(res_a))
+    return t.select(["part_id", "area_m2"])
 
 
 def golden_exact_symdiff(world_dir: str, cfg: DelineationConfig = DEFAULT,
@@ -533,6 +548,43 @@ def golden_edge_catch(world_dir: str, cfg: DelineationConfig = DEFAULT,
         "merged_id": pa.array([find(s) for s in sids], type=pa.string()),
     })
     return refined, merges
+
+
+def golden_spatial_join(world_dir: str, cfg: DelineationConfig = DEFAULT,
+                        res_a: dict | None = None) -> pa.Table:
+    """J3 ONE_TO_ONE oracle: all-pairs shared-cover candidates + the shared
+    exact intersect predicate, one process."""
+    from ibray import oracle
+    from ibray.ops.blocks import _face_cells
+    from ibray.ops.spatialjoin import _rings_intersect
+
+    if res_a is None:
+        res_a = oracle.run_oracle(world_dir, cfg)
+    blocks = _blocks_single(world_dir, cfg)
+    b_cover = {}
+    b_rings = {}
+    for bid, part, area, region in blocks:
+        core = _face_cells(region, cfg)
+        b_cover[bid] = set((hg.dilate(core, 1) if len(core) else core).tolist())
+        b_rings[bid] = region
+    out_sid, out_cnt, out_first = [], [], []
+    for s in res_a["settlements"]:
+        sid = s["settlement_id"]
+        cover = set(s["cover_cells"])
+        rings = [np.array([[p["x"], p["y"]] for p in ring])
+                 for ring in s["boundary"]]
+        hits = []
+        for bid in sorted(b_cover):
+            if b_cover[bid] & cover and _rings_intersect(rings, b_rings[bid]):
+                hits.append(bid)
+        out_sid.append(sid)
+        out_cnt.append(len(hits))
+        out_first.append(hits[0] if hits else "")
+    return pa.table({
+        "settlement_id": pa.array(out_sid, type=pa.string()),
+        "join_count": pa.array(out_cnt, type=pa.int64()),
+        "first_block_id": pa.array(out_first, type=pa.string()),
+    })
 
 
 # ------------------------------------------------- driver-table goldens ----

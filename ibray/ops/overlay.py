@@ -42,6 +42,50 @@ def settlement_rings(settlements: pa.Table) -> list[list[np.ndarray]]:
     return out
 
 
+def explode_multipart(batch: pa.Table, id_col: str = "settlement_id") -> pa.Table:
+    """M13 multipart→singlepart (reference IB-Tool2.py:877, 937, 1846, 1875):
+    one output row per positive (CCW) ring, holes (CW rings) attached to the
+    part whose outer ring contains them; per-part exact area.  A plain
+    pyarrow batch transform — run via map_batches over the polygon table."""
+    from ibray import geom
+
+    polys = settlement_rings(batch)
+    ids = np.asarray(batch.column(id_col))
+    out_id, out_area, out_rings = [], [], []
+    for rid, rings in zip(ids, polys):
+        signed = []
+        for r in rings:
+            x, y = r[:, 0], r[:, 1]
+            signed.append(0.5 * float(np.dot(x, np.roll(y, -1))
+                                      - np.dot(np.roll(x, -1), y)))
+        outers = [i for i, a in enumerate(signed) if a > 0]
+        holes = [i for i, a in enumerate(signed) if a <= 0]
+        # attach each hole to the smallest containing outer
+        hole_of: dict[int, list[int]] = {i: [] for i in outers}
+        for h in holes:
+            p = rings[h][0]
+            best, best_area = None, np.inf
+            for o in outers:
+                if signed[o] < best_area and bool(geom.points_in_ring(
+                        np.array([p[0]]), np.array([p[1]]),
+                        rings[o][:, 0], rings[o][:, 1])[0]):
+                    best, best_area = o, signed[o]
+            if best is not None:
+                hole_of[best].append(h)
+        for j, o in enumerate(outers):
+            part_rings = [rings[o]] + [rings[h] for h in hole_of[o]]
+            out_id.append(f"{rid}#p{j}")
+            out_area.append(signed[o] + sum(signed[h] for h in hole_of[o]))
+            out_rings.append(part_rings)
+    from ibray.ops.cluster import rings_to_arrow
+
+    return pa.table({
+        "part_id": pa.array(out_id, type=pa.string()),
+        "area_m2": pa.array(out_area, type=pa.float64()),
+        "boundary": rings_to_arrow(out_rings),
+    })
+
+
 def _parts_of(settlements: pa.Table, cfg: DelineationConfig) -> dict[int, list[int]]:
     """part_cell → settlement row indices (from cover-cell parents)."""
     cover = settlements.column("cover_cells")

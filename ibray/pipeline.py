@@ -68,7 +68,11 @@ def footprint_dataset(world_dir: str,
     no join; equi-join operators live in ops/joins.py and are exercised by
     the relational queries.
     """
-    docs = rd.read_parquet(world_dir + "/documents")
+    from ibray.sources import read_documents
+
+    # Lance-or-parquet source + CheckFileType schema assertion (M10) at
+    # plan-build time — a malformed corpus fails before any distributed work
+    docs = read_documents(world_dir + "/documents")
     fp = docs.map_batches(E.extract_footprints, batch_format="pyarrow")
     fp = fp.map_batches(E.parse_rings, batch_format="pyarrow")
     fp = fp.map_batches(F.add_geometry, batch_format="pyarrow")
