@@ -111,13 +111,18 @@ class _Shard:
         self.p = payload
         self.cov_cells, self.cov_off, self.cov_val = build_settlement_index(
             payload, cfg)
+        self._ring_cache: dict[int, list[np.ndarray]] = {}
 
     def _rings_of(self, i: int) -> list[np.ndarray]:
+        got = self._ring_cache.get(i)
+        if got is not None:
+            return got
         p = self.p
         out = []
         for r in range(p["poly_off"][i], p["poly_off"][i + 1]):
             s, e = p["ring_off"][r], p["ring_off"][r + 1]
             out.append(np.stack([p["xs"][s:e], p["ys"][s:e]], axis=1))
+        self._ring_cache[i] = out
         return out
 
     def probe(self, cx: np.ndarray, cy: np.ndarray, mid: np.ndarray,
