@@ -372,6 +372,19 @@ def _q_mst_clusters(sf_dir: str):
     return _scale_cols(MC.mst_clusters(fp), {"rect_area_m2": 2})
 
 
+def _q_single_bdg(sf_dir: str):
+    """AddSinglBdg: detached >=300 m2 footprints -> own min-area rects."""
+    from ibray import pipeline
+    from ibray.ops import mstcluster as MC
+
+    sf = synth.sf_of_dir(sf_dir)
+    golden.ensure_golden(sf)
+    world = synth.ensure_world(sf)
+    fp = pipeline.footprint_dataset(world)
+    clusters = MC.mst_clusters(fp)
+    return _scale_cols(MC.single_bdg_rects(fp, clusters), {"rect_area_m2": 2})
+
+
 def _q_media_assets(sf_dir: str):
     from ibray.ops import media as M
 
@@ -429,6 +442,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "settlement_parts": _q_settlement_parts,  # golden oracle (M13 explode)
         "gap_fix_merges": _q_gap_fix,         # golden oracle (GapFix analog)
         "mst_clusters": _q_mst_clusters,      # golden oracle (greedy rect-ratio)
+        "single_bdg_rects": _q_single_bdg,    # golden oracle (AddSinglBdg)
         "block_overlap": _q_block_overlap,    # golden oracle (Blocker + A3)
         "global_overlap": _q_global_overlap,  # golden oracle (A4 threshold)
         "media_assets": _q_media_assets,
@@ -610,6 +624,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT footprint_id, group_key,
                    CAST(ROUND(rect_area_m2 * 100) AS BIGINT) AS rect_area_m2
             FROM read_parquet('{gold}/mst_clusters.parquet')
+        """,
+        "single_bdg_rects": f"""
+            SELECT footprint_id,
+                   CAST(ROUND(rect_area_m2 * 100) AS BIGINT) AS rect_area_m2
+            FROM read_parquet('{gold}/single_bdg.parquet')
         """,
         "block_overlap": f"""
             SELECT block_id, n_footprints,

@@ -84,8 +84,10 @@ def ensure_golden(sf: float) -> str:
                    os.path.join(tmp, "block_overlap.parquet"))
     pq.write_table(GX.golden_global_overlap(world),
                    os.path.join(tmp, "global_overlap.parquet"))
-    pq.write_table(GX.golden_mst_clusters(world),
-                   os.path.join(tmp, "mst_clusters.parquet"))
+    mst_clusters_tbl = GX.golden_mst_clusters(world)
+    pq.write_table(mst_clusters_tbl, os.path.join(tmp, "mst_clusters.parquet"))
+    pq.write_table(GX.golden_single_bdg(world, DEFAULT, clusters=mst_clusters_tbl),
+                   os.path.join(tmp, "single_bdg.parquet"))
     pq.write_table(GX.golden_exact_symdiff(world, DEFAULT, res_a=res,
                                            res_b=res_b),
                    os.path.join(tmp, "exact_symdiff.parquet"))

@@ -587,6 +587,29 @@ def golden_spatial_join(world_dir: str, cfg: DelineationConfig = DEFAULT,
     })
 
 
+def golden_single_bdg(world_dir: str, cfg: DelineationConfig = DEFAULT,
+                      clusters: pa.Table | None = None) -> pa.Table:
+    """AddSinglBdg oracle: same gate + shared min-area-rect kernel."""
+    if clusters is None:
+        clusters = golden_mst_clusters(world_dir, cfg)
+    from ibray.ops.mstcluster import SINGLE_BDG_MIN_AREA
+
+    grouped = set(np.asarray(clusters.column("footprint_id")).tolist())
+    fp = _fp_table_single(world_dir, cfg)
+    rows_id, rows_area = [], []
+    for _, r in fp.iterrows():
+        if r["footprint_id"] in grouped or r["area_m2"] < SINGLE_BDG_MIN_AREA:
+            continue
+        pts = np.column_stack([np.asarray(r["xs"]), np.asarray(r["ys"])])
+        _c, area, _ang = geom.min_area_rect(pts)
+        rows_id.append(r["footprint_id"])
+        rows_area.append(float(area))
+    return pa.table({
+        "footprint_id": pa.array(rows_id, type=pa.string()),
+        "rect_area_m2": pa.array(rows_area, type=pa.float64()),
+    })
+
+
 # ------------------------------------------------- driver-table goldens ----
 
 

@@ -108,9 +108,13 @@ def replicate_to_parts(batch: pa.Table, cfg: DelineationConfig) -> pa.Table:
 def local_components(group: pa.Table, cfg: DelineationConfig) -> pa.Table:
     """Per-partition connected components over (own + halo) cells.
 
-    Emits (cell_fine, label) for every cell in the partition's view; label =
-    smallest cell id of the *local* component (globally canonical only after
-    the equivalence resolution step).
+    INTERIOR labels (no shared cell in this partition's view — i.e. no
+    other partition saw any of the component's cells) are final here: they
+    emit a finished work row (kind=0: label, n_tot, deduped cell list) and
+    never enter the cross-partition label shuffle.  BORDER labels emit
+    their per-cell rows (kind=1) for the equivalence resolution + the small
+    border groupby(label) — at scale the border band is a few % of cells,
+    so the second shuffle's volume collapses.
     """
     raw = np.asarray(group.column("cell_fine"), dtype=np.int64)
     raw_shared = np.asarray(group.column("shared"))
@@ -126,10 +130,45 @@ def local_components(group: pa.Table, cfg: DelineationConfig) -> pa.Table:
     # labels_idx are 0..k-1 ordered by smallest member cell (cells sorted asc)
     first_idx = np.unique(labels_idx, return_index=True)[1]
     label_cell = cells[first_idx][labels_idx]
-    return pa.table({"cell_fine": pa.array(cells, type=pa.int64()),
-                     "label": pa.array(label_cell, type=pa.int64()),
-                     "shared": pa.array(shared, type=pa.bool_()),
-                     "n": pa.array(n_cell, type=pa.int64())})
+    k = len(first_idx)
+    border_lab = np.zeros(k, dtype=bool)
+    np.logical_or.at(border_lab, labels_idx, shared)
+    n_tot = np.bincount(labels_idx, weights=n_cell, minlength=k).astype(np.int64)
+    interior = ~border_lab & (n_tot >= cfg.min_footprints)
+    # interior work rows: cells grouped per label (cells are label-sorted
+    # after a stable argsort on labels_idx)
+    order = np.argsort(labels_idx, kind="stable")
+    ls = labels_idx[order]
+    cs = cells[order]
+    starts = np.nonzero(np.concatenate([[True], ls[1:] != ls[:-1]]))[0]
+    ends = np.concatenate([starts[1:], [len(ls)]])
+    w_lab, w_n, w_offs, w_cells = [], [], [0], []
+    for li in np.nonzero(interior)[0]:
+        s, e = starts[li], ends[li]
+        w_lab.append(int(label_cell[first_idx[li]]))
+        w_n.append(int(n_tot[li]))
+        w_cells.append(cs[s:e])
+        w_offs.append(w_offs[-1] + (e - s))
+    bmask = border_lab[labels_idx]
+    nb = int(bmask.sum())
+    nw = len(w_lab)
+    cells_list = pa.ListArray.from_arrays(
+        pa.array(w_offs + [w_offs[-1]] * nb, type=pa.int32()),
+        pa.array(np.concatenate(w_cells) if w_cells else np.zeros(0, np.int64),
+                 type=pa.int64()))
+    return pa.table({
+        "kind": pa.array(np.concatenate([np.zeros(nw, np.int8),
+                                         np.ones(nb, np.int8)])),
+        "label": pa.array(np.concatenate([
+            np.array(w_lab, dtype=np.int64), label_cell[bmask]]), type=pa.int64()),
+        "n": pa.array(np.concatenate([
+            np.array(w_n, dtype=np.int64), n_cell[bmask]]), type=pa.int64()),
+        "cells": cells_list,
+        "cell_fine": pa.array(np.concatenate([
+            np.zeros(nw, np.int64), cells[bmask]]), type=pa.int64()),
+        "shared": pa.array(np.concatenate([
+            np.zeros(nw, bool), shared[bmask]])),
+    })
 
 
 def resolve_shared(shared_cells: np.ndarray, shared_labels: np.ndarray):

@@ -252,3 +252,56 @@ def mst_clusters(fp: rd.Dataset, cfg: DelineationConfig = DEFAULT,
     return pts.groupby("part_cell").map_groups(
         lambda g: cluster_part(g, cfg, k, overlap_ratio),
         batch_format="pandas")
+
+
+SINGLE_BDG_MIN_AREA = 300.0  # AddSinglBdg threshold, IB-Tool2.py:1649
+
+
+def single_bdg_rects(fp: rd.Dataset, clusters: rd.Dataset | pa.Table,
+                     min_area: float = SINGLE_BDG_MIN_AREA) -> rd.Dataset:
+    """AddSinglBdg (IB-Tool2.py:1649-1702): detached footprints (not in any
+    MST cluster group) with area ≥ min_area get their own minimum-area
+    bounding rectangle.  The grouped-id set broadcasts once via ray.put
+    (at multi-node scale this becomes a hash anti-join on footprint_id)."""
+    import ray
+
+    from ibray import geom
+
+    if isinstance(clusters, pa.Table):
+        grouped = clusters.column("footprint_id").combine_chunks()
+    else:
+        from ibray import pipeline
+
+        grouped = pipeline._concat_refs(
+            clusters.select_columns(["footprint_id"]),
+            pa.schema([("footprint_id", pa.string())])
+        ).column("footprint_id").combine_chunks()
+    ref = ray.put(grouped)
+
+    def _rects(b: pa.Table) -> pa.Table:
+        ids_set = ray.get(ref)
+        keep = pa.compute.and_(
+            pa.compute.invert(pa.compute.is_in(b.column("footprint_id"),
+                                               value_set=ids_set)),
+            pa.compute.greater_equal(b.column("area_m2"), min_area))
+        sel = b.filter(keep)
+        xs = sel.column("xs")
+        xs = xs.combine_chunks() if isinstance(xs, pa.ChunkedArray) else xs
+        ys = sel.column("ys")
+        ys = ys.combine_chunks() if isinstance(ys, pa.ChunkedArray) else ys
+        offs = np.asarray(xs.offsets, dtype=np.int64)
+        fx = np.asarray(xs.values)
+        fy = np.asarray(ys.values)
+        rect_area = np.empty(len(sel), dtype=np.float64)
+        for i in range(len(sel)):
+            pts = np.column_stack([fx[offs[i]:offs[i + 1]],
+                                   fy[offs[i]:offs[i + 1]]])
+            _c, area, _ang = geom.min_area_rect(pts)
+            rect_area[i] = area
+        return pa.table({
+            "footprint_id": sel.column("footprint_id"),
+            "rect_area_m2": pa.array(rect_area),
+        })
+
+    return fp.select_columns(["footprint_id", "area_m2", "xs", "ys"]).map_batches(
+        _rects, batch_format="pyarrow")

@@ -102,9 +102,13 @@ def cluster_cells(fp: rd.Dataset, cfg: DelineationConfig = DEFAULT) -> rd.Datase
     )
     local = replicated.groupby("part").map_groups(
         lambda g: C.local_components(g, cfg), batch_format="pyarrow"
-    ).materialize()  # consumed twice: shared-band pull + label reduce
+    ).materialize()  # consumed twice: border branch + interior branch
+    border = local.map_batches(
+        lambda b: b.filter(pa.compute.equal(b.column("kind"), 1)).select(
+            ["cell_fine", "label", "shared", "n"]),
+        batch_format="pyarrow")
     shared_tbl = _concat_refs(
-        local.map_batches(
+        border.map_batches(
             lambda b: b.filter(pa.array(np.asarray(b.column("shared")))),
             batch_format="pyarrow"),
         pa.schema([("cell_fine", pa.int64()), ("label", pa.int64()),
@@ -121,15 +125,35 @@ def cluster_cells(fp: rd.Dataset, cfg: DelineationConfig = DEFAULT) -> rd.Datase
         k, v = ray.get(rm_ref)
         return C.apply_root_arrays(b, k, v)
 
-    mapped = local.map_batches(_apply, batch_format="pyarrow")
-    # reduce side: one compact work row per label (cells deduped, counts
-    # summed).  Polygonization stays a SEPARATE repartitioned stage: heavy
-    # urban labels are adjacent in the label sort, so fusing polygonize into
-    # this groupby serializes them into the same blocks (measured 1.8x
-    # slower at 10M footprints than repartition + batch_size=4 downstream).
-    return mapped.groupby("label").map_groups(
-        lambda g: C.work_row_group(g, cfg), batch_format="pyarrow"
-    )
+    # border labels: resolve equivalences, then one compact work row per
+    # label — the shuffle moves ONLY the border band (a few % of cells).
+    # Polygonization stays a SEPARATE repartitioned stage: heavy urban
+    # labels are adjacent in the label sort, so fusing polygonize into this
+    # groupby serializes them into the same blocks (measured 1.8x slower at
+    # 10M footprints than repartition + batch_size=4 downstream).
+    border_work = border.map_batches(_apply, batch_format="pyarrow") \
+        .groupby("label").map_groups(
+            lambda g: C.work_row_group(g, cfg), batch_format="pyarrow")
+    interior_work = local.map_batches(
+        lambda b: _interior_rows(b), batch_format="pyarrow")
+    return interior_work.union(border_work)
+
+
+def _interior_rows(b: pa.Table) -> pa.Table:
+    """kind=0 rows → the work-row schema (settlement_id derived)."""
+    import pyarrow.compute as pc
+
+    w = b.filter(pa.compute.equal(b.column("kind"), 0))
+    labels = w.column("label")
+    sid = pc.binary_join_element_wise(
+        pa.array(["s"] * len(w), type=pa.string()),
+        pc.cast(labels, pa.string()), "")
+    return pa.table({
+        "label": labels,
+        "settlement_id": sid,
+        "n_footprints": w.column("n"),
+        "cells": w.column("cells"),
+    })
 
 
 def delineate(world_dir: str, cfg: DelineationConfig = DEFAULT,
