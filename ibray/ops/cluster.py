@@ -270,35 +270,6 @@ def apply_root_arrays(batch: pa.Table, keys: np.ndarray,
                             pa.array(out, type=pa.int64()))
 
 
-def settlement_row_group(group: pa.Table, cfg: DelineationConfig) -> pa.Table:
-    """Reduce side of the groupby(label) shuffle, FUSED with polygonization:
-    one fully-built settlement row per surviving label.  Fusing avoids a
-    second pass over the work table (36k+ tiny map_groups calls followed by
-    a repartition were pure overhead at bench scale)."""
-    labels = np.asarray(group.column("label"), dtype=np.int64)
-    n = np.asarray(group.column("n"), dtype=np.int64)
-    label = int(labels[0])
-    n_tot = int(n.sum())
-    if n_tot < cfg.min_footprints:
-        from ibray.pipeline import _settlement_schema
-
-        return _settlement_schema().empty_table()
-    cells = np.unique(np.asarray(group.column("cell_fine"), dtype=np.int64))
-    rings, area, cover = polygonize_cells(cells, cfg)
-    return pa.table({
-        "settlement_id": pa.array([f"s{label}"], type=pa.string()),
-        "label": pa.array([label], type=pa.int64()),
-        "n_footprints": pa.array([n_tot], type=pa.int64()),
-        "area_m2": pa.array([area], type=pa.float64()),
-        "part_cell": pa.array(hg.parent(np.array([label]), cfg.res_part),
-                              type=pa.int64()),
-        "boundary": rings_to_arrow([rings]),
-        "cover_cells": pa.ListArray.from_arrays(
-            pa.array([0, len(cover)], type=pa.int32()),
-            pa.array(cover, type=pa.int64())),
-    })
-
-
 def work_row_group(group: pa.Table, cfg: DelineationConfig) -> pa.Table:
     """Reduce side of the groupby(label) shuffle: one settlement work row
     per label — (label, settlement_id, n_footprints, cells).  Halo copies

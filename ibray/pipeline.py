@@ -236,7 +236,9 @@ def delineate(world_dir: str, cfg: DelineationConfig = DEFAULT,
             fn_constructor_args=(shard_refs, cfg),
             batch_format="pyarrow",
             batch_size=cfg.batch_size,
-            concurrency=max(1, min(12, _num_cpus() - 2)),
+            # scale the pool with the session: a fixed cap idled 20 of 32
+            # CPUs during the PIP phase and flattened the 8→32 curve
+            concurrency=max(1, _num_cpus() - 4),
         )
         if ck:
             assignments = ck.write_dataset(assignments, "assignments")

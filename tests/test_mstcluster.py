@@ -65,3 +65,28 @@ def test_mst_clusters_matches_golden(ray_session, world):
     # overwrite quirk, reproduced deliberately — IB-Tool2.py:1601-1623)
     sizes = e.groupby("group_key").size()
     assert (sizes >= 2).mean() > 0.5
+
+
+def test_single_bdg_rects_matches_golden(ray_session, world):
+    from ibray import golden_extra as GX
+    from ibray import pipeline
+    from ibray.ops import mstcluster as MC
+
+    fp = pipeline.footprint_dataset(world)
+    clusters = MC.mst_clusters(fp)
+    e = MC.single_bdg_rects(fp, clusters).to_pandas().sort_values(
+        "footprint_id").reset_index(drop=True)
+    g = GX.golden_single_bdg(world).to_pandas().sort_values(
+        "footprint_id").reset_index(drop=True)
+    assert e.equals(g)
+    assert len(e) > 0
+    # rect area is at least the footprint's own area
+    import pyarrow as pa
+
+    fp_areas = pipeline._concat_refs(
+        fp.select_columns(["footprint_id", "area_m2"]),
+        pa.schema([("footprint_id", pa.string()),
+                   ("area_m2", pa.float64())]),
+    ).to_pandas().set_index("footprint_id")
+    joined = e.set_index("footprint_id").join(fp_areas)
+    assert (joined["rect_area_m2"] >= joined["area_m2"] * 0.999).all()
