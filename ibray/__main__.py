@@ -1,0 +1,65 @@
+"""``ray job submit -- python -m ibray <cmd> ...`` entrypoint (north_rule:
+runs submitted via ray job submit on a fixed-size cluster; same code local
+and distributed — the driver only ever calls the library API).
+
+Commands:
+  delineate --world DIR [--out DIR] [--closing-k K] [--min-footprints N]
+      Run the flagship pipeline; with --out the run checkpoints each stage
+      (partitioned parquet + manifest lineage/metrics) and a rerun resumes
+      past completed stages.
+  bench
+      One bench iteration at $RAY_GRAFT_CPUS over $GRAFT_SF_DIR.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="python -m ibray")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    d = sub.add_parser("delineate")
+    d.add_argument("--world", required=True)
+    d.add_argument("--out", default=None)
+    d.add_argument("--closing-k", type=int, default=None)
+    d.add_argument("--min-footprints", type=int, default=None)
+    sub.add_parser("bench")
+    args = ap.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False,
+                 logging_level="ERROR")
+    try:
+        if args.cmd == "bench":
+            import bench
+
+            print(json.dumps(bench.run_bench()))
+            return 0
+        from ibray.config import DEFAULT, DelineationConfig
+        from ibray import pipeline
+
+        overrides = {}
+        if args.closing_k is not None:
+            overrides["closing_k"] = args.closing_k
+        if args.min_footprints is not None:
+            overrides["min_footprints"] = args.min_footprints
+        cfg = DelineationConfig(**overrides) if overrides else DEFAULT
+        res = pipeline.delineate(args.world, cfg=cfg, out_dir=args.out)
+        print(json.dumps({
+            "n_footprints": res["n_footprints"],
+            "n_settlements": res["settlements"].num_rows,
+            "n_assignments": res["assignments"].count(),
+            "out": args.out,
+        }))
+        return 0
+    finally:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
