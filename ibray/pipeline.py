@@ -238,7 +238,7 @@ def delineate(world_dir: str, cfg: DelineationConfig = DEFAULT,
             batch_size=cfg.batch_size,
             # scale the pool with the session: a fixed cap idled 20 of 32
             # CPUs during the PIP phase and flattened the 8→32 curve
-            concurrency=max(1, _num_cpus() - 4),
+            concurrency=max(1, _num_cpus() - 2),
         )
         if ck:
             assignments = ck.write_dataset(assignments, "assignments")
