@@ -555,7 +555,7 @@ def golden_spatial_join(world_dir: str, cfg: DelineationConfig = DEFAULT,
     """J3 ONE_TO_ONE oracle: all-pairs shared-cover candidates + the shared
     exact intersect predicate, one process."""
     from ibray import oracle
-    from ibray.ops.blocks import _face_cells
+    from ibray.ops.blocks import block_cover
     from ibray.ops.spatialjoin import _rings_intersect
 
     if res_a is None:
@@ -564,8 +564,7 @@ def golden_spatial_join(world_dir: str, cfg: DelineationConfig = DEFAULT,
     b_cover = {}
     b_rings = {}
     for bid, part, area, region in blocks:
-        core = _face_cells(region, cfg)
-        b_cover[bid] = set((hg.dilate(core, 1) if len(core) else core).tolist())
+        b_cover[bid] = set(block_cover(region, cfg).tolist())
         b_rings[bid] = region
     out_sid, out_cnt, out_first = [], [], []
     for s in res_a["settlements"]:

@@ -78,6 +78,36 @@ def _face_cells(region: list[np.ndarray], cfg: DelineationConfig) -> np.ndarray:
     return np.unique(hg.encode(gx[inside], gy[inside], cfg.res_mid))
 
 
+def _boundary_cells(region: list[np.ndarray], cfg: DelineationConfig) -> np.ndarray:
+    """Mid-res cells of half-cell-pitch samples along every ring — a thin
+    block (smaller than one mid-res cell) has NO cell center inside, so its
+    cover must come from its boundary."""
+    pitch = hg.edge_length_m(cfg.res_mid) / 2.0
+    out = []
+    for ring in region:
+        nxt = np.roll(ring, -1, axis=0)
+        dx = nxt[:, 0] - ring[:, 0]
+        dy = nxt[:, 1] - ring[:, 1]
+        n = np.maximum(2, (np.hypot(dx, dy) / pitch).astype(np.int64) + 2)
+        seg_of = np.repeat(np.arange(len(n)), n)
+        cum = np.concatenate([[0], np.cumsum(n)])
+        t = (np.arange(int(n.sum())) - cum[seg_of]) / (n[seg_of] - 1)
+        out.append(hg.encode(ring[seg_of, 0] + t * dx[seg_of],
+                             ring[seg_of, 1] + t * dy[seg_of], cfg.res_mid))
+    return np.unique(np.concatenate(out)) if out else np.zeros(0, np.int64)
+
+
+def block_cover(region: list[np.ndarray], cfg: DelineationConfig) -> np.ndarray:
+    """Sound PIP cover for arbitrary (including sub-cell-sized) faces:
+    every point in the region lies in a cell that either has its center
+    inside (core) or intersects the boundary (within 1 ring of a boundary
+    sample) — cover = dilate(core ∪ boundary cells, 1)."""
+    core = _face_cells(region, cfg)
+    bnd = _boundary_cells(region, cfg)
+    cells = np.unique(np.concatenate([core, bnd]))
+    return hg.dilate(cells, 1) if len(cells) else cells
+
+
 def polygonize_part(group: pa.Table, cfg: DelineationConfig) -> pa.Table:
     """One partition: clip segments to the hexagon, add its outline,
     polygonize, emit block rows with deterministic ids."""
@@ -102,7 +132,7 @@ def polygonize_part(group: pa.Table, cfg: DelineationConfig) -> pa.Table:
         rings.append(region)
         core = _face_cells(region, cfg)
         cores.append(core)
-        covers.append(hg.dilate(core, 1) if len(core) else core)
+        covers.append(block_cover(region, cfg))
     from ibray.ops.cluster import rings_to_arrow
 
     def _list_col(arrs):

@@ -1,22 +1,28 @@
 """The flagship delineation pipeline, Ray-Data-first (SURVEY.md §3.1 lifecycle).
 
-    documents ──extract (mb)──▶ footprints (+fkt, geometry, hex cells)
-      ──filter──▶ per-batch cell counts ──halo replicate──▶
-      groupby(coarse cell) [shuffle 1] ──▶ local components ──▶
-      driver: union-find over the SHARED BAND ONLY (partition borders,
-      a few % of cells) ──▶ groupby(label) [shuffle 2] ──▶ per-settlement
-      work rows ──▶ polygonize (row-parallel mb) ──▶ sharded PIP actor
-      pool ──▶ assignments; tiles
+    documents ──extract (mb)──▶ footprints (+fkt, geometry, hex cells,
+      narrow projection, materialized) ──filter──▶ per-batch cell counts
+      ──halo replicate──▶ groupby(coarse cell) [THE shuffle] ──▶ local
+      components; INTERIOR labels (no cell seen by another partition)
+      finish here as work rows ──▶ border band only: driver union-find
+      over the shared cells ──ray.put root map──▶ groupby(label) border
+      work rows [small shuffle] ──▶ polygonize (repartitioned
+      row-parallel mb) ──▶ part_cell-sorted probe feed ──▶ sharded PIP
+      actor pool ──▶ assignments; tiles
 
-The driver never holds the cell table: per-label footprint counts and cell
-lists reduce inside the groupby(label) shuffle; only the shared-band
-equivalence edges (O(border cells)) come back for the tiny union-find.  The
-PIP index is sharded by coarse partition cell (one ray.put per tile shard;
-actors fetch only the shards their batches touch) instead of broadcasting
-every settlement to every actor.  No footprint-level join exists anywhere —
-footprint→settlement assignment is geometric (PIP).  The reference runs the
-same lifecycle sequentially per partition (IB-Tool2.py:2384-2565); here
-Ray's streaming executor schedules partitions across the cluster.
+The driver never holds the cell table: interior labels reduce inside the
+partition groupby, border labels inside a groupby(label) whose volume is
+only the border band (a few % of cells), and the driver sees just the
+shared-cell equivalence edges for the tiny union-find.  The PIP index is
+sharded by coarse partition cell (one ray.put per tile shard; actors fetch
+only the shards their batches touch) instead of broadcasting every
+settlement to every actor; the probe feed is range-sorted because corpus
+order is spatially random and per-settlement probe costs amortize only
+with locality (measured 9x end-to-end).  No footprint-level join exists
+anywhere — footprint→settlement assignment is geometric (PIP).  The
+reference runs the same lifecycle sequentially per partition
+(IB-Tool2.py:2384-2565); here Ray's streaming executor schedules
+partitions across the cluster.
 """
 
 from __future__ import annotations
