@@ -255,6 +255,26 @@ def _q_partitions(sf_dir: str):
         ["part_cell", "n_footprints"])
 
 
+def _q_patch_classes(sf_dir: str):
+    """Error_Classification cascade (IndCom/Resid/SettBody/Holes + bands)."""
+    from ibray.config import DEFAULT
+    from ibray.ops import scoring as S
+
+    sf = synth.sf_of_dir(sf_dir)
+    golden.ensure_golden(sf)
+    res = _delineate_cached(sf)
+    expert = _delineate_k1_cached(sf)
+    ca = S.settlement_cells(res["settlements"], DEFAULT)
+    cb = S.settlement_cells(expert["settlements"], DEFAULT)
+    tiles = res["tiles_tbl"].to_pandas()
+    cnt = tiles.groupby("cell_r11").size()
+    return _scale_cols(
+        S.classify_patches(
+            ca, cb, (cnt.index.to_numpy("int64"), cnt.to_numpy("int64")),
+            DEFAULT),
+        {"area_m2": 2, "share_pct": 6})
+
+
 def _q_block_overlap(sf_dir: str):
     from ibray import pipeline
     from ibray.ops import blocks as B
@@ -435,6 +455,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "density_r9": _q_density_r9,
         "nearest_road": _q_nearest_road,      # golden oracle (brute force)
         "boundary_score": _q_boundary_score,  # golden oracle (scoring harness)
+        "patch_classification": _q_patch_classes,  # golden oracle (EC cascade)
         "compute_partitions": _q_partitions,  # golden oracle (Partitioning.pyt analog)
         "exact_symdiff": _q_exact_symdiff,    # golden oracle (U2-U5 overlay)
         "edge_catch_refined": _q_edge_catch,  # golden oracle (EdgeCatch analog)
@@ -640,6 +661,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT n_inner_blocks,
                    CAST(ROUND(global_overlap_pct * 1000000) AS BIGINT) AS global_overlap_pct
             FROM read_parquet('{gold}/global_overlap.parquet')
+        """,
+        "patch_classification": f"""
+            SELECT "class", n_patches, n_cells,
+                   CAST(ROUND(area_m2 * 100) AS BIGINT) AS area_m2,
+                   CAST(ROUND(share_pct * 1000000) AS BIGINT) AS share_pct
+            FROM read_parquet('{gold}/patch_classification.parquet')
         """,
         "simhash_fingerprints": f"""
             SELECT doc_id, simhash FROM read_parquet('{dgold}/simhash.parquet')

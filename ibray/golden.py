@@ -17,7 +17,7 @@ import pyarrow.parquet as pq
 from ibray import oracle, synth
 from ibray.config import DEFAULT
 
-ORACLE_VERSION = 8
+ORACLE_VERSION = 9
 
 
 def golden_dir(sf: float, base: str = "/tmp/ibray_golden") -> str:
@@ -80,6 +80,9 @@ def ensure_golden(sf: float) -> str:
     pq.write_table(GX.golden_boundary_score(world, DEFAULT, res_a=res,
                                             res_b=res_b),
                    os.path.join(tmp, "boundary_score.parquet"))
+    pq.write_table(GX.golden_patch_classification(world, DEFAULT, res_a=res,
+                                                  res_b=res_b),
+                   os.path.join(tmp, "patch_classification.parquet"))
     pq.write_table(GX.golden_block_overlap(world),
                    os.path.join(tmp, "block_overlap.parquet"))
     pq.write_table(GX.golden_global_overlap(world),

@@ -237,6 +237,32 @@ def golden_boundary_score(world_dir: str,
     return S.score_boundaries(ca, cb, (u, n), cfg)
 
 
+def golden_patch_classification(world_dir: str,
+                                cfg: DelineationConfig = DEFAULT,
+                                res_a: dict | None = None,
+                                res_b: dict | None = None) -> pa.Table:
+    """Error_Classification cascade oracle (oracle settlements both sides)."""
+    from ibray import oracle
+    from ibray.ops import cluster as C
+    from ibray.ops import scoring as S
+
+    if res_a is None:
+        res_a = oracle.run_oracle(world_dir, cfg)
+    if res_b is None:
+        res_b = oracle.run_oracle(world_dir, DelineationConfig(closing_k=1))
+
+    def _tbl(res) -> pa.Table:
+        rings = [[np.array([[p["x"], p["y"]] for p in ring])
+                  for ring in s["boundary"]] for s in res["settlements"]]
+        return pa.table({"boundary": C.rings_to_arrow(rings)})
+
+    ca = S.settlement_cells(_tbl(res_a), cfg)
+    cb = S.settlement_cells(_tbl(res_b), cfg)
+    c11 = np.asarray(res_a["tiles"].column("cell_r11"), dtype=np.int64)
+    u, n = np.unique(c11, return_counts=True)
+    return S.classify_patches(ca, cb, (u, n), cfg)
+
+
 def _blocks_single(world_dir: str, cfg: DelineationConfig = DEFAULT):
     """Single-process Blocker: same (part, segment) routing rule and the
     shared arrangement kernel, executed in one plain loop over partitions."""

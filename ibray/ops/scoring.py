@@ -125,6 +125,130 @@ def score_boundaries(computed_cells: np.ndarray, expert_cells: np.ndarray,
     })
 
 
+LANDUSE_CLASSES = ["industrial", "residential", "mixed", "open"]
+
+
+def landuse_of(cells: np.ndarray, res: int = 9) -> np.ndarray:
+    """Deterministic synthetic land-use class per mid-res zone cell (the
+    analog of the reference's AX_* land-use table,
+    Error_Classification.py:305-372/468-528 — the synthetic world carries
+    no land-use layer, so zones derive from a Knuth hash of the zone cell;
+    identical on engine and oracle by construction)."""
+    from ibray import hexgrid as hg
+
+    zone = hg.parent(np.asarray(cells, dtype=np.int64), res)
+    h = (zone.astype(np.uint64) * np.uint64(2654435761)) >> np.uint64(16)
+    return (h % np.uint64(4)).astype(np.int64)
+
+
+def classify_patches(computed_cells: np.ndarray, expert_cells: np.ndarray,
+                     fp_cell_counts: tuple[np.ndarray, np.ndarray],
+                     cfg: DelineationConfig,
+                     dense_thr: float = 0.18,
+                     min_patch_m2: float = 250.0,
+                     class_area_m2: float = 10_000.0) -> pa.Table:
+    """The full Error_Classification cascade analog
+    (Error_Classification.py:585-755): symmetric-difference patches are
+    consumed class by class —
+
+      indcom    ≥1 ha, dense, majority land-use industrial (Class_IndCom)
+      resid     ≥1 ha, dense, majority residential/mixed   (Class_Resid)
+      settbody  the patch is an entire connected component of one boundary
+                set (a whole settlement present on one side only,
+                Class_SettBody)
+      holes     neg patch entirely enclosed by computed cells, sparse
+                (Class_Holes)
+      then the density bands (pos/neg × dense/sparse) and 'small'.
+    """
+    from ibray import hexgrid as hg
+
+    computed_cells = np.unique(np.asarray(computed_cells, dtype=np.int64))
+    expert_cells = np.unique(np.asarray(expert_cells, dtype=np.int64))
+    cnt_cells, cnt_vals = fp_cell_counts
+    both = np.intersect1d(computed_cells, expert_cells, assume_unique=True)
+    pos = np.setdiff1d(computed_cells, expert_cells, assume_unique=True)
+    neg = np.setdiff1d(expert_cells, computed_cells, assume_unique=True)
+    cell_area = 3 * np.sqrt(3) / 2 * hg.edge_length_m(cfg.res_fine) ** 2
+    classes = ["match", "indcom", "resid", "settbody", "holes",
+               "pos_dense", "pos_sparse", "neg_dense", "neg_sparse", "small"]
+    stats = {c: [0, 0] for c in classes}
+    stats["match"] = [0, len(both)]
+    # whole components of each side (for settbody)
+    comp_of = {}
+    for side_cells, own in ((computed_cells, "pos"), (expert_cells, "neg")):
+        if not len(side_cells):
+            continue
+        lab = hg.connected_components(side_cells, gap=1)
+        comp_of[own] = (side_cells, lab)
+    for side_cells, side in ((pos, "pos"), (neg, "neg")):
+        if not len(side_cells):
+            continue
+        labels = hg.connected_components(side_cells, gap=1)
+        order = np.argsort(labels, kind="stable")
+        ls = labels[order]
+        cs = side_cells[order]
+        starts = np.nonzero(np.concatenate([[True], ls[1:] != ls[:-1]]))[0]
+        ends = np.concatenate([starts[1:], [len(ls)]])
+        own_cells, own_lab = comp_of["pos" if side == "pos" else "neg"]
+        for s, e in zip(starts, ends):
+            patch = cs[s:e]
+            area = len(patch) * cell_area
+            pidx = np.clip(np.searchsorted(cnt_cells, patch), 0,
+                           max(len(cnt_cells) - 1, 0))
+            hit = (cnt_cells[pidx] == patch) if len(cnt_cells) else \
+                np.zeros(len(patch), bool)
+            n_fp = int(cnt_vals[pidx[hit]].sum()) if len(cnt_cells) else 0
+            density = n_fp / max(len(patch), 1)
+            if area < min_patch_m2:
+                cls = "small"
+            else:
+                lu = landuse_of(patch)
+                maj = int(np.bincount(lu, minlength=4).argmax())
+                # settbody: the patch IS a whole component of its own side
+                i0 = np.searchsorted(own_cells, patch[0])
+                comp_lab = own_lab[i0]
+                comp_size = int((own_lab == comp_lab).sum())
+                is_whole = comp_size == len(patch)
+                if area >= class_area_m2 and density >= dense_thr \
+                        and LANDUSE_CLASSES[maj] == "industrial":
+                    cls = "indcom"
+                elif area >= class_area_m2 and density >= dense_thr \
+                        and LANDUSE_CLASSES[maj] in ("residential", "mixed"):
+                    cls = "resid"
+                elif is_whole:
+                    cls = "settbody"
+                elif side == "neg" and density < dense_thr and _enclosed(
+                        patch, computed_cells):
+                    cls = "holes"
+                else:
+                    cls = (f"{side}_dense" if density >= dense_thr
+                           else f"{side}_sparse")
+            stats[cls][0] += 1
+            stats[cls][1] += len(patch)
+    total_cells = max(len(both) + len(pos) + len(neg), 1)
+    return pa.table({
+        "class": pa.array(classes, type=pa.string()),
+        "n_patches": pa.array([stats[c][0] for c in classes], type=pa.int64()),
+        "n_cells": pa.array([stats[c][1] for c in classes], type=pa.int64()),
+        "area_m2": pa.array([stats[c][1] * cell_area for c in classes]),
+        "share_pct": pa.array(
+            [100.0 * stats[c][1] / total_cells for c in classes]),
+    })
+
+
+def _enclosed(patch: np.ndarray, outside: np.ndarray) -> bool:
+    """Every cell adjacent to the patch (1-ring, excluding the patch) is in
+    ``outside`` — the patch is a hole of the outside set."""
+    from ibray import hexgrid as hg
+
+    ring = np.setdiff1d(np.unique(hg.k_ring(patch, 1).ravel()), patch,
+                        assume_unique=False)
+    if not len(ring):
+        return False
+    pos = np.clip(np.searchsorted(outside, ring), 0, max(len(outside) - 1, 0))
+    return bool((outside[pos] == ring).all()) if len(outside) else False
+
+
 def compute_partitions(density_tbl: pa.Table, cfg: DelineationConfig,
                        min_count: int = 5) -> pa.Table:
     """Partitioning.pyt analog (U10): partitions are computed, not drawn —

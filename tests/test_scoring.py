@@ -69,3 +69,20 @@ def test_compute_partitions():
     parts = S.compute_partitions(dens, DEFAULT, min_count=5).to_pandas()
     assert len(parts) >= 1
     assert (parts["n_footprints"] >= 5).all()
+
+
+def test_classify_patches_cascade(ray_session):
+    """Error_Classification cascade analog: engine matches the golden and
+    the cascade classes are populated on the synthetic world."""
+    import __ray_entry__ as E
+    from ibray import golden_extra as GX, synth
+
+    world = synth.ensure_world(0.001)
+    e = E.queries()["patch_classification"]("/root/testdata/sf0.001")
+    e = e.to_pandas() if hasattr(e, "to_pandas") else e
+    g = E._scale_cols(GX.golden_patch_classification(world),
+                      {"area_m2": 2, "share_pct": 6})
+    g = g.to_pandas() if hasattr(g, "to_pandas") else g
+    assert e.reset_index(drop=True).equals(g.reset_index(drop=True))
+    by = e.set_index("class")["n_patches"]
+    assert by[["indcom", "resid", "settbody"]].sum() > 0
