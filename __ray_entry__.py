@@ -493,6 +493,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_cosine_topk": A.cosine_topk,
         "ann_ivf_assign": A.ivf_assign,                   # golden oracle
         "ann_ivf_topk": A.ivf_topk,                       # golden oracle
+        "ngram_jaccard_dups": D.ngram_jaccard_dups,       # golden oracle
+        "embedding_dups": A.embedding_dups,               # golden oracle
     }
 
 
@@ -680,6 +682,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ann_ivf_topk": f"""
             SELECT query_id, vec_id FROM read_parquet('{dgold}/ivf_topk.parquet')
+        """,
+        "ngram_jaccard_dups": f"""
+            SELECT doc_id, dup_group
+            FROM read_parquet('{dgold}/ngram_jaccard.parquet')
+        """,
+        "embedding_dups": f"""
+            SELECT vec_id, dup_group
+            FROM read_parquet('{dgold}/embedding_dups.parquet')
         """,
         "media_assets": f"""
             SELECT doc_id,

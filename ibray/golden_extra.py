@@ -732,6 +732,103 @@ def golden_minhash_groups(docs: pd.DataFrame, threshold: float = 0.7,
                      "dup_group": pa.array(out_grp)})
 
 
+def golden_ngram_jaccard(docs: pd.DataFrame) -> pa.Table:
+    """n-gram Jaccard oracle: plain inverted index + same rare-gram gate +
+    exact verify, one process."""
+    from ibray.ops.dedup import (NGRAM_RARE_MAX, NGRAM_THRESHOLD, _word_ngrams)
+
+    grams: dict = {}
+    inv: dict = {}
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        g = _word_ngrams(text)
+        grams[doc_id] = g
+        for h in g.tolist():
+            inv.setdefault(h, []).append(doc_id)
+    cand = set()
+    for h, ids in inv.items():
+        ids = sorted(set(ids))
+        if 2 <= len(ids) <= NGRAM_RARE_MAX:
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    cand.add((ids[i], ids[j]))
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            x = parent[x]
+        return x
+
+    touched = set()
+    for a, b in sorted(cand):
+        touched.update((a, b))
+        inter = len(np.intersect1d(grams[a], grams[b], assume_unique=True))
+        union = len(grams[a]) + len(grams[b]) - inter
+        if union and inter / union >= NGRAM_THRESHOLD:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                lo, hi = sorted((ra, rb))
+                parent[hi] = lo
+    members: dict = {}
+    for d in sorted(touched):
+        members.setdefault(find(d), []).append(d)
+    out_doc, out_grp = [], []
+    for r, ms in sorted(members.items()):
+        if len(ms) > 1:
+            for m in sorted(ms):
+                out_doc.append(m)
+                out_grp.append(min(ms))
+    out_doc = [x.item() if hasattr(x, "item") else x for x in out_doc]
+    out_grp = [x.item() if hasattr(x, "item") else x for x in out_grp]
+    return pa.table({"doc_id": pa.array(out_doc),
+                     "dup_group": pa.array(out_grp)})
+
+
+def golden_embedding_dups(emb: pd.DataFrame, n_cent: int = 16) -> pa.Table:
+    """Embedding-cosine near-dup oracle: same buckets, same verify."""
+    from ibray.ops.ann import EMB_DUP_THRESHOLD
+
+    cent = _ivf_centroids_single(emb, n_cent)
+    vecs = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    vids = emb["vec_id"].to_numpy(dtype=np.int64)
+    d = ((vecs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    vcent = d.argmin(axis=1)
+    pairs = []
+    for c in range(n_cent):
+        m = np.nonzero(vcent == c)[0]
+        if len(m) < 2:
+            continue
+        order = np.argsort(vids[m])
+        sub_ids = vids[m][order]
+        sub = vecs[m][order]
+        nv = sub / np.linalg.norm(sub, axis=1, keepdims=True)
+        sims = nv @ nv.T
+        ai, bi = np.nonzero(np.triu(sims >= EMB_DUP_THRESHOLD, k=1))
+        pairs.extend(zip(sub_ids[ai].tolist(), sub_ids[bi].tolist()))
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.get(x, x) != x:
+            x = parent[x]
+        return x
+
+    for a, b in sorted(pairs):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = sorted((ra, rb))
+            parent[hi] = lo
+    members: dict = {}
+    for x in sorted({v for p in pairs for v in p}):
+        members.setdefault(find(x), []).append(x)
+    out_v, out_g = [], []
+    for r, ms in sorted(members.items()):
+        if len(ms) > 1:
+            for m in sorted(ms):
+                out_v.append(m)
+                out_g.append(min(ms))
+    return pa.table({"vec_id": pa.array(out_v, type=pa.int64()),
+                     "dup_group": pa.array(out_g, type=pa.int64())})
+
+
 def _ivf_centroids_single(emb: pd.DataFrame, n_cent: int = 16,
                           iters: int = 5, target: int = 4096) -> np.ndarray:
     """The deterministic sampling + Lloyd spec, one process."""
@@ -792,7 +889,7 @@ def golden_ivf_topk(emb: pd.DataFrame, n_cent: int = 16, nprobe: int = 4,
 
 # -------------------------------------------------------------- driver dir -
 
-DRIVER_GOLDEN_V = 1
+DRIVER_GOLDEN_V = 2
 
 
 def driver_golden_dir(sf_dir: str, base: str = "/tmp/ibray_golden_driver") -> str:
@@ -818,6 +915,10 @@ def ensure_driver_golden(sf_dir: str) -> str:
                         columns=["vec_id", "embedding"]).to_pandas()
     pq.write_table(golden_ivf_assign(emb), os.path.join(tmp, "ivf_assign.parquet"))
     pq.write_table(golden_ivf_topk(emb), os.path.join(tmp, "ivf_topk.parquet"))
+    pq.write_table(golden_ngram_jaccard(docs),
+                   os.path.join(tmp, "ngram_jaccard.parquet"))
+    pq.write_table(golden_embedding_dups(emb),
+                   os.path.join(tmp, "embedding_dups.parquet"))
     open(os.path.join(tmp, "_done"), "w").write("ok")
     try:
         os.rename(tmp, d)

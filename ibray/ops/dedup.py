@@ -188,6 +188,105 @@ def minhash_dup_groups(sf_dir: str, threshold: float = 0.7,
                      "dup_group": pa.array([x.item() if hasattr(x, "item") else x for x in out_grp])})
 
 
+# --------------------------- n-gram Jaccard -------------------------------
+
+
+NGRAM_N = 3
+NGRAM_RARE_MAX = 10     # n-grams in more docs than this are too common to key on
+NGRAM_THRESHOLD = 0.5
+
+
+def _word_ngrams(text: str, n: int = NGRAM_N) -> np.ndarray:
+    """Distinct hashed word n-grams (FNV over the joined words)."""
+    toks = text.split()
+    if len(toks) < n:
+        grams = [" ".join(toks)] if toks else []
+    else:
+        grams = [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+    return np.unique(_fnv1a_vec(grams)) if grams else np.empty(0, np.uint64)
+
+
+class NGramEmitter:
+    """Per-batch flat-map: one row per (doc, distinct n-gram hash)."""
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        ids, hashes = [], []
+        for doc_id, text in zip(batch["doc_id"], batch["text"]):
+            g = _word_ngrams(text)
+            ids.append(np.full(len(g), doc_id, dtype=object))
+            hashes.append(g.astype(np.int64))
+        return pd.DataFrame({
+            "doc_id": np.concatenate(ids) if ids else np.array([], object),
+            "gram": np.concatenate(hashes) if hashes else np.array([], np.int64),
+        })
+
+
+def ngram_jaccard_dups(sf_dir: str, threshold: float = NGRAM_THRESHOLD) -> pa.Table:
+    """Word-n-gram Jaccard near-dup groups: candidate pairs from RARE shared
+    n-grams (inverted-index groupby; common n-grams are skipped — a true
+    near-dup pair at threshold >= 0.5 always shares a rare gram unless every
+    gram it contains is common, which the verify step resolves), exact
+    Jaccard verify over the candidates, union-find groups.
+
+    Returns (doc_id, dup_group) for every member of a near-dup cluster."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    grams = ds.map_batches(NGramEmitter(), batch_format="pandas",
+                           batch_size=2048)
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(g["doc_id"].unique())
+        if len(ids) < 2 or len(ids) > NGRAM_RARE_MAX:
+            return pd.DataFrame({"a": pd.Series([], dtype=object),
+                                 "b": pd.Series([], dtype=object)})
+        ai, bi = np.triu_indices(len(ids), k=1)
+        arr = np.array(ids, dtype=object)
+        return pd.DataFrame({"a": arr[ai], "b": arr[bi]})
+
+    pairs = grams.groupby("gram").map_groups(
+        bucket_pairs, batch_format="pandas").to_pandas()
+    if not len(pairs):
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "dup_group": pa.array([], pa.int64())})
+    cand = set(map(tuple, pairs[["a", "b"]].drop_duplicates().values))
+    need = sorted({d.item() if hasattr(d, "item") else d
+                   for p in cand for d in p})
+    need_arr = pa.array(need)
+
+    def _sel(b: pa.Table) -> pa.Table:
+        return b.filter(pa.compute.is_in(b.column("doc_id"), value_set=need_arr))
+
+    rows = ds.map_batches(_sel, batch_format="pyarrow").take_all()
+    gr = {r["doc_id"]: _word_ngrams(r["text"]) for r in rows}
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            x = parent[x]
+        return x
+
+    for a, b in sorted(cand):
+        inter = len(np.intersect1d(gr[a], gr[b], assume_unique=True))
+        union = len(gr[a]) + len(gr[b]) - inter
+        if union and inter / union >= threshold:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                lo, hi = sorted((ra, rb))
+                parent[hi] = lo
+    members: dict = {}
+    for d in gr:
+        members.setdefault(find(d), []).append(d)
+    out_doc, out_grp = [], []
+    for r, ms in sorted(members.items()):
+        if len(ms) > 1:
+            for m in sorted(ms):
+                out_doc.append(m)
+                out_grp.append(min(ms))
+    out_doc = [x.item() if hasattr(x, "item") else x for x in out_doc]
+    out_grp = [x.item() if hasattr(x, "item") else x for x in out_grp]
+    return pa.table({"doc_id": pa.array(out_doc),
+                     "dup_group": pa.array(out_grp)})
+
+
 # ------------------------------- SimHash ----------------------------------
 
 

@@ -157,3 +157,29 @@ def test_broadcast_join_inner_and_left(ray_session):
     small_s = pa.table({"k": pa.array(["y", "z"]), "w": pa.array([9, 8], type=pa.int64())})
     got = J.broadcast_join(left_s, small_s, keys=["k"], join_type="inner").to_pandas()
     assert sorted(got["k"]) == ["y", "z"]
+
+
+def test_ngram_jaccard_matches_golden(ray_session):
+    import pyarrow.parquet as pq
+
+    from ibray import golden_extra as GX
+    from ibray.ops import dedup as D
+
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    e = D.ngram_jaccard_dups(SF).to_pandas().reset_index(drop=True)
+    g = GX.golden_ngram_jaccard(docs).to_pandas().reset_index(drop=True)
+    assert e.equals(g)
+
+
+def test_embedding_dups_matches_golden(ray_session):
+    import pyarrow.parquet as pq
+
+    from ibray import golden_extra as GX
+    from ibray.ops import ann as A
+
+    emb = pq.read_table(f"{SF}/embeddings.parquet",
+                        columns=["vec_id", "embedding"]).to_pandas()
+    e = A.embedding_dups(SF).to_pandas().reset_index(drop=True)
+    g = GX.golden_embedding_dups(emb).to_pandas().reset_index(drop=True)
+    assert e.equals(g)
