@@ -381,6 +381,38 @@ def _q_settlement_parts(sf_dir: str):
                        {"area_m2": 2})
 
 
+def _refined_cached(sf: float):
+    key = ("refined", sf)
+    if key not in _CACHE:
+        from ibray import pipeline
+        from ibray.ops import edgecatch as EC
+
+        world = synth.ensure_world(sf)
+        fp = pipeline.footprint_dataset(world)
+        settlements = _delineate_cached(sf)["settlements"]
+        blocks = _blocks_cached(sf)
+        _r, merges, snapped = EC.edge_catch_full(fp, settlements, blocks)
+        rs = EC.refined_settlements(settlements, blocks, merges, snapped)
+        _CACHE[key] = (rs, EC.refined_assignments(fp, rs))
+    return _CACHE[key]
+
+
+def _q_refined_settlements(sf_dir: str):
+    """Road-refined delineation polygons (EdgeCatch union, GapFix merged)."""
+    sf = synth.sf_of_dir(sf_dir)
+    golden.ensure_golden(sf)
+    rs, _ra = _refined_cached(sf)
+    return _scale_cols(rs.select(["settlement_id", "area_m2"]), {"area_m2": 2})
+
+
+def _q_refined_assignments(sf_dir: str):
+    """footprint -> road-refined settlement (the post-EdgeCatch join rows)."""
+    sf = synth.sf_of_dir(sf_dir)
+    golden.ensure_golden(sf)
+    _rs, ra = _refined_cached(sf)
+    return ra
+
+
 def _q_mst_clusters(sf_dir: str):
     from ibray import pipeline
     from ibray.ops import mstcluster as MC
@@ -462,6 +494,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_join_blocks": _q_spatial_join,   # golden oracle (J3 generic)
         "settlement_parts": _q_settlement_parts,  # golden oracle (M13 explode)
         "gap_fix_merges": _q_gap_fix,         # golden oracle (GapFix analog)
+        "refined_settlements": _q_refined_settlements,  # golden oracle (road-refined union)
+        "refined_assignments": _q_refined_assignments,  # golden oracle (post-EdgeCatch PIP)
         "mst_clusters": _q_mst_clusters,      # golden oracle (greedy rect-ratio)
         "single_bdg_rects": _q_single_bdg,    # golden oracle (AddSinglBdg)
         "block_overlap": _q_block_overlap,    # golden oracle (Blocker + A3)
@@ -637,6 +671,14 @@ def oracle_sql() -> dict[str, str]:
         "gap_fix_merges": f"""
             SELECT settlement_id, merged_id
             FROM read_parquet('{gold}/gap_fix.parquet')
+        """,
+        "refined_settlements": f"""
+            SELECT settlement_id, CAST(ROUND(area_m2 * 100) AS BIGINT) AS area_m2
+            FROM read_parquet('{gold}/refined_settlements.parquet')
+        """,
+        "refined_assignments": f"""
+            SELECT footprint_id, doc_id, span_idx, settlement_id
+            FROM read_parquet('{gold}/refined_assignments.parquet')
         """,
         "exact_symdiff": f"""
             SELECT patch_id, part_cell, side,

@@ -244,7 +244,11 @@ def _interior_point(ring: np.ndarray) -> np.ndarray:
     ey = nxt[:, 1] - ring[:, 1]
     ln = np.hypot(ex, ey)
     ok = ln > 0
-    for eps in (1e-3, 1e-4, 1e-2, 1e-1):
+    # the first eps must EXCEED the 1 cm snap grid: faces are snapped but
+    # callers classify the returned point against the ORIGINAL (unsnapped)
+    # geometry, so a 1 mm nudge can land on the wrong side of an edge that
+    # snapping moved by up to 1 cm
+    for eps in (5e-2, 5e-1, 1e-2, 1e-3):
         # left normal of (ex, ey) is (-ey, ex): interior side of a CCW ring
         px = mids[ok, 0] - ey[ok] / ln[ok] * eps
         py = mids[ok, 1] + ex[ok] / ln[ok] * eps
@@ -266,7 +270,8 @@ def region_interior_point(region: list[np.ndarray]) -> np.ndarray:
     ey = nxt[:, 1] - ring[:, 1]
     ln = np.hypot(ex, ey)
     ok = ln > 0
-    for eps in (1e-3, 1e-4, 1e-2, 1e-1):
+    # eps must exceed the snap grid — see _interior_point
+    for eps in (5e-2, 5e-1, 1e-2, 1e-3):
         px = mids[ok, 0] - ey[ok] / ln[ok] * eps
         py = mids[ok, 1] + ex[ok] / ln[ok] * eps
         inside = geom.points_in_polygon(px, py, region)

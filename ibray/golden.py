@@ -17,7 +17,7 @@ import pyarrow.parquet as pq
 from ibray import oracle, synth
 from ibray.config import DEFAULT
 
-ORACLE_VERSION = 9
+ORACLE_VERSION = 10
 
 
 def golden_dir(sf: float, base: str = "/tmp/ibray_golden") -> str:
@@ -94,11 +94,15 @@ def ensure_golden(sf: float) -> str:
     pq.write_table(GX.golden_exact_symdiff(world, DEFAULT, res_a=res,
                                            res_b=res_b),
                    os.path.join(tmp, "exact_symdiff.parquet"))
-    ec_refined, ec_merges = GX.golden_edge_catch(world, DEFAULT, res_a=res)
+    ec_refined, ec_merges, _ec_snap = GX.golden_edge_catch(world, DEFAULT, res_a=res)
     pq.write_table(ec_refined, os.path.join(tmp, "edge_catch.parquet"))
     pq.write_table(ec_merges, os.path.join(tmp, "gap_fix.parquet"))
     pq.write_table(GX.golden_spatial_join(world, DEFAULT, res_a=res),
                    os.path.join(tmp, "spatial_join.parquet"))
+    r_rs, r_ra = GX.golden_refined_assignments(world, DEFAULT, res_a=res)
+    pq.write_table(r_rs.select(["settlement_id", "area_m2"]),
+                   os.path.join(tmp, "refined_settlements.parquet"))
+    pq.write_table(r_ra, os.path.join(tmp, "refined_assignments.parquet"))
     pq.write_table(GX.golden_settlement_parts(world, DEFAULT, res_a=res),
                    os.path.join(tmp, "settlement_parts.parquet"))
     open(os.path.join(tmp, "_done"), "w").write("ok")

@@ -496,7 +496,7 @@ def golden_edge_catch(world_dir: str, cfg: DelineationConfig = DEFAULT,
                       res_a: dict | None = None):
     """EdgeCatch/GapFix oracle: brute-force dual assignment over the oracle
     settlements and the single-process blocks, same snap gate / erase /
-    union-find spec, one process.  Returns (refined, merges)."""
+    union-find spec, one process.  Returns (refined, merges, snap_rows)."""
     from ibray import arrange, oracle
     from ibray.ops.edgecatch import SNAP_AREA_FACTOR
 
@@ -573,7 +573,125 @@ def golden_edge_catch(world_dir: str, cfg: DelineationConfig = DEFAULT,
         "settlement_id": pa.array(sids, type=pa.string()),
         "merged_id": pa.array([find(s) for s in sids], type=pa.string()),
     })
-    return refined, merges
+    return refined, merges, snap_rows
+
+
+def _golden_edge_catch_parts(world_dir: str, cfg: DelineationConfig,
+                             res_a: dict):
+    return golden_edge_catch(world_dir, cfg, res_a=res_a)
+
+
+def _blocks_table_single(world_dir: str,
+                         cfg: DelineationConfig = DEFAULT) -> pa.Table:
+    """Single-process blocks as the arrow shape the overlay ops consume."""
+    from ibray.ops.blocks import block_cover
+    from ibray.ops.cluster import rings_to_arrow
+
+    blocks = sorted(_blocks_single(world_dir, cfg), key=lambda r: r[0])
+    covers = [block_cover(region, cfg) for _, _, _, region in blocks]
+    cnt = np.array([len(c) for c in covers], dtype=np.int64)
+    cover_col = pa.ListArray.from_arrays(
+        pa.array(np.concatenate([[0], np.cumsum(cnt)]), type=pa.int32()),
+        pa.array(np.concatenate(covers) if covers else np.zeros(0, np.int64),
+                 type=pa.int64()))
+    return pa.table({
+        "block_id": pa.array([b[0] for b in blocks], type=pa.string()),
+        "area_m2": pa.array([b[2] for b in blocks], type=pa.float64()),
+        "boundary": rings_to_arrow([b[3] for b in blocks]),
+        "cover_cells": cover_col,
+    })
+
+
+def golden_refined_assignments(world_dir: str,
+                               cfg: DelineationConfig = DEFAULT,
+                               res_a: dict | None = None):
+    """Road-refined delineation oracle: golden EdgeCatch pairs/merges, the
+    same per-group exact union (shared overlay kernel, plain loop), then
+    brute-force PIP of every footprint.  Returns (refined_table,
+    assignments_table)."""
+    from ibray import arrange, oracle
+    from ibray.ops.cluster import rings_to_arrow
+    from ibray.ops.edgecatch import SNAP_AREA_FACTOR
+    from ibray.ops.overlay import settlement_rings
+
+    if res_a is None:
+        res_a = oracle.run_oracle(world_dir, cfg)
+    _refined, merges, snap_rows = _golden_edge_catch_parts(world_dir, cfg, res_a)
+    st = _oracle_settlement_table(res_a)
+    bt = _blocks_table_single(world_dir, cfg)
+    s_rings = settlement_rings(st)
+    b_rings = settlement_rings(bt)
+    sid_arr = np.asarray(st.column("settlement_id")).tolist()
+    bid_arr = np.asarray(bt.column("block_id")).tolist()
+    s_row = {s: i for i, s in enumerate(sid_arr)}
+    b_row = {b: i for i, b in enumerate(bid_arr)}
+    s_cov = st.column("cover_cells").combine_chunks()
+    b_cov = bt.column("cover_cells").combine_chunks()
+    merged_of = dict(zip(np.asarray(merges.column("settlement_id")).tolist(),
+                         np.asarray(merges.column("merged_id")).tolist()))
+    blocks_of: dict[str, set] = {}
+    for s, b in snap_rows:
+        blocks_of.setdefault(merged_of[s], set()).add(b)
+    groups: dict[str, list] = {}
+    for s in sid_arr:
+        groups.setdefault(merged_of[s], []).append(s)
+    out_rows = []
+    for gid in sorted(groups):
+        srings = [r for s in sorted(groups[gid]) for r in s_rings[s_row[s]]]
+        brs = [b_rings[b_row[b]] for b in sorted(blocks_of.get(gid, set()))]
+        if not brs:
+            rings = srings
+            area = float(sum(
+                0.5 * (np.dot(r[:, 0], np.roll(r[:, 1], -1))
+                       - np.dot(np.roll(r[:, 0], -1), r[:, 1]))
+                for r in rings))
+        else:
+            ring_sets = [srings] + brs
+            regions, member = arrange.overlay_many(ring_sets)
+            keep = [i for i in range(len(regions)) if member[i].any()]
+            rings = [r for i in keep for r in regions[i]]
+            area = float(sum(arrange.region_area(regions[i]) for i in keep))
+        cov = [np.asarray(s_cov[s_row[s]].values, dtype=np.int64)
+               for s in groups[gid]]
+        cov += [np.asarray(b_cov[b_row[b]].values, dtype=np.int64)
+                for b in sorted(blocks_of.get(gid, set()))]
+        cover = np.unique(np.concatenate(cov)) if cov else np.zeros(0, np.int64)
+        out_rows.append((gid, area, rings, cover))
+    cov_counts = np.array([len(r[3]) for r in out_rows], dtype=np.int64)
+    cover_col = pa.ListArray.from_arrays(
+        pa.array(np.concatenate([[0], np.cumsum(cov_counts)]), type=pa.int32()),
+        pa.array(np.concatenate([r[3] for r in out_rows])
+                 if out_rows else np.zeros(0, np.int64), type=pa.int64()))
+    refined_tbl = pa.table({
+        "settlement_id": pa.array([r[0] for r in out_rows], type=pa.string()),
+        "area_m2": pa.array([r[1] for r in out_rows], type=pa.float64()),
+        "boundary": rings_to_arrow([r[2] for r in out_rows]),
+        "cover_cells": cover_col,
+    })
+    # brute-force PIP of every footprint against the refined polygons
+    fp = _fp_table_single(world_dir, cfg)
+    px = fp["cx"].to_numpy()
+    py = fp["cy"].to_numpy()
+    assigned = np.full(len(px), "", dtype=object)
+    for gid, _area, rings, _cov in out_rows:
+        if not rings:
+            continue
+        allpts = np.concatenate(rings)
+        mn = allpts.min(axis=0)
+        mx = allpts.max(axis=0)
+        cand = np.nonzero((px >= mn[0]) & (px <= mx[0]) &
+                          (py >= mn[1]) & (py <= mx[1]))[0]
+        if not len(cand):
+            continue
+        inside = geom.points_in_polygon(px[cand], py[cand], rings)
+        assigned[cand[inside]] = gid
+    assign_tbl = pa.table({
+        "footprint_id": pa.array(fp["footprint_id"], type=pa.string()),
+        "doc_id": pa.array(fp["doc_id"], type=pa.string()),
+        "span_idx": pa.array(fp["span_idx"].to_numpy(), type=pa.int32()),
+        "settlement_id": pa.array(list(assigned), type=pa.string()),
+    })
+    return refined_tbl, assign_tbl
 
 
 def golden_spatial_join(world_dir: str, cfg: DelineationConfig = DEFAULT,

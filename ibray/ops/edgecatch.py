@@ -119,10 +119,18 @@ def _rings_of_table(tbl: pa.Table) -> list[list[np.ndarray]]:
 
 def edge_catch(fp: rd.Dataset, settlements: pa.Table, blocks: pa.Table,
                cfg: DelineationConfig = DEFAULT):
-    """Returns (refined, merges):
+    """Returns (refined, merges) — see edge_catch_full."""
+    refined, merges, _snap = edge_catch_full(fp, settlements, blocks, cfg)
+    return refined, merges
+
+
+def edge_catch_full(fp: rd.Dataset, settlements: pa.Table, blocks: pa.Table,
+                    cfg: DelineationConfig = DEFAULT):
+    """Returns (refined, merges, snapped_pairs):
 
     refined: (settlement_id, area_m2, refined_area_m2, n_blocks_snapped)
     merges:  (settlement_id, merged_id) — GapFix union over shared blocks
+    snapped_pairs: (settlement_id, block_id) rows that passed the area gate
     """
     from ibray import pipeline
 
@@ -220,4 +228,140 @@ def edge_catch(fp: rd.Dataset, settlements: pa.Table, blocks: pa.Table,
         "settlement_id": pa.array(sid_arr, type=pa.string()),
         "merged_id": pa.array([find(s) for s in sid_arr], type=pa.string()),
     })
-    return refined, merges
+    snapped = pa.table({
+        "settlement_id": pa.array(list(p_sid[snap]), type=pa.string()),
+        "block_id": pa.array(list(p_bid[snap]), type=pa.string()),
+    })
+    return refined, merges, snapped
+
+
+def refined_settlements(settlements: pa.Table, blocks: pa.Table,
+                        merges: pa.Table, snapped: pa.Table,
+                        cfg: DelineationConfig = DEFAULT) -> pa.Table:
+    """Road-refined settlement polygons: per GapFix-merged group, the exact
+    UNION of the member settlements and their snapped blocks (overlay
+    regions where membership is ANY), computed per group in parallel.
+    Merged groups are disjoint (two groups sharing a snapped block would
+    have merged), so the result is a valid polygon partition for PIP.
+
+    Returns (settlement_id=merged id, area_m2, boundary, cover_cells).
+    """
+    from ibray import pipeline
+    from ibray.ops.overlay import settlement_rings
+
+    s_rings = settlement_rings(settlements)
+    b_rings = settlement_rings(blocks)
+    sid_arr = np.asarray(settlements.column("settlement_id")).tolist()
+    bid_arr = np.asarray(blocks.column("block_id")).tolist()
+    s_row = {s: i for i, s in enumerate(sid_arr)}
+    b_row = {b: i for i, b in enumerate(bid_arr)}
+    s_cov = settlements.column("cover_cells")
+    s_cov = s_cov.combine_chunks() if isinstance(s_cov, pa.ChunkedArray) else s_cov
+    b_cov = blocks.column("cover_cells")
+    b_cov = b_cov.combine_chunks() if isinstance(b_cov, pa.ChunkedArray) else b_cov
+    merged_of = dict(zip(np.asarray(merges.column("settlement_id")).tolist(),
+                         np.asarray(merges.column("merged_id")).tolist()))
+    blocks_of: dict[str, set[str]] = {}
+    for s, b in zip(np.asarray(snapped.column("settlement_id")),
+                    np.asarray(snapped.column("block_id"))):
+        blocks_of.setdefault(merged_of[s], set()).add(b)
+    groups: dict[str, list[str]] = {}
+    for s in sid_arr:
+        groups.setdefault(merged_of[s], []).append(s)
+
+    def _pack(rings):
+        offs = [0]
+        for r in rings:
+            offs.append(offs[-1] + len(r))
+        flat = np.concatenate(rings, axis=0) if rings else np.zeros((0, 2))
+        return flat[:, 0].tolist(), flat[:, 1].tolist(), offs
+
+    items = []
+    for gid in sorted(groups):
+        rings = [r for s in sorted(groups[gid]) for r in s_rings[s_row[s]]]
+        brs = [b_rings[b_row[b]] for b in sorted(blocks_of.get(gid, set()))]
+        # pack settlement rings and each block's ring set separately so the
+        # union treats every input polygon's own even-odd semantics
+        sx, sy, so = _pack(rings)
+        bx, by, bo = _pack([r for br in brs for r in br])
+        bcount = [len(br) for br in brs]
+        cov = [np.asarray(s_cov[s_row[s]].values, dtype=np.int64)
+               for s in groups[gid]]
+        cov += [np.asarray(b_cov[b_row[b]].values, dtype=np.int64)
+                for b in sorted(blocks_of.get(gid, set()))]
+        cover = np.unique(np.concatenate(cov)) if cov else np.zeros(0, np.int64)
+        items.append({"gid": gid, "sx": sx, "sy": sy, "so": so,
+                      "bx": bx, "by": by, "bo": bo, "bcount": bcount,
+                      "cover": cover.tolist()})
+
+    def _unpack(xs, ys, offs):
+        xs = np.asarray(xs, dtype=np.float64)
+        ys = np.asarray(ys, dtype=np.float64)
+        offs = np.asarray(offs, dtype=np.int64)
+        return [np.column_stack([xs[offs[i]:offs[i + 1]],
+                                 ys[offs[i]:offs[i + 1]]])
+                for i in range(len(offs) - 1)]
+
+    def _union(row: dict) -> list[dict]:
+        srings = _unpack(row["sx"], row["sy"], row["so"])
+        brings_flat = _unpack(row["bx"], row["by"], row["bo"])
+        if not row["bcount"]:
+            # nothing annexed: the original polygon IS the refined polygon
+            rings = srings
+            area = float(sum(
+                0.5 * (np.dot(r[:, 0], np.roll(r[:, 1], -1))
+                       - np.dot(np.roll(r[:, 0], -1), r[:, 1]))
+                for r in rings))
+        else:
+            # split block rings back into per-block polygons
+            ring_sets = [srings] if srings else []
+            pos = 0
+            for cnt in row["bcount"]:
+                ring_sets.append(brings_flat[pos:pos + cnt])
+                pos += cnt
+            regions, member = arrange.overlay_many(ring_sets)
+            keep = [i for i in range(len(regions)) if member[i].any()]
+            rings = [r for i in keep for r in regions[i]]
+            area = float(sum(arrange.region_area(regions[i]) for i in keep))
+        return [{"settlement_id": row["gid"], "area_m2": area,
+                 "rx": [r[:, 0].tolist() for r in rings],
+                 "ry": [r[:, 1].tolist() for r in rings],
+                 "cover": row["cover"]}]
+
+    rows = rd.from_items(items).flat_map(_union).take_all()
+    rows.sort(key=lambda r: r["settlement_id"])
+    from ibray.ops.cluster import rings_to_arrow
+
+    ring_lists = [[np.column_stack([np.asarray(x), np.asarray(y)])
+                   for x, y in zip(r["rx"], r["ry"])] for r in rows]
+    cov_counts = np.array([len(r["cover"]) for r in rows], dtype=np.int64)
+    cover_col = pa.ListArray.from_arrays(
+        pa.array(np.concatenate([[0], np.cumsum(cov_counts)]), type=pa.int32()),
+        pa.array(np.concatenate([r["cover"] for r in rows])
+                 if rows else np.zeros(0, np.int64), type=pa.int64()))
+    return pa.table({
+        "settlement_id": pa.array([r["settlement_id"] for r in rows],
+                                  type=pa.string()),
+        "area_m2": pa.array([r["area_m2"] for r in rows], type=pa.float64()),
+        "boundary": rings_to_arrow(ring_lists),
+        "cover_cells": cover_col,
+    })
+
+
+def refined_assignments(fp: rd.Dataset, refined: pa.Table,
+                        cfg: DelineationConfig = DEFAULT) -> rd.Dataset:
+    """PIP back-assignment against the road-refined polygons — footprints in
+    annexed blocks now land in their settlement (the reference's post-
+    EdgeCatch delineation result)."""
+    import ray
+
+    from ibray.ops.pip import PIPAssigner, pack_settlement_shards
+
+    shard_refs = {p: ray.put(v) for p, v in
+                  pack_settlement_shards(refined, cfg).items()}
+    return fp.select_columns(
+        ["footprint_id", "doc_id", "span_idx", "cx", "cy", "part_cell"]
+    ).sort("part_cell").drop_columns(["part_cell"]).map_batches(
+        PIPAssigner, fn_constructor_args=(shard_refs, cfg),
+        batch_format="pyarrow", batch_size=cfg.batch_size,
+        concurrency=_pool(4))

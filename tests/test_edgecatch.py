@@ -21,7 +21,7 @@ def test_edge_catch_matches_golden(ray_session, world):
     blocks = pipeline._concat_refs(B.blocks_dataset(world),
                                    B._empty_blocks().schema)
     refined, merges = EC.edge_catch(fp, settlements, blocks)
-    g_refined, g_merges = GX.golden_edge_catch(world)
+    g_refined, g_merges, _snap = GX.golden_edge_catch(world)
     assert refined.to_pandas().reset_index(drop=True).equals(
         g_refined.to_pandas().reset_index(drop=True))
     assert merges.to_pandas().reset_index(drop=True).equals(
@@ -30,3 +30,27 @@ def test_edge_catch_matches_golden(ray_session, world):
     # snapping can only grow a settlement
     assert (r["refined_area_m2"] >= r["area_m2"] - 1e-9).all()
     assert r["n_blocks_snapped"].sum() > 0
+
+
+def test_refined_assignments_match_golden(ray_session, world):
+    from ibray import golden_extra as GX
+    from ibray import pipeline
+    from ibray.ops import blocks as B
+    from ibray.ops import edgecatch as EC
+
+    fp = pipeline.footprint_dataset(world)
+    settlements = pipeline.delineate(world)["settlements"]
+    blocks = pipeline._concat_refs(B.blocks_dataset(world),
+                                   B._empty_blocks().schema)
+    _r, merges, snapped = EC.edge_catch_full(fp, settlements, blocks)
+    rs = EC.refined_settlements(settlements, blocks, merges, snapped)
+    ra = EC.refined_assignments(fp, rs).to_pandas().sort_values(
+        "footprint_id").reset_index(drop=True)
+    g_rs, g_ra = GX.golden_refined_assignments(world)
+    g_ra = g_ra.to_pandas().sort_values("footprint_id").reset_index(drop=True)
+    assert ra.equals(g_ra)
+    # the refined polygons annex road blocks: assignments can only gain
+    base = pipeline.delineate(world)["assignments"].to_pandas()
+    n_base = (base["settlement_id"] != "").sum()
+    n_ref = (ra["settlement_id"] != "").sum()
+    assert n_ref >= n_base
