@@ -15,7 +15,9 @@ Pipeline per call (one partition's segments — never global):
   4. half-edge face traversal: at each node the next half-edge is the
      clockwise successor of the twin, which walks every bounded face CCW
      (interior on the left); unbounded faces come out CW and are dropped
-  5. faces returned as closed CCW rings (k, 2)
+  5. a containment forest attaches nested CCW cycles as holes of their
+     smallest containing face, so the returned REGIONS (outer ring + hole
+     rings) partition the covered plane with exact areas
 
 Dangling (dead-end) segments are walked forward and back inside the same
 face and cancel in the shoelace area, matching FeatureToPolygon's behavior
