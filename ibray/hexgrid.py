@@ -203,34 +203,92 @@ def connected_components(cells: np.ndarray, gap: int = 1) -> np.ndarray:
         return np.zeros(0, dtype=np.int64)
     order = np.argsort(cells)
     sc = cells[order]
-    # precompute neighbor index table: for each cell, the sorted-set index of
-    # every in-set cell within `gap` (vectorized searchsorted per offset)
-    offs = k_ring_offsets(gap)
-    offs = offs[~((offs[:, 0] == 0) & (offs[:, 1] == 0))]
     res, q, r = unpack(sc)
-    nbr_cols = []
-    for dq, dr in offs:
-        nb = _pack(int(res[0]), q + dq, r + dr)
-        idx = np.searchsorted(sc, nb)
-        idx_c = np.clip(idx, 0, n - 1)
-        hit = sc[idx_c] == nb
-        nbr_cols.append(np.where(hit, idx_c, np.arange(n)))
-    nbrs = np.stack(nbr_cols, axis=1)  # (n, m) self-index where absent
-    # min-label propagation with pointer jumping (Shiloach-Vishkin style):
-    # hook = pull the min neighbor label, jump = labels[labels] composition.
-    # Converges in O(log diameter) vectorized rounds.
-    labels = np.arange(n, dtype=np.int64)
-    while True:
-        pulled = np.minimum(labels, labels[nbrs].min(axis=1))
-        changed = (pulled != labels).any()
-        labels = pulled
+
+    def _cc_rounds(nbrs: np.ndarray) -> np.ndarray:
+        # min-label propagation with pointer jumping (Shiloach-Vishkin
+        # style): hook = pull the min neighbor label, jump = labels[labels]
+        # composition.  Converges in O(log diameter) vectorized rounds.
+        labels = np.arange(len(nbrs), dtype=np.int64)
         while True:
-            nl = labels[labels]
-            if (nl == labels).all():
+            pulled = np.minimum(labels, labels[nbrs].min(axis=1))
+            changed = (pulled != labels).any()
+            labels = pulled
+            while True:
+                nl = labels[labels]
+                if (nl == labels).all():
+                    break
+                labels = nl
+            if not changed:
                 break
-            labels = nl
-        if not changed:
-            break
+        return labels
+
+    def _nbr_table(qs, rs, haystack, offsets):
+        cols = []
+        m = len(qs)
+        for dq, dr in offsets:
+            nb = _pack(int(res[0]), qs + dq, rs + dr)
+            idx = np.searchsorted(haystack, nb)
+            idx_c = np.clip(idx, 0, len(haystack) - 1)
+            hit = haystack[idx_c] == nb
+            cols.append((np.where(hit, idx_c, -1), hit))
+        return cols
+
+    ring1 = k_ring_offsets(1)
+    ring1 = ring1[~((ring1[:, 0] == 0) & (ring1[:, 1] == 0))]
+    cols1 = _nbr_table(q, r, sc, ring1)
+    nbrs1 = np.stack([np.where(h, i, np.arange(n)) for i, h in cols1], axis=1)
+    labels = _cc_rounds(nbrs1)
+    if gap > 1:
+        # two-phase: ring-1 components above, then gap links restricted to
+        # BOUNDARY cells (a closest pair between two components is always
+        # boundary-boundary: an interior closest cell could step one in-set
+        # cell toward the other component and get strictly closer), so
+        # interior cells of solid urban cores skip the O(ring(gap)) table.
+        miss = ~np.logical_and.reduce([h for _i, h in cols1])
+        b_idx = np.nonzero(miss)[0]
+        if len(b_idx):
+            sb = sc[b_idx]  # ascending (b_idx ascending over sorted sc)
+            offs = k_ring_offsets(gap)
+            offs = offs[~((offs[:, 0] == 0) & (offs[:, 1] == 0))]
+            qb, rb = q[b_idx], r[b_idx]
+            m = len(b_idx)
+            cols_b = []
+            for dq, dr in offs:
+                nb = _pack(int(res[0]), qb + dq, rb + dr)
+                idx = np.searchsorted(sb, nb)
+                idx_c = np.clip(idx, 0, m - 1)
+                hit = sb[idx_c] == nb
+                cols_b.append(np.where(hit, idx_c, np.arange(m)))
+            nbrs_b = np.stack(cols_b, axis=1)  # (m, ring) self where absent
+            # component-level min-label propagation: every boundary cell
+            # carries its ring-1 component's label; per round, pull the min
+            # over gap-neighbors, reduce per component, pointer-jump.
+            comp_roots, comp_of_b = np.unique(labels[b_idx], return_inverse=True)
+            lab_c = np.arange(len(comp_roots), dtype=np.int64)
+            while True:
+                lab_b = lab_c[comp_of_b]
+                pulled_b = np.minimum(lab_b, lab_b[nbrs_b].min(axis=1))
+                new_c = lab_c.copy()
+                np.minimum.at(new_c, comp_of_b, pulled_b)
+                while True:
+                    nl = new_c[new_c]
+                    if (nl == new_c).all():
+                        break
+                    new_c = nl
+                if (new_c == lab_c).all():
+                    break
+                lab_c = new_c
+            # merged root CELL index per original ring-1 component = the min
+            # ring-1 root among components sharing a final label
+            root_cell = np.full(len(comp_roots), n, dtype=np.int64)
+            np.minimum.at(root_cell, lab_c, comp_roots)
+            final_of_comp = root_cell[lab_c]
+            # map every cell's ring-1 root through the merge (roots of all
+            # components appear in comp_roots: every finite component has
+            # boundary cells)
+            pos = np.searchsorted(comp_roots, labels)
+            labels = final_of_comp[pos]
     # relabel components 0..k-1 ordered by smallest cell id (== smallest index)
     _, labels_sorted = np.unique(labels, return_inverse=True)
     out = np.empty(n, dtype=np.int64)
