@@ -188,6 +188,16 @@ def _q_dead_ends(sf_dir: str):
     return _scale_cols(RD.dead_end_roads(world), {"len_m": 2})
 
 
+def _q_segment_shares(sf_dir: str):
+    """A7 grouped length stats (GapSelect analog) — pure-SQL oracle."""
+    from ibray.ops import roads as RD
+
+    world = synth.ensure_world(synth.sf_of_dir(sf_dir))
+    return _scale_cols(RD.segment_shares(world),
+                       {"total_len_m": 2, "mean_len_m": 4, "max_len_m": 2,
+                        "max_share_pct": 4})
+
+
 def _q_density_r9(sf_dir: str):
     from ibray import pipeline
     from ibray.ops import density as DN
@@ -484,6 +494,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_assignments": _q_tiles,
         "road_length_stats": _q_road_stats,
         "dead_end_roads": _q_dead_ends,
+        "road_segment_shares": _q_segment_shares,
         "density_r9": _q_density_r9,
         "nearest_road": _q_nearest_road,      # golden oracle (brute force)
         "boundary_score": _q_boundary_score,  # golden oracle (scoring harness)
@@ -592,6 +603,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT klass, COUNT(DISTINCT road_id) AS n_roads,
                    CAST(ROUND(SUM(seg) * 100) AS BIGINT) AS total_len_m
             FROM segs GROUP BY klass
+        """,
+        # A7 grouped length stats, recomputed entirely in SQL
+        "road_segment_shares": f"""
+            WITH pts AS (
+              SELECT road_id, i, line[i].x AS x, line[i].y AS y,
+                     len(line) AS np
+              FROM (SELECT road_id, line,
+                           unnest(generate_series(1, len(line))) AS i
+                    FROM read_parquet('{world}/roads.parquet'))
+            ), segs AS (
+              SELECT a.road_id,
+                     sqrt((b.x-a.x)^2 + (b.y-a.y)^2) AS seg
+              FROM pts a JOIN pts b ON a.road_id = b.road_id AND b.i = a.i + 1
+            ), agg AS (
+              SELECT road_id, COUNT(*) AS n_segments,
+                     SUM(seg) AS total_len, AVG(seg) AS mean_len,
+                     MAX(seg) AS max_len
+              FROM segs GROUP BY road_id
+            )
+            SELECT road_id, n_segments,
+                   CAST(ROUND(total_len * 100) AS BIGINT) AS total_len_m,
+                   CAST(ROUND(mean_len * 10000) AS BIGINT) AS mean_len_m,
+                   CAST(ROUND(max_len * 100) AS BIGINT) AS max_len_m,
+                   CAST(ROUND(max_len / total_len * 100 * 10000) AS BIGINT)
+                       AS max_share_pct
+            FROM agg
+            WHERE max_len / total_len * 100 >= 30.0
         """,
         # NodesDetect in SQL: endpoint degree over rounded coords
         "dead_end_roads": f"""

@@ -51,6 +51,47 @@ def road_length_stats(world_dir: str) -> rd.Dataset:
     )
 
 
+def segment_shares(world_dir: str, min_share_pct: float = 30.0) -> rd.Dataset:
+    """A7 grouped length stats — the GapSelect analog
+    (IB-Tool2.py:1817-1824: Dissolve(Id, SUM(len), MEAN(len)) → LengPer,
+    keep edges whose share of their group's total length is large):
+    per polyline, segment count + total/mean/max segment length and the
+    longest segment's share; rows kept where the share ≥ min_share_pct."""
+    import pyarrow.compute as pc
+
+    def _segs(batch: pa.Table) -> pa.Table:
+        xs, ys, offs = _packed_lines(batch)
+        npts = offs[1:] - offs[:-1]
+        valid = np.ones(max(len(xs) - 1, 0), dtype=bool)
+        inner_ends = offs[1:-1] - 1
+        valid[inner_ends[inner_ends < len(valid)]] = False
+        v = np.nonzero(valid)[0] if len(valid) else np.empty(0, np.int64)
+        seg_len = np.hypot(xs[v + 1] - xs[v], ys[v + 1] - ys[v])
+        rid = np.asarray(batch.column("road_id"))
+        return pa.table({
+            "road_id": pa.array(np.repeat(rid, np.maximum(npts - 1, 0))),
+            "seg_len": pa.array(seg_len),
+        })
+
+    from ray.data.aggregate import Max, Mean
+
+    segs = _roads(world_dir).map_batches(_segs, batch_format="pyarrow")
+    agg = segs.groupby("road_id").aggregate(
+        Count(alias_name="n_segments"),
+        Sum("seg_len", alias_name="total_len_m"),
+        Mean("seg_len", alias_name="mean_len_m"),
+        Max("seg_len", alias_name="max_len_m"),
+    )
+
+    def _share(b: pa.Table) -> pa.Table:
+        share = pc.multiply(pc.divide(b.column("max_len_m"),
+                                      b.column("total_len_m")), 100.0)
+        b = b.append_column("max_share_pct", share)
+        return b.filter(pc.greater_equal(share, min_share_pct))
+
+    return agg.map_batches(_share, batch_format="pyarrow")
+
+
 def endpoints_batch(batch: pa.Table) -> pa.Table:
     """Emit both endpoints of every polyline, coords rounded to cm (the
     NodesDetect join key — endpoint equality up to coordinate quantization)."""

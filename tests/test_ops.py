@@ -183,3 +183,12 @@ def test_embedding_dups_matches_golden(ray_session):
     e = A.embedding_dups(SF).to_pandas().reset_index(drop=True)
     g = GX.golden_embedding_dups(emb).to_pandas().reset_index(drop=True)
     assert e.equals(g)
+
+
+def test_segment_shares_basic(ray_session, world):
+    from ibray.ops import roads as R
+
+    out = R.segment_shares(world).to_pandas()
+    assert len(out) > 0
+    assert (out["max_share_pct"] >= 30.0).all()
+    assert (out["max_len_m"] <= out["total_len_m"] + 1e-9).all()
