@@ -16,7 +16,7 @@ import pyarrow as pa
 import ray.data as rd
 
 from ibray.util import pool_size as _pool
-from ray.data.aggregate import Count, Mean, Sum
+from ray.data.aggregate import Count, Sum
 
 STOPWORDS = ["a", "and", "in", "is", "of", "the", "to"]
 
@@ -70,11 +70,24 @@ def quality_scores(sf_dir: str) -> rd.Dataset:
 
 def lang_source_counts(sf_dir: str) -> rd.Dataset:
     ds = _docs(sf_dir, ["lang", "source", "n_chars"])
-    return ds.groupby(["lang", "source"]).aggregate(
+    agg = ds.groupby(["lang", "source"]).aggregate(
         Count(alias_name="n_docs"),
         Sum("n_chars", alias_name="total_chars"),
-        Mean("n_chars", alias_name="avg_chars"),
     )
+
+    # avg from the two exact integers in ONE float64 division — bit-identical
+    # to DuckDB AVG(int) (integer SUM / COUNT), unlike Ray's Mean aggregate
+    # whose float partial accumulation is block-order dependent.
+    def _avg(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        avg = pc.divide(
+            pc.cast(b.column("total_chars"), pa.float64()),
+            pc.cast(b.column("n_docs"), pa.float64()),
+        )
+        return b.append_column("avg_chars", avg)
+
+    return agg.map_batches(_avg, batch_format="pyarrow")
 
 
 def doc_fingerprints(sf_dir: str) -> rd.Dataset:
