@@ -299,21 +299,35 @@ def work_row_group(group: pa.Table, cfg: DelineationConfig) -> pa.Table:
     })
 
 
-def polygonize_cells(cells: np.ndarray, cfg: DelineationConfig):
+def polygonize_cells(cells: np.ndarray, cfg: DelineationConfig,
+                     want_region: bool = False):
     """Closing + hex-union boundary tracing + HoleClose (drop interior rings
     smaller than max_hole_m2 — the reference's final HoleClose,
     IB-Tool2.py:2645-2649).  Returns (rings: list[(k,2) float64], area_m2,
-    cover_cells)."""
+    cover_cells) — plus the REGION cell set when ``want_region``.
+
+    The region is the exact cell rasterization of the kept-ring polygon:
+    closed cells plus the cells inside every DROPPED hole ring.  A point
+    strictly inside a fine cell is inside the polygon iff its cell is in the
+    region (the polygon is a union of whole cells), so point-in-polygon
+    back-assignment reduces to int64 cell membership — the engine's PIP is
+    a distributed join on cell_fine, not a ray cast (pipeline.delineate).
+    Dropped holes are tiny (< max_hole_m2 / cell_area cells, ~6 at default
+    config), so the fill enumerates only each dropped ring's bbox cells.
+    """
     from ibray import geom
 
     closed = hg.closing(cells, cfg.closing_k)
     rings = hg.boundary_rings(closed)
     area = 0.0
     kept: list[np.ndarray] = []
+    fills: list[np.ndarray] = []
     for ring in rings:
         off = np.array([0, len(ring)])
         a = float(geom.ring_area(ring[:, 0], ring[:, 1], off)[0])
         if a < 0 and -a < cfg.max_hole_m2:
+            if want_region:
+                fills.append(_cells_in_ring(ring, cfg.res_fine))
             continue  # HoleClose: small interior hole absorbed
         area += a
         kept.append(np.asarray(ring, dtype=np.float64))
@@ -321,7 +335,22 @@ def polygonize_cells(cells: np.ndarray, cfg: DelineationConfig):
     # fine cell, whose mid-res parent is within 1 mid-res ring of the point's
     # own mid-res cell — so parents ∪ their 1-ring is a sound cover
     cover = hg.dilate(np.unique(hg.parent(closed, cfg.res_mid)), 1)
-    return kept, area, cover
+    if not want_region:
+        return kept, area, cover
+    region = (np.unique(np.concatenate([closed] + fills))
+              if fills else closed)
+    return kept, area, cover, region
+
+
+def _cells_in_ring(ring: np.ndarray, res: int) -> np.ndarray:
+    """Fine cells whose center lies inside one (small) ring: enumerate the
+    ring's bbox lattice patch, ray-cast the ~tens of centers."""
+    from ibray import geom
+
+    cand = _lattice_patch(ring.min(axis=0), ring.max(axis=0), res)
+    cx, cy = hg.cell_center(cand)
+    inside = geom.points_in_polygon(cx, cy, [ring])
+    return cand[inside]
 
 
 def rings_to_arrow(ring_lists: list[list[np.ndarray]]) -> pa.ListArray:
@@ -358,16 +387,22 @@ def polygonize_batch(batch: pa.Table, cfg: DelineationConfig) -> pa.Table:
     areas = np.empty(len(labels), dtype=np.float64)
     boundaries: list[list[np.ndarray]] = []
     covers: list[np.ndarray] = []
+    regions: list[np.ndarray] = []
     for i in range(len(labels)):
-        rings, area, cover = polygonize_cells(flat[offs[i]:offs[i + 1]], cfg)
+        rings, area, cover, region = polygonize_cells(
+            flat[offs[i]:offs[i + 1]], cfg, want_region=True)
         areas[i] = area
         boundaries.append(rings)
         covers.append(cover)
-    cov_counts = np.array([len(c) for c in covers], dtype=np.int64)
-    cover_col = pa.ListArray.from_arrays(
-        pa.array(np.concatenate([[0], np.cumsum(cov_counts)]), type=pa.int32()),
-        pa.array(np.concatenate(covers) if covers else np.zeros(0, np.int64),
-                 type=pa.int64()))
+        regions.append(region)
+
+    def _list_col(arrs: list[np.ndarray]) -> pa.ListArray:
+        counts = np.array([len(c) for c in arrs], dtype=np.int64)
+        return pa.ListArray.from_arrays(
+            pa.array(np.concatenate([[0], np.cumsum(counts)]), type=pa.int32()),
+            pa.array(np.concatenate(arrs) if arrs else np.zeros(0, np.int64),
+                     type=pa.int64()))
+
     return pa.table({
         "settlement_id": sids,
         "label": pa.array(labels, type=pa.int64()),
@@ -375,5 +410,70 @@ def polygonize_batch(batch: pa.Table, cfg: DelineationConfig) -> pa.Table:
         "area_m2": pa.array(areas, type=pa.float64()),
         "part_cell": pa.array(hg.parent(labels, cfg.res_part), type=pa.int64()),
         "boundary": rings_to_arrow(boundaries),
-        "cover_cells": cover_col,
+        "cover_cells": _list_col(covers),
+        "region_cells": _list_col(regions),
+    })
+
+
+def region_from_settlements(batch: pa.Table, cfg: DelineationConfig) -> pa.Table:
+    """Checkpoint-resume path: re-rasterize region cells from the stored
+    boundary rings (center-in-rings parity over each settlement's bbox
+    lattice patch).  Emits the (cell_fine, settlement_id) index directly."""
+    from ibray import geom
+
+    bnd = batch.column("boundary")
+    bnd = bnd.combine_chunks() if isinstance(bnd, pa.ChunkedArray) else bnd
+    poly_off = np.asarray(bnd.offsets, dtype=np.int64)
+    rings_arr = bnd.values
+    ring_off = np.asarray(rings_arr.offsets, dtype=np.int64)
+    pts = rings_arr.values
+    xs = np.asarray(pts.field("x"), dtype=np.float64)
+    ys = np.asarray(pts.field("y"), dtype=np.float64)
+    out_cells, out_sid = [], []
+    sids = batch.column("settlement_id").to_pylist()
+    for i in range(len(batch)):
+        rings = [np.stack([xs[ring_off[r]:ring_off[r + 1]],
+                           ys[ring_off[r]:ring_off[r + 1]]], axis=1)
+                 for r in range(poly_off[i], poly_off[i + 1])]
+        if not rings:
+            continue
+        allpts = np.concatenate(rings)
+        patch = _lattice_patch(allpts.min(axis=0), allpts.max(axis=0),
+                               cfg.res_fine)
+        cx, cy = hg.cell_center(patch)
+        inside = geom.points_in_polygon(cx, cy, rings)
+        out_cells.append(patch[inside])
+        out_sid.extend([sids[i]] * int(inside.sum()))
+    cells = (np.concatenate(out_cells) if out_cells
+             else np.zeros(0, np.int64))
+    return pa.table({"cell_fine": pa.array(cells, type=pa.int64()),
+                     "settlement_id": pa.array(out_sid, type=pa.string())})
+
+
+def _lattice_patch(lo: np.ndarray, hi: np.ndarray, res: int) -> np.ndarray:
+    """All res-cells whose center may fall in [lo, hi] (one-cell pad)."""
+    s = hg.edge_length_m(res)
+    corners_x = np.array([lo[0] - s, hi[0] + s, lo[0] - s, hi[0] + s])
+    corners_y = np.array([lo[1] - s, lo[1] - s, hi[1] + s, hi[1] + s])
+    _, q, r = hg.unpack(hg.encode(corners_x, corners_y, res))
+    qs = np.arange(q.min(), q.max() + 1)
+    rs = np.arange(r.min(), r.max() + 1)
+    qq, rr = np.meshgrid(qs, rs, indexing="ij")
+    return hg._pack(res, qq.ravel(), rr.ravel())
+
+
+def region_index_batch(batch: pa.Table) -> pa.Table:
+    """Settlement rows (with region_cells) -> the flat PIP cell index:
+    one (cell_fine, settlement_id) row per region cell.  Region sets of
+    distinct settlements are disjoint (closed sets of gap-separated
+    components stay >= 2 cells apart; dropped holes are interior), so the
+    index is a function cell -> settlement."""
+    col = batch.column("region_cells")
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    counts = np.diff(np.asarray(col.offsets, dtype=np.int64))
+    sids = batch.column("settlement_id")
+    return pa.table({
+        "cell_fine": col.values,
+        "settlement_id": sids.take(pa.array(
+            np.repeat(np.arange(len(batch), dtype=np.int64), counts))),
     })

@@ -49,14 +49,20 @@ def run_oracle(world_dir: str, cfg: DelineationConfig = DEFAULT) -> dict:
 
     # --- settlements: python loop per component ---
     settlements = []
+    region_cells: list[np.ndarray] = []
+    region_sids: list[str] = []
     for label, g in kept.groupby("label", sort=True):
         if len(g) < cfg.min_footprints:
             continue
         comp_cells = np.unique(g["cell_fine"].to_numpy(dtype=np.int64))
-        rings, area, cover = polygonize_cells(comp_cells, cfg)
+        rings, area, cover, region = polygonize_cells(
+            comp_cells, cfg, want_region=True)
+        sid = f"s{int(label)}"
+        region_cells.append(region)
+        region_sids.extend([sid] * len(region))
         settlements.append(
             {
-                "settlement_id": f"s{int(label)}",
+                "settlement_id": sid,
                 "label": int(label),
                 "n_footprints": len(g),
                 "area_m2": area,
@@ -64,27 +70,23 @@ def run_oracle(world_dir: str, cfg: DelineationConfig = DEFAULT) -> dict:
                 "boundary": [[{"x": float(x), "y": float(y)} for x, y in r]
                              for r in rings],
                 "cover_cells": cover.tolist(),
-                "_rings_np": rings,
             }
         )
     settlements.sort(key=lambda s: s["settlement_id"])
 
-    # --- brute-force PIP back-assignment of every extracted footprint ---
-    px = df["cx"].to_numpy()
-    py = df["cy"].to_numpy()
+    # --- PIP back-assignment = region cell membership (the polygons are
+    # unions of whole fine cells; same semantics as the engine's cell join) ---
     assigned = np.full(len(df), "", dtype=object)
-    for s in settlements:
-        rings = s["_rings_np"]
-        allpts = np.concatenate(rings)
-        mn = allpts.min(axis=0)
-        mx = allpts.max(axis=0)
-        cand = np.nonzero(
-            (px >= mn[0]) & (px <= mx[0]) & (py >= mn[1]) & (py <= mx[1])
-        )[0]
-        if len(cand) == 0:
-            continue
-        inside = geom.points_in_polygon(px[cand], py[cand], rings)
-        assigned[cand[inside]] = s["settlement_id"]
+    if region_cells:
+        idx_cells = np.concatenate(region_cells)
+        idx_sids = np.array(region_sids, dtype=object)
+        order = np.argsort(idx_cells)
+        idx_cells = idx_cells[order]
+        idx_sids = idx_sids[order]
+        fc = df["cell_fine"].to_numpy(dtype=np.int64)
+        pos = np.clip(np.searchsorted(idx_cells, fc), 0, len(idx_cells) - 1)
+        hit = idx_cells[pos] == fc
+        assigned[hit] = idx_sids[pos[hit]]
 
     assignments = pa.table(
         {
@@ -102,8 +104,6 @@ def run_oracle(world_dir: str, cfg: DelineationConfig = DEFAULT) -> dict:
             "cell_r11": pa.array(df["cell_r11"].to_numpy(dtype=np.int64), type=pa.int64()),
         }
     )
-    for s in settlements:
-        del s["_rings_np"]
     return {
         "settlements": settlements,
         "assignments": assignments,

@@ -36,7 +36,6 @@ from ibray.config import DEFAULT, DelineationConfig
 from ibray.ops import cluster as C
 from ibray.ops import extract as E
 from ibray.ops import footprints as F
-from ibray.ops.pip import PIPAssigner, pack_settlement_shards
 
 # the narrow projection every downstream consumer of the materialized
 # footprint table needs — the ring coordinate payload (xs/ys) never has to
@@ -208,15 +207,23 @@ def delineate(world_dir: str, cfg: DelineationConfig = DEFAULT,
     fp = fp_all.map_batches(
         lambda b: F.filter_footprints(b, cfg, positive), batch_format="pyarrow"
     )
+    cell_index = None
     if ck and ck.has("settlements"):
         settlements = ck.read_table("settlements")
     else:
         work = cluster_cells(fp, cfg)
         _mark("cluster_and_work_table")
+        # polygonize emits the settlement rows WITH their region-cell
+        # rasterization; the region cells stay in the object store (they
+        # feed the PIP cell index), only the narrow settlement table is
+        # collected for the output contract
+        poly = work.repartition(max(2, _num_cpus() * 4)).map_batches(
+            lambda b: C.polygonize_batch(b, cfg),
+            batch_format="pyarrow", batch_size=4).materialize()
+        cell_index = poly.map_batches(C.region_index_batch,
+                                      batch_format="pyarrow")
         settlements = _concat_refs(
-            work.repartition(max(2, _num_cpus() * 4))
-            .map_batches(lambda b: C.polygonize_batch(b, cfg),
-                         batch_format="pyarrow", batch_size=4),
+            poly.drop_columns(["region_cells"]),
             _settlement_schema(),
         ).sort_by("settlement_id")
         _mark("polygonize")
@@ -226,26 +233,36 @@ def delineate(world_dir: str, cfg: DelineationConfig = DEFAULT,
     if ck and ck.has("assignments"):
         assignments = ck.read_dataset("assignments")
     else:
-        # sharded PIP index: one ray.put per coarse tile; actors fetch only
-        # the shards their batches touch (no whole-world broadcast).  The
-        # probe side is RANGE-SORTED by part_cell first: documents arrive in
-        # corpus order (spatially random), and without locality every batch
-        # spans every tile, paying per-settlement fixed costs thousands of
-        # times per batch (measured 9x end-to-end at 10M footprints).  The
-        # narrow 5-column sort is far cheaper than the locality it buys.
-        shard_refs = {p: ray.put(payload) for p, payload in
-                      pack_settlement_shards(settlements, cfg).items()}
-        assignments = fp_all.select_columns(
-            ["footprint_id", "doc_id", "span_idx", "cx", "cy", "part_cell"]
-        ).sort("part_cell").drop_columns(["part_cell"]).map_batches(
-            PIPAssigner,
-            fn_constructor_args=(shard_refs, cfg),
-            batch_format="pyarrow",
-            batch_size=cfg.batch_size,
-            # scale the pool with the session: a fixed cap idled 20 of 32
-            # CPUs during the PIP phase and flattened the 8→32 curve
-            concurrency=max(1, _num_cpus() - 2),
-        )
+        # PIP back-assignment = cell membership: every settlement polygon is
+        # a union of whole fine cells (its region — polygonize_cells), so
+        # "centroid inside polygon" is exactly "cell_fine in region": a
+        # distributed hash join on int64 cells.  This replaces round-2's
+        # driver-packed ring shards + part_cell range sort + ray-cast actor
+        # pool (the three dominant phases of the 32-CPU profile, ~160 s at
+        # 10M footprints) with ONE shuffle, and leaves no polygon payload or
+        # shard map on the driver.
+        if cell_index is None:  # resumed settlements from checkpoint
+            cell_index = rd.from_arrow(settlements).map_batches(
+                lambda b: C.region_from_settlements(b, cfg),
+                batch_format="pyarrow", batch_size=16)
+        joined = fp_all.select_columns(
+            ["footprint_id", "doc_id", "span_idx", "cell_fine"]
+        ).join(cell_index, join_type="left_outer",
+               num_partitions=max(8, _num_cpus()), on=("cell_fine",))
+
+        def _finish(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            sid = pc.coalesce(b.column("settlement_id"),
+                              pa.scalar("", type=pa.string()))
+            return pa.table({
+                "footprint_id": b.column("footprint_id"),
+                "doc_id": b.column("doc_id"),
+                "span_idx": b.column("span_idx"),
+                "settlement_id": sid,
+            })
+
+        assignments = joined.map_batches(_finish, batch_format="pyarrow")
         if ck:
             assignments = ck.write_dataset(assignments, "assignments")
     _mark("pip_built")
