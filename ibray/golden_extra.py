@@ -816,12 +816,12 @@ def golden_minhash_groups(docs: pd.DataFrame, threshold: float = 0.7,
                 h = (h * 1000003 + int(x)) % (1 << 64)
             h &= (1 << 61) - 1
             buckets.setdefault((band, h), []).append(doc_id)
+    from ibray.ops.dedup import capped_bucket_pairs
+
     cand = set()
     for ids in buckets.values():
-        ids = sorted(set(ids))
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                cand.add((ids[i], ids[j]))
+        ca, cb = capped_bucket_pairs(np.array(sorted(set(ids))))
+        cand.update(zip(ca.tolist(), cb.tolist()))
     parent: dict = {}
 
     def find(x):
@@ -829,10 +829,10 @@ def golden_minhash_groups(docs: pd.DataFrame, threshold: float = 0.7,
             x = parent[x]
         return x
 
+    from ibray.ops.dedup import _jaccard
+
     for x, y in sorted(cand):
-        inter = len(np.intersect1d(sh[x], sh[y], assume_unique=True))
-        union = len(sh[x]) + len(sh[y]) - inter
-        if union and inter / union >= threshold:
+        if _jaccard(sh[x], sh[y]) >= threshold:
             rx, ry = find(x), find(y)
             if rx != ry:
                 lo, hi = sorted((rx, ry))
@@ -840,14 +840,12 @@ def golden_minhash_groups(docs: pd.DataFrame, threshold: float = 0.7,
     members: dict = {}
     for d in sh:
         members.setdefault(find(d), []).append(d)
-    out_doc, out_grp = [], []
-    for r, ms in sorted(members.items()):
-        if len(ms) > 1:
-            for m in sorted(ms):
-                out_doc.append(m)
-                out_grp.append(min(ms))
-    return pa.table({"doc_id": pa.array(out_doc),
-                     "dup_group": pa.array(out_grp)})
+    # doc_id-major order: the engine's distributed components emit one row
+    # per node sorted by node id, so the golden canonicalizes the same way
+    out = sorted((m, min(ms)) for ms in members.values() if len(ms) > 1
+                 for m in ms)
+    return pa.table({"doc_id": pa.array([d for d, _ in out]),
+                     "dup_group": pa.array([g for _, g in out])})
 
 
 def golden_ngram_jaccard(docs: pd.DataFrame) -> pa.Table:
@@ -876,12 +874,12 @@ def golden_ngram_jaccard(docs: pd.DataFrame) -> pa.Table:
             x = parent[x]
         return x
 
+    from ibray.ops.dedup import _jaccard
+
     touched = set()
     for a, b in sorted(cand):
         touched.update((a, b))
-        inter = len(np.intersect1d(grams[a], grams[b], assume_unique=True))
-        union = len(grams[a]) + len(grams[b]) - inter
-        if union and inter / union >= NGRAM_THRESHOLD:
+        if _jaccard(grams[a], grams[b]) >= NGRAM_THRESHOLD:
             ra, rb = find(a), find(b)
             if ra != rb:
                 lo, hi = sorted((ra, rb))
@@ -889,22 +887,21 @@ def golden_ngram_jaccard(docs: pd.DataFrame) -> pa.Table:
     members: dict = {}
     for d in sorted(touched):
         members.setdefault(find(d), []).append(d)
-    out_doc, out_grp = [], []
-    for r, ms in sorted(members.items()):
-        if len(ms) > 1:
-            for m in sorted(ms):
-                out_doc.append(m)
-                out_grp.append(min(ms))
-    out_doc = [x.item() if hasattr(x, "item") else x for x in out_doc]
-    out_grp = [x.item() if hasattr(x, "item") else x for x in out_grp]
+    out = sorted((m, min(ms)) for ms in members.values() if len(ms) > 1
+                 for m in ms)
+    out_doc = [x.item() if hasattr(x, "item") else x for x, _ in out]
+    out_grp = [x.item() if hasattr(x, "item") else x for _, x in out]
     return pa.table({"doc_id": pa.array(out_doc),
                      "dup_group": pa.array(out_grp)})
 
 
-def golden_embedding_dups(emb: pd.DataFrame, n_cent: int = 16) -> pa.Table:
-    """Embedding-cosine near-dup oracle: same buckets, same verify."""
-    from ibray.ops.ann import EMB_DUP_THRESHOLD
+def golden_embedding_dups(emb: pd.DataFrame, n_cent: int | None = None) -> pa.Table:
+    """Embedding-cosine near-dup oracle: same buckets (sqrt-N centroid
+    rule), same verify."""
+    from ibray.ops.ann import EMB_DUP_THRESHOLD, scaled_n_cent
 
+    if n_cent is None:
+        n_cent = scaled_n_cent(len(emb))
     cent = _ivf_centroids_single(emb, n_cent)
     vecs = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
     vids = emb["vec_id"].to_numpy(dtype=np.int64)
@@ -937,14 +934,11 @@ def golden_embedding_dups(emb: pd.DataFrame, n_cent: int = 16) -> pa.Table:
     members: dict = {}
     for x in sorted({v for p in pairs for v in p}):
         members.setdefault(find(x), []).append(x)
-    out_v, out_g = [], []
-    for r, ms in sorted(members.items()):
-        if len(ms) > 1:
-            for m in sorted(ms):
-                out_v.append(m)
-                out_g.append(min(ms))
-    return pa.table({"vec_id": pa.array(out_v, type=pa.int64()),
-                     "dup_group": pa.array(out_g, type=pa.int64())})
+    out = sorted((m, min(ms)) for ms in members.values() if len(ms) > 1
+                 for m in ms)
+    return pa.table({"vec_id": pa.array([v for v, _ in out], type=pa.int64()),
+                     "dup_group": pa.array([g for _, g in out],
+                                           type=pa.int64())})
 
 
 def _ivf_centroids_single(emb: pd.DataFrame, n_cent: int = 16,
@@ -1007,7 +1001,7 @@ def golden_ivf_topk(emb: pd.DataFrame, n_cent: int = 16, nprobe: int = 4,
 
 # -------------------------------------------------------------- driver dir -
 
-DRIVER_GOLDEN_V = 2
+DRIVER_GOLDEN_V = 3
 
 
 def driver_golden_dir(sf_dir: str, base: str = "/tmp/ibray_golden_driver") -> str:

@@ -214,15 +214,30 @@ def ivf_topk(sf_dir: str, n_cent: int = 16, nprobe: int = 4) -> pa.Table:
 EMB_DUP_THRESHOLD = 0.45
 
 
-def embedding_dups(sf_dir: str, n_cent: int = 16,
+_DUP_TILE = 2048  # in-bucket comparison tile: memory O(tile^2) per block
+
+
+def scaled_n_cent(n: int) -> int:
+    """IVF centroid count for a corpus of n vectors: sqrt-N rule (buckets of
+    ~sqrt(N) vectors keep the in-bucket comparison subquadratic), floored at
+    16 so tiny corpora still bucket."""
+    return max(16, int(round(float(n) ** 0.5)))
+
+
+def embedding_dups(sf_dir: str, n_cent: int | None = None,
                    threshold: float = EMB_DUP_THRESHOLD) -> pa.Table:
     """Embedding-cosine near-dup groups (the semantic-dedup modality):
     candidate pairs are restricted to vectors sharing an IVF bucket (nearest
     coarse centroid — the bucketed scale path; cross-bucket near-dups are
-    out of scope by spec), verified with exact cosine ≥ threshold, grouped
-    by union-find.  Returns (vec_id, dup_group)."""
+    out of scope by spec), verified with exact cosine ≥ threshold inside a
+    TILED in-bucket comparison (no n×n bucket matrix), grouped with the
+    distributed min-label propagation of ops/cc.py.  ``n_cent`` defaults to
+    the sqrt-N rule so buckets shrink as the corpus grows.
+    Returns (vec_id, dup_group)."""
     import ray
 
+    if n_cent is None:
+        n_cent = scaled_n_cent(_emb(sf_dir).count())
     cent = _train_centroids(sf_dir, n_cent)
     ref = ray.put(cent)
 
@@ -247,38 +262,42 @@ def embedding_dups(sf_dir: str, n_cent: int = 16,
         vids = vids[order]
         vecs = np.stack(g["embedding"].to_numpy()[order]).astype(np.float64)
         nv = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
-        sims = nv @ nv.T
-        ai, bi = np.nonzero(np.triu(sims >= threshold, k=1))
-        return pd.DataFrame({"a": vids[ai], "b": vids[bi]})
+        # tiled upper-triangle comparison: never materializes the b x b
+        # similarity matrix, only _DUP_TILE^2 blocks with an immediate
+        # threshold filter
+        out_a, out_b = [], []
+        m = len(vids)
+        for i0 in range(0, m, _DUP_TILE):
+            vi = nv[i0:i0 + _DUP_TILE]
+            for j0 in range(i0, m, _DUP_TILE):
+                sims = vi @ nv[j0:j0 + _DUP_TILE].T
+                if i0 == j0:
+                    sims = np.triu(sims, k=1)
+                ai, bi = np.nonzero(sims >= threshold)
+                out_a.append(vids[i0 + ai])
+                out_b.append(vids[j0 + bi])
+        a = np.concatenate(out_a) if out_a else np.empty(0, np.int64)
+        b = np.concatenate(out_b) if out_b else np.empty(0, np.int64)
+        return pd.DataFrame({"a": a, "b": b})
 
     pairs = bucketed.groupby("centroid").map_groups(
-        bucket_dups, batch_format="pandas").to_pandas()
-    if not len(pairs) or "a" not in pairs.columns:
-        return pa.table({"vec_id": pa.array([], pa.int64()),
-                         "dup_group": pa.array([], pa.int64())})
-    parent: dict[int, int] = {}
+        bucket_dups, batch_format="pandas").materialize()
+    empty = pa.table({"vec_id": pa.array([], pa.int64()),
+                      "dup_group": pa.array([], pa.int64())})
+    if pairs.count() == 0:
+        return empty
+    from ibray.ops.cc import components_from_edges
 
-    def find(x: int) -> int:
-        while parent.get(x, x) != x:
-            x = parent[x]
-        return x
+    labels = components_from_edges(pairs)
+    parts = [t for t in ray.get(labels.to_arrow_refs()) if t.num_rows]
+    if not parts:
+        return empty
+    out = pa.concat_tables(parts)
+    import pyarrow.compute as pc
 
-    members: dict[int, list[int]] = {}
-    for a, b in sorted(map(tuple, pairs[["a", "b"]].values.tolist())):
-        ra, rb = find(int(a)), find(int(b))
-        if ra != rb:
-            lo, hi = sorted((ra, rb))
-            parent[hi] = lo
-    for d in sorted({int(x) for p in pairs[["a", "b"]].values.tolist() for x in p}):
-        members.setdefault(find(d), []).append(d)
-    out_v, out_g = [], []
-    for r, ms in sorted(members.items()):
-        if len(ms) > 1:
-            for m in sorted(ms):
-                out_v.append(m)
-                out_g.append(min(ms))
-    return pa.table({"vec_id": pa.array(out_v, type=pa.int64()),
-                     "dup_group": pa.array(out_g, type=pa.int64())})
+    out = out.take(pc.sort_indices(out, sort_keys=[("node", "ascending")]))
+    return pa.table({"vec_id": out.column("node"),
+                     "dup_group": out.column("label")})
 
 
 class CosineTopK:

@@ -22,6 +22,28 @@ from ray.data.aggregate import Count, Min
 
 _M61 = (1 << 61) - 1
 
+# Buckets larger than this emit star-around-min + consecutive-chain pairs
+# (2b-3, linear) instead of all b*(b-1)/2 pairs: a high-multiplicity
+# near-identical cluster (boilerplate/templates — the norm in web corpora)
+# otherwise makes the LSH candidate stage quadratic.  Documented analog
+# semantics: members of an oversized bucket group transitively through the
+# star/chain edges that survive the exact-Jaccard verify.
+LSH_BUCKET_CAP = 32
+
+
+def capped_bucket_pairs(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Candidate pairs for one LSH bucket (ids sorted unique): all pairs up
+    to LSH_BUCKET_CAP, star(min)+chain beyond it."""
+    n = len(ids)
+    if n < 2:
+        return ids[:0], ids[:0]
+    if n <= LSH_BUCKET_CAP:
+        ai, bi = np.triu_indices(n, k=1)
+        return ids[ai], ids[bi]
+    a = np.concatenate([np.full(n - 1, ids[0], dtype=ids.dtype), ids[1:-1]])
+    b = np.concatenate([ids[1:], ids[2:]])
+    return a, b
+
 
 def _docs(sf_dir: str, columns: list[str]) -> rd.Dataset:
     return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
@@ -112,6 +134,87 @@ def _jaccard(a: np.ndarray, b: np.ndarray) -> float:
     return inter / union if union else 1.0
 
 
+def _verified_dup_table(ds: rd.Dataset, pairs: rd.Dataset, feat_of,
+                        threshold: float) -> pa.Table:
+    """Distributed candidate-pair verify + grouping, shared by the MinHash
+    and n-gram dedup operators.
+
+    ``pairs``: Dataset (a, b) int64 candidate pairs (repeats allowed —
+    deduped with a groupby here).  ``feat_of(text) -> sorted uint64 array``
+    is the exact feature set; a pair is a verified duplicate when the
+    feature-set Jaccard reaches ``threshold``.
+
+    Scale shape: pair dedup is a groupby; per-doc features are computed
+    distributed for candidate docs only (the id set — ints, not texts — is
+    the only driver-held state, broadcast once via ray.put); features reach
+    their pairs through two hash joins (packed to binary — Acero ships no
+    list columns); verified edges resolve to groups with the distributed
+    min-label propagation in ops/cc.py.  No text and no pair table ever
+    collapses to the driver; only the final (doc_id, dup_group) result —
+    the query contract — is collected.
+    """
+    import pyarrow.compute as pc
+    import ray
+
+    from ibray.ops.cc import components_from_edges
+
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "dup_group": pa.array([], pa.int64())})
+
+    def _ab(t: pa.Table) -> pa.Table:
+        return pa.table({"a": t.column("a").cast(pa.int64()),
+                         "b": t.column("b").cast(pa.int64())})
+
+    # repartition (not a conform map) scrubs the hash-shuffle groupby's
+    # zero-column empty blocks: map_batches never calls its UDF on empty
+    # blocks, so only a physical block merge removes them before the joins
+    pairs = pairs.groupby(["a", "b"]).aggregate(
+        Count(alias_name="_n")).map_batches(
+        _ab, batch_format="pyarrow").repartition(8).materialize()
+    if pairs.count() == 0:
+        return empty
+    need = sorted(set(pairs.unique("a")) | set(pairs.unique("b")))
+    need_ref = ray.put(pa.array(need, type=pa.int64()))
+
+    def _feats(b: pa.Table) -> pa.Table:
+        sel = b.filter(pc.is_in(b.column("doc_id").cast(pa.int64()),
+                                value_set=ray.get(need_ref)))
+        return pa.table({
+            "doc_id": sel.column("doc_id").cast(pa.int64()),
+            "feat": pa.array([feat_of(t).tobytes() for t in
+                              sel.column("text").to_pylist()],
+                             type=pa.large_binary()),
+        })
+
+    feats = ds.map_batches(_feats, batch_format="pyarrow").materialize()
+    fa = feats.map_batches(
+        lambda t: t.rename_columns(["a", "feat_a"]), batch_format="pyarrow")
+    fb = feats.map_batches(
+        lambda t: t.rename_columns(["b", "feat_b"]), batch_format="pyarrow")
+    joined = pairs.join(fa, join_type="inner", num_partitions=8, on=("a",)) \
+                  .join(fb, join_type="inner", num_partitions=8, on=("b",))
+
+    def _verify(t: pa.Table) -> pa.Table:
+        keep = np.zeros(len(t), dtype=bool)
+        for i, (ba, bb) in enumerate(zip(t.column("feat_a").to_pylist(),
+                                         t.column("feat_b").to_pylist())):
+            keep[i] = _jaccard(np.frombuffer(ba, dtype=np.uint64),
+                               np.frombuffer(bb, dtype=np.uint64)) >= threshold
+        return t.filter(pa.array(keep)).select(["a", "b"])
+
+    verified = joined.map_batches(_verify, batch_format="pyarrow")
+    labels = components_from_edges(verified)
+    out = pa.concat_tables(
+        [t for t in ray.get(labels.to_arrow_refs()) if t.num_rows])  \
+        if labels.count() else None
+    if out is None:
+        return empty
+    order = pc.sort_indices(out, sort_keys=[("node", "ascending")])
+    out = out.take(order)
+    return pa.table({"doc_id": out.column("node"),
+                     "dup_group": out.column("label")})
+
+
 def minhash_dup_groups(sf_dir: str, threshold: float = 0.7,
                        id_col: str = "doc_id", text_col: str = "text",
                        table: str = "documents") -> pa.Table:
@@ -119,10 +222,10 @@ def minhash_dup_groups(sf_dir: str, threshold: float = 0.7,
     member of a near-dup cluster (dup_group = smallest member doc_id).
 
     LSH shuffle: groupby (band, band_sig); buckets with >1 doc become
-    candidate pairs, verified with exact shingle Jaccard, then union-find.
+    candidate pairs (capped per bucket — LSH_BUCKET_CAP), verified with
+    exact shingle Jaccard through the distributed pair pipeline, grouped
+    with distributed min-label propagation (ops/cc.py).
     """
-    import ray
-
     ds = rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=[id_col, text_col])
     if id_col != "doc_id" or text_col != "text":
         ds = ds.map_batches(
@@ -131,61 +234,13 @@ def minhash_dup_groups(sf_dir: str, threshold: float = 0.7,
                            concurrency=_pool(4))
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        # ALL within-bucket pairs (buckets are small): a star around ids[0]
-        # silently misses B~C when the representative fails the Jaccard
-        # verify against both.
         ids = np.array(sorted(g["doc_id"].unique()))
-        if len(ids) < 2:
-            return pd.DataFrame({"a": [], "b": []})
-        ai, bi = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"a": ids[ai], "b": ids[bi]})
+        a, b = capped_bucket_pairs(ids)
+        return pd.DataFrame({"a": a, "b": b})
 
-    pairs = (
-        bands.groupby(["band", "band_sig"])
-        .map_groups(bucket_pairs, batch_format="pandas")
-        .to_pandas()
-    )
-    if len(pairs) == 0:
-        return pa.table({"doc_id": pa.array([], pa.int64()),
-                         "dup_group": pa.array([], pa.int64())})
-    cand = set(map(tuple, pairs[["a", "b"]].drop_duplicates().values))
-    # verify candidates with exact shingle Jaccard: fetch candidate texts
-    # with a DISTRIBUTED semi-join (is_in filter inside map_batches) — the
-    # driver sees only the candidate rows, never the corpus
-    need = sorted({d for p in cand for d in p})
-    need_arr = pa.array(need)
-
-    def _sel(b: pa.Table) -> pa.Table:
-        return b.filter(pa.compute.is_in(b.column("doc_id"), value_set=need_arr))
-
-    cand_rows = ds.map_batches(_sel, batch_format="pyarrow").take_all()
-    texts = {r["doc_id"]: r["text"] for r in cand_rows}
-    sh = {d: _shingle_hashes(t) for d, t in texts.items()}
-    parent: dict[str, str] = {}
-
-    def find(x: str) -> str:
-        while parent.get(x, x) != x:
-            x = parent[x]
-        return x
-
-    for a, b in sorted(cand):
-        if _jaccard(sh[a], sh[b]) >= threshold:
-            ra, rb = find(a), find(b)
-            if ra != rb:
-                lo, hi = sorted([ra, rb])
-                parent[hi] = lo
-    members: dict[str, list[str]] = {}
-    for d in texts:
-        r = find(d)
-        members.setdefault(r, []).append(d)
-    out_doc, out_grp = [], []
-    for r, ms in sorted(members.items()):
-        if len(ms) > 1:
-            for m in sorted(ms):
-                out_doc.append(m)
-                out_grp.append(min(ms))
-    return pa.table({"doc_id": pa.array([x.item() if hasattr(x, "item") else x for x in out_doc]),
-                     "dup_group": pa.array([x.item() if hasattr(x, "item") else x for x in out_grp])})
+    pairs = bands.groupby(["band", "band_sig"]).map_groups(
+        bucket_pairs, batch_format="pandas")
+    return _verified_dup_table(ds, pairs, _shingle_hashes, threshold)
 
 
 # --------------------------- n-gram Jaccard -------------------------------
@@ -234,57 +289,15 @@ def ngram_jaccard_dups(sf_dir: str, threshold: float = NGRAM_THRESHOLD) -> pa.Ta
                            batch_size=2048)
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g["doc_id"].unique())
+        ids = np.array(sorted(g["doc_id"].unique()))
         if len(ids) < 2 or len(ids) > NGRAM_RARE_MAX:
-            return pd.DataFrame({"a": pd.Series([], dtype=object),
-                                 "b": pd.Series([], dtype=object)})
+            return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                                 "b": pd.Series([], dtype=np.int64)})
         ai, bi = np.triu_indices(len(ids), k=1)
-        arr = np.array(ids, dtype=object)
-        return pd.DataFrame({"a": arr[ai], "b": arr[bi]})
+        return pd.DataFrame({"a": ids[ai], "b": ids[bi]})
 
-    pairs = grams.groupby("gram").map_groups(
-        bucket_pairs, batch_format="pandas").to_pandas()
-    if not len(pairs):
-        return pa.table({"doc_id": pa.array([], pa.int64()),
-                         "dup_group": pa.array([], pa.int64())})
-    cand = set(map(tuple, pairs[["a", "b"]].drop_duplicates().values))
-    need = sorted({d.item() if hasattr(d, "item") else d
-                   for p in cand for d in p})
-    need_arr = pa.array(need)
-
-    def _sel(b: pa.Table) -> pa.Table:
-        return b.filter(pa.compute.is_in(b.column("doc_id"), value_set=need_arr))
-
-    rows = ds.map_batches(_sel, batch_format="pyarrow").take_all()
-    gr = {r["doc_id"]: _word_ngrams(r["text"]) for r in rows}
-    parent: dict = {}
-
-    def find(x):
-        while parent.get(x, x) != x:
-            x = parent[x]
-        return x
-
-    for a, b in sorted(cand):
-        inter = len(np.intersect1d(gr[a], gr[b], assume_unique=True))
-        union = len(gr[a]) + len(gr[b]) - inter
-        if union and inter / union >= threshold:
-            ra, rb = find(a), find(b)
-            if ra != rb:
-                lo, hi = sorted((ra, rb))
-                parent[hi] = lo
-    members: dict = {}
-    for d in gr:
-        members.setdefault(find(d), []).append(d)
-    out_doc, out_grp = [], []
-    for r, ms in sorted(members.items()):
-        if len(ms) > 1:
-            for m in sorted(ms):
-                out_doc.append(m)
-                out_grp.append(min(ms))
-    out_doc = [x.item() if hasattr(x, "item") else x for x in out_doc]
-    out_grp = [x.item() if hasattr(x, "item") else x for x in out_grp]
-    return pa.table({"doc_id": pa.array(out_doc),
-                     "dup_group": pa.array(out_grp)})
+    pairs = grams.groupby("gram").map_groups(bucket_pairs, batch_format="pandas")
+    return _verified_dup_table(ds, pairs, _word_ngrams, threshold)
 
 
 # ------------------------------- SimHash ----------------------------------

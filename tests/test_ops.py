@@ -91,17 +91,45 @@ def test_minhash_finds_planted_near_dups(ray_session, tmp_path):
     )
     rows = []
     for i in range(40):
-        rows.append({"doc_id": f"u{i:03d}", "text": f"unique document {i} " +
+        rows.append({"doc_id": 100 + i, "text": f"unique document {i} " +
                      " ".join(f"tok{i}_{j}" for j in range(60))})
-    rows.append({"doc_id": "dup_a", "text": base})
-    rows.append({"doc_id": "dup_b", "text": base.replace("summer", "winter")})
-    rows.append({"doc_id": "dup_c", "text": base})
+    rows.append({"doc_id": 1, "text": base})
+    rows.append({"doc_id": 2, "text": base.replace("summer", "winter")})
+    rows.append({"doc_id": 3, "text": base})
     tbl = pa.Table.from_pylist(rows)
     pq.write_table(tbl, str(tmp_path / "documents.parquet"))
     out = D.minhash_dup_groups(str(tmp_path), threshold=0.6).to_pandas()
-    got = set(out[out["dup_group"] == "dup_a"]["doc_id"])
-    assert {"dup_a", "dup_b", "dup_c"} <= got
-    assert not any(d.startswith("u") for d in out["doc_id"])
+    got = set(out[out["dup_group"] == 1]["doc_id"])
+    assert {1, 2, 3} <= got
+    assert not any(d >= 100 for d in out["doc_id"])
+
+
+def test_minhash_template_cluster_stays_linear(ray_session, tmp_path):
+    """A high-multiplicity near-identical cluster (the web-corpus norm) must
+    not explode the LSH candidate stage: with the bucket cap, a b-copy
+    bucket emits O(b) star+chain pairs instead of b(b-1)/2, and the whole
+    cluster still resolves to ONE group via the distributed components."""
+    from ibray.ops import dedup as D
+
+    template = ("breaking news article boilerplate header " * 30)
+    n_copies = 2000
+    rows = [{"doc_id": i, "text": template + f" trailing id {i % 7}"}
+            for i in range(n_copies)]
+    rows += [{"doc_id": 10_000 + i,
+              "text": " ".join(f"w{i}_{j}" for j in range(80))}
+             for i in range(50)]
+    pq.write_table(pa.Table.from_pylist(rows),
+                   str(tmp_path / "documents.parquet"))
+
+    # pair generation is linear for an oversized bucket ...
+    ids = np.arange(n_copies, dtype=np.int64)
+    a, b = D.capped_bucket_pairs(ids)
+    assert len(a) == 2 * n_copies - 3  # star + chain, not b(b-1)/2
+    # ... and the full operator still resolves the cluster to one group
+    out = D.minhash_dup_groups(str(tmp_path), threshold=0.7).to_pandas()
+    grp = out[out["doc_id"] < 10_000]
+    assert len(grp) == n_copies
+    assert (grp["dup_group"] == 0).all()
 
 
 def test_simhash_near_dup_small_hamming(ray_session, tmp_path):
