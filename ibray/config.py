@@ -34,6 +34,16 @@ class DelineationConfig:
     # --- execution ---
     batch_size: int = 32768
     pip_concurrency: int = 4   # actor pool size for the PIP stage
+    # PIP back-assignment strategy: "broadcast" probes a sorted int64 cell
+    # index shared zero-copy through the object store (no shuffle at all —
+    # right up to indexes of a few hundred M cells); "join" hash-joins
+    # footprints against the index (fully sharded, for indexes too big to
+    # hold per-node); "auto" picks by index size at runtime.
+    pip_strategy: str = "auto"
+    # auto threshold: broadcast while the region index stays under this many
+    # cells (~3.2 GB of packed index at the cap — one copy per node via
+    # plasma, a per-actor sorted view on the heap)
+    pip_broadcast_max_cells: int = 200_000_000
 
     @property
     def cluster_gap(self) -> int:

@@ -134,59 +134,65 @@ def edge_catch_full(fp: rd.Dataset, settlements: pa.Table, blocks: pa.Table,
     """
     from ibray import pipeline
 
+    from ibray.ops.ringpack import boundary_to_binary, unpack_rings
+
     pairs = snap_pairs(fp, settlements, blocks, cfg)
     sid_arr = np.asarray(settlements.column("settlement_id"))
     sarea = np.asarray(settlements.column("area_m2"))
     area_of_s = dict(zip(sid_arr.tolist(), sarea.tolist()))
     bid_arr = np.asarray(blocks.column("block_id"))
     barea = np.asarray(blocks.column("area_m2"))
-    area_of_b = dict(zip(bid_arr.tolist(), barea.tolist()))
     p_sid = np.asarray(pairs.column("settlement_id"))
     p_bid = np.asarray(pairs.column("block_id"))
-    snap = np.array([area_of_b[b] < SNAP_AREA_FACTOR * area_of_s[s]
-                     for s, b in zip(p_sid, p_bid)], dtype=bool) \
-        if len(p_sid) else np.zeros(0, bool)
+    # vectorized area gate (ids-only on the driver — the pair id table is
+    # snap_pairs' own return contract; geometry never lands here)
+    s_sort = np.argsort(sid_arr)
+    b_sort = np.argsort(bid_arr)
+    if len(p_sid):
+        sa = sarea[s_sort[np.searchsorted(sid_arr[s_sort], p_sid)]]
+        ba = barea[b_sort[np.searchsorted(bid_arr[b_sort], p_bid)]]
+        snap = ba < SNAP_AREA_FACTOR * sa
+    else:
+        snap = np.zeros(0, bool)
 
-    # per-pair exact erase areas, in parallel
-    s_rings = _rings_of_table(settlements)
-    b_rings = _rings_of_table(blocks)
-    s_row = {s: i for i, s in enumerate(sid_arr.tolist())}
-    b_row = {b: i for i, b in enumerate(bid_arr.tolist())}
+    # per-pair exact erase areas: gated pairs join each side's packed-ring
+    # binary (ops/ringpack) through Dataset hash joins; the erase runs in
+    # map_batches and only the per-settlement gain aggregate returns
+    snapped = pa.table({
+        "settlement_id": pa.array(list(p_sid[snap]), type=pa.string()),
+        "block_id": pa.array(list(p_bid[snap]), type=pa.string()),
+    })
+    if snapped.num_rows:
+        sgeom = rd.from_arrow(settlements).map_batches(
+            lambda b: boundary_to_binary(b, "settlement_id", geom_col="geom_s"),
+            batch_format="pyarrow")
+        bgeom = rd.from_arrow(blocks).map_batches(
+            lambda b: boundary_to_binary(b, "block_id", geom_col="geom_b"),
+            batch_format="pyarrow")
+        joined = rd.from_arrow(snapped) \
+            .join(sgeom, join_type="inner", num_partitions=8,
+                  on=("settlement_id",)) \
+            .join(bgeom, join_type="inner", num_partitions=8,
+                  on=("block_id",))
 
-    def _pack(rings):
-        offs = [0]
-        for r in rings:
-            offs.append(offs[-1] + len(r))
-        flat = np.concatenate(rings, axis=0) if rings else np.zeros((0, 2))
-        return flat[:, 0].tolist(), flat[:, 1].tolist(), offs
+        def _erase_batch(t: pa.Table) -> pa.Table:
+            gains_ = np.empty(len(t), dtype=np.int64)
+            gs = t.column("geom_s").to_pylist()
+            gb = t.column("geom_b").to_pylist()
+            for i in range(len(t)):
+                regions = arrange.polygon_erase(unpack_rings(gb[i]),
+                                                unpack_rings(gs[i]))
+                gain = sum(arrange.region_area(r) for r in regions)
+                # integer cm² so sum order cannot perturb the total
+                gains_[i] = int(round(gain * 1e4))
+            return pa.table({
+                "settlement_id": t.column("settlement_id"),
+                "block_id": t.column("block_id"),
+                "gain_cm2": pa.array(gains_, type=pa.int64()),
+            })
 
-    items = []
-    for s, b in zip(p_sid[snap], p_bid[snap]):
-        sx, sy, so = _pack(s_rings[s_row[s]])
-        bx, by, bo = _pack(b_rings[b_row[b]])
-        items.append({"sid": s, "bid": b, "sx": sx, "sy": sy, "so": so,
-                      "bx": bx, "by": by, "bo": bo})
-
-    def _unpack(xs, ys, offs):
-        xs = np.asarray(xs, dtype=np.float64)
-        ys = np.asarray(ys, dtype=np.float64)
-        offs = np.asarray(offs, dtype=np.int64)
-        return [np.column_stack([xs[offs[i]:offs[i + 1]],
-                                 ys[offs[i]:offs[i + 1]]])
-                for i in range(len(offs) - 1)]
-
-    def _erase_area(row: dict) -> list[dict]:
-        regions = arrange.polygon_erase(
-            _unpack(row["bx"], row["by"], row["bo"]),
-            _unpack(row["sx"], row["sy"], row["so"]))
-        gain = sum(arrange.region_area(r) for r in regions)
-        # integer cm² so the distributed sum order cannot perturb the total
-        return [{"settlement_id": row["sid"], "block_id": row["bid"],
-                 "gain_cm2": int(round(gain * 1e4))}]
-
-    if items:
         gains = pipeline._concat_refs(
-            rd.from_items(items).flat_map(_erase_area),
+            joined.map_batches(_erase_batch, batch_format="pyarrow"),
             pa.schema([("settlement_id", pa.string()),
                        ("block_id", pa.string()),
                        ("gain_cm2", pa.int64())])).to_pandas()
@@ -228,10 +234,6 @@ def edge_catch_full(fp: rd.Dataset, settlements: pa.Table, blocks: pa.Table,
         "settlement_id": pa.array(sid_arr, type=pa.string()),
         "merged_id": pa.array([find(s) for s in sid_arr], type=pa.string()),
     })
-    snapped = pa.table({
-        "settlement_id": pa.array(list(p_sid[snap]), type=pa.string()),
-        "block_id": pa.array(list(p_bid[snap]), type=pa.string()),
-    })
     return refined, merges, snapped
 
 
@@ -247,105 +249,109 @@ def refined_settlements(settlements: pa.Table, blocks: pa.Table,
     Returns (settlement_id=merged id, area_m2, boundary, cover_cells).
     """
     from ibray import pipeline
-    from ibray.ops.overlay import settlement_rings
+    from ibray.ops.cluster import rings_to_arrow
+    from ibray.ops.ringpack import boundary_to_binary, unpack_rings
 
-    s_rings = settlement_rings(settlements)
-    b_rings = settlement_rings(blocks)
-    sid_arr = np.asarray(settlements.column("settlement_id")).tolist()
-    bid_arr = np.asarray(blocks.column("block_id")).tolist()
-    s_row = {s: i for i, s in enumerate(sid_arr)}
-    b_row = {b: i for i, b in enumerate(bid_arr)}
-    s_cov = settlements.column("cover_cells")
-    s_cov = s_cov.combine_chunks() if isinstance(s_cov, pa.ChunkedArray) else s_cov
-    b_cov = blocks.column("cover_cells")
-    b_cov = b_cov.combine_chunks() if isinstance(b_cov, pa.ChunkedArray) else b_cov
+    # gid routing tables (ids only — geometry joins below are distributed):
+    # every settlement row -> its merged id; every snapped block -> the
+    # merged id of any snapper (all snappers share one gid by construction)
     merged_of = dict(zip(np.asarray(merges.column("settlement_id")).tolist(),
                          np.asarray(merges.column("merged_id")).tolist()))
-    blocks_of: dict[str, set[str]] = {}
-    for s, b in zip(np.asarray(snapped.column("settlement_id")),
-                    np.asarray(snapped.column("block_id"))):
-        blocks_of.setdefault(merged_of[s], set()).add(b)
-    groups: dict[str, list[str]] = {}
-    for s in sid_arr:
-        groups.setdefault(merged_of[s], []).append(s)
+    blk_gid: dict[str, str] = {}
+    for s, b in zip(np.asarray(snapped.column("settlement_id")).tolist(),
+                    np.asarray(snapped.column("block_id")).tolist()):
+        blk_gid[b] = merged_of[s]
+    blk_route = pa.table({
+        "block_id": pa.array(sorted(blk_gid), type=pa.string()),
+        "gid": pa.array([blk_gid[b] for b in sorted(blk_gid)],
+                        type=pa.string()),
+    })
 
-    def _pack(rings):
-        offs = [0]
-        for r in rings:
-            offs.append(offs[-1] + len(r))
-        flat = np.concatenate(rings, axis=0) if rings else np.zeros((0, 2))
-        return flat[:, 0].tolist(), flat[:, 1].tolist(), offs
+    def _cov_blob(batch: pa.Table) -> list[bytes]:
+        cov = batch.column("cover_cells")
+        cov = cov.combine_chunks() if isinstance(cov, pa.ChunkedArray) else cov
+        offs = np.asarray(cov.offsets, dtype=np.int64)
+        flat = np.asarray(cov.values, dtype=np.int64)
+        return [flat[offs[i]:offs[i + 1]].tobytes()
+                for i in range(len(batch))]
 
-    items = []
-    for gid in sorted(groups):
-        rings = [r for s in sorted(groups[gid]) for r in s_rings[s_row[s]]]
-        brs = [b_rings[b_row[b]] for b in sorted(blocks_of.get(gid, set()))]
-        # pack settlement rings and each block's ring set separately so the
-        # union treats every input polygon's own even-odd semantics
-        sx, sy, so = _pack(rings)
-        bx, by, bo = _pack([r for br in brs for r in br])
-        bcount = [len(br) for br in brs]
-        cov = [np.asarray(s_cov[s_row[s]].values, dtype=np.int64)
-               for s in groups[gid]]
-        cov += [np.asarray(b_cov[b_row[b]].values, dtype=np.int64)
-                for b in sorted(blocks_of.get(gid, set()))]
-        cover = np.unique(np.concatenate(cov)) if cov else np.zeros(0, np.int64)
-        items.append({"gid": gid, "sx": sx, "sy": sy, "so": so,
-                      "bx": bx, "by": by, "bo": bo, "bcount": bcount,
-                      "cover": cover.tolist()})
+    def _s_rows(batch: pa.Table) -> pa.Table:
+        g = boundary_to_binary(batch, "settlement_id", geom_col="geom")
+        return pa.table({
+            "sid": g.column("settlement_id"),
+            "kind": pa.array(np.zeros(len(batch), dtype=np.int8)),
+            "geom": g.column("geom"),
+            "cov": pa.array(_cov_blob(batch), type=pa.large_binary()),
+        })
 
-    def _unpack(xs, ys, offs):
-        xs = np.asarray(xs, dtype=np.float64)
-        ys = np.asarray(ys, dtype=np.float64)
-        offs = np.asarray(offs, dtype=np.int64)
-        return [np.column_stack([xs[offs[i]:offs[i + 1]],
-                                 ys[offs[i]:offs[i + 1]]])
-                for i in range(len(offs) - 1)]
+    def _b_rows(batch: pa.Table) -> pa.Table:
+        g = boundary_to_binary(batch, "block_id", geom_col="geom")
+        return pa.table({
+            "block_id": g.column("block_id"),
+            "kind": pa.array(np.ones(len(batch), dtype=np.int8)),
+            "geom": g.column("geom"),
+            "cov": pa.array(_cov_blob(batch), type=pa.large_binary()),
+        })
 
-    def _union(row: dict) -> list[dict]:
-        srings = _unpack(row["sx"], row["sy"], row["so"])
-        brings_flat = _unpack(row["bx"], row["by"], row["bo"])
-        if not row["bcount"]:
-            # nothing annexed: the original polygon IS the refined polygon
+    merges_ds = rd.from_arrow(merges).map_batches(
+        lambda t: t.rename_columns(["sid", "merged_id"]),
+        batch_format="pyarrow")
+    sd = rd.from_arrow(settlements).map_batches(
+        _s_rows, batch_format="pyarrow") \
+        .join(merges_ds, join_type="inner", num_partitions=8,
+              on=("sid",), right_suffix="_m") \
+        .map_batches(lambda t: pa.table({
+            "gid": t.column("merged_id"), "kind": t.column("kind"),
+            "geom": t.column("geom"), "cov": t.column("cov")}),
+            batch_format="pyarrow")
+    bd = rd.from_arrow(blk_route) \
+        .join(rd.from_arrow(blocks).map_batches(_b_rows,
+                                                batch_format="pyarrow"),
+              join_type="inner", num_partitions=8, on=("block_id",)) \
+        .map_batches(lambda t: t.select(["gid", "kind", "geom", "cov"]),
+                     batch_format="pyarrow")
+
+    def _union_group(g: pa.Table) -> pa.Table:
+        gid = g.column("gid")[0].as_py()
+        kinds = np.asarray(g.column("kind"))
+        blobs = g.column("geom").to_pylist()
+        covs = g.column("cov").to_pylist()
+        srings = [r for i in np.nonzero(kinds == 0)[0]
+                  for r in unpack_rings(blobs[i])]
+        b_rows_ = np.nonzero(kinds == 1)[0]
+        if not len(b_rows_):
             rings = srings
             area = float(sum(
                 0.5 * (np.dot(r[:, 0], np.roll(r[:, 1], -1))
                        - np.dot(np.roll(r[:, 0], -1), r[:, 1]))
                 for r in rings))
         else:
-            # split block rings back into per-block polygons
+            # settlement rings as one even-odd set, each block separately
             ring_sets = [srings] if srings else []
-            pos = 0
-            for cnt in row["bcount"]:
-                ring_sets.append(brings_flat[pos:pos + cnt])
-                pos += cnt
+            ring_sets += [unpack_rings(blobs[i]) for i in b_rows_]
             regions, member = arrange.overlay_many(ring_sets)
             keep = [i for i in range(len(regions)) if member[i].any()]
             rings = [r for i in keep for r in regions[i]]
             area = float(sum(arrange.region_area(regions[i]) for i in keep))
-        return [{"settlement_id": row["gid"], "area_m2": area,
-                 "rx": [r[:, 0].tolist() for r in rings],
-                 "ry": [r[:, 1].tolist() for r in rings],
-                 "cover": row["cover"]}]
+        cover = np.unique(np.concatenate(
+            [np.frombuffer(c, dtype=np.int64) for c in covs]))
+        return pa.table({
+            "settlement_id": pa.array([gid], type=pa.string()),
+            "area_m2": pa.array([area], type=pa.float64()),
+            "boundary": rings_to_arrow([rings]),
+            "cover_cells": pa.ListArray.from_arrays(
+                pa.array([0, len(cover)], type=pa.int32()),
+                pa.array(cover, type=pa.int64())),
+        })
 
-    rows = rd.from_items(items).flat_map(_union).take_all()
-    rows.sort(key=lambda r: r["settlement_id"])
-    from ibray.ops.cluster import rings_to_arrow
-
-    ring_lists = [[np.column_stack([np.asarray(x), np.asarray(y)])
-                   for x, y in zip(r["rx"], r["ry"])] for r in rows]
-    cov_counts = np.array([len(r["cover"]) for r in rows], dtype=np.int64)
-    cover_col = pa.ListArray.from_arrays(
-        pa.array(np.concatenate([[0], np.cumsum(cov_counts)]), type=pa.int32()),
-        pa.array(np.concatenate([r["cover"] for r in rows])
-                 if rows else np.zeros(0, np.int64), type=pa.int64()))
-    return pa.table({
-        "settlement_id": pa.array([r["settlement_id"] for r in rows],
-                                  type=pa.string()),
-        "area_m2": pa.array([r["area_m2"] for r in rows], type=pa.float64()),
-        "boundary": rings_to_arrow(ring_lists),
-        "cover_cells": cover_col,
-    })
+    out = sd.union(bd).groupby("gid").map_groups(
+        _union_group, batch_format="pyarrow")
+    return pipeline._concat_refs(out, pa.schema([
+        ("settlement_id", pa.string()), ("area_m2", pa.float64()),
+        ("boundary", pa.list_(pa.list_(pa.struct([("x", pa.float64()),
+                                                  ("y", pa.float64())])))),
+        ("cover_cells", pa.list_(pa.int64())),
+    ])).sort_by("settlement_id")
 
 
 def refined_assignments(fp: rd.Dataset, refined: pa.Table,

@@ -136,50 +136,61 @@ def _empty_patches() -> pa.Table:
     })
 
 
+def part_geom_batch(batch: pa.Table, cfg: DelineationConfig,
+                    side: int) -> pa.Table:
+    """Polygon rows -> (part, side, geom) rows, one per coarse partition the
+    polygon's cover cells touch; rings packed to one large_binary blob
+    (ops/ringpack) so per-part geometry rides the groupby shuffle as a
+    plain column."""
+    from ibray.ops.ringpack import pack_rings
+
+    polys = settlement_rings(batch)
+    blobs = [pack_rings(rs) for rs in polys]
+    cover = batch.column("cover_cells")
+    cover = cover.combine_chunks() if isinstance(cover, pa.ChunkedArray) else cover
+    offs = np.asarray(cover.offsets, dtype=np.int64)
+    flat = np.asarray(cover.values, dtype=np.int64)
+    srow = np.repeat(np.arange(len(batch)), np.diff(offs))
+    pairs = np.unique(np.column_stack([hg.parent(flat, cfg.res_part), srow]),
+                      axis=0)
+    return pa.table({
+        "part": pa.array(pairs[:, 0], type=pa.int64()),
+        "side": pa.array(np.full(len(pairs), side, dtype=np.int8)),
+        "geom": pa.array([blobs[r] for r in pairs[:, 1]],
+                         type=pa.large_binary()),
+    })
+
+
 def exact_symdiff(settlements_a: pa.Table, settlements_b: pa.Table,
                   cfg: DelineationConfig = DEFAULT) -> pa.Table:
-    """SymDiff(A, B) patches, computed per coarse partition in parallel
-    (rd.from_items over parts → map_batches overlay)."""
-    rings_a = settlement_rings(settlements_a)
-    rings_b = settlement_rings(settlements_b)
-    pa_parts = _parts_of(settlements_a, cfg)
-    pb_parts = _parts_of(settlements_b, cfg)
-    all_parts = sorted(set(pa_parts) | set(pb_parts))
-    def _pack(rings: list[np.ndarray]):
-        """ring list → flat coords + offsets (serialization-friendly)."""
-        offs = [0]
-        for r in rings:
-            offs.append(offs[-1] + len(r))
-        flat = (np.concatenate(rings, axis=0) if rings
-                else np.zeros((0, 2)))
-        return flat[:, 0].tolist(), flat[:, 1].tolist(), offs
+    """SymDiff(A, B) patches, computed per coarse partition in parallel.
 
-    items = []
-    for p in all_parts:
-        ra = [r for i in pa_parts.get(p, []) for r in rings_a[i]]
-        rb = [r for i in pb_parts.get(p, []) for r in rings_b[i]]
-        ax, ay, ao = _pack(ra)
-        bx, by, bo = _pack(rb)
-        items.append({"part": p, "ax": ax, "ay": ay, "ao": ao,
-                      "bx": bx, "by": by, "bo": bo})
-    if not items:
-        return _empty_patches()
+    Scale shape: each side explodes to (part, side, packed-ring blob) rows
+    in map_batches, ONE groupby(part) shuffle co-locates every partition's
+    geometry, and the three-way overlay runs inside map_groups — the driver
+    never holds ring coordinates (round 2 packed every part's rings into
+    from_items Python lists)."""
+    from ibray.ops.ringpack import unpack_rings
 
-    def _unpack(xs, ys, offs):
-        xs = np.asarray(xs, dtype=np.float64)
-        ys = np.asarray(ys, dtype=np.float64)
-        offs = np.asarray(offs, dtype=np.int64)
-        return [np.column_stack([xs[offs[i]:offs[i + 1]],
-                                 ys[offs[i]:offs[i + 1]]])
-                for i in range(len(offs) - 1)]
+    def _explode(side: int):
+        tbl = settlements_a if side == 0 else settlements_b
+        return rd.from_arrow(tbl).map_batches(
+            lambda b, s=side: part_geom_batch(b, cfg, s),
+            batch_format="pyarrow")
 
-    def _run(row: dict) -> list[dict]:
-        t = symdiff_part(int(row["part"]),
-                         _unpack(row["ax"], row["ay"], row["ao"]),
-                         _unpack(row["bx"], row["by"], row["bo"]))
-        return t.to_pylist()
+    both = _explode(0).union(_explode(1))
 
-    ds = rd.from_items(items).flat_map(_run)
+    def _run(g: pa.Table) -> pa.Table:
+        part = int(g.column("part")[0].as_py())
+        sides = np.asarray(g.column("side"))
+        blobs = g.column("geom").to_pylist()
+        ra = [r for i in np.nonzero(sides == 0)[0]
+              for r in unpack_rings(blobs[i])]
+        rb = [r for i in np.nonzero(sides == 1)[0]
+              for r in unpack_rings(blobs[i])]
+        return symdiff_part(part, ra, rb)
+
+    ds = both.groupby("part").map_groups(_run, batch_format="pyarrow")
     from ibray import pipeline
 
     return pipeline._concat_refs(ds, _empty_patches().schema).sort_by("patch_id")

@@ -72,71 +72,84 @@ def _rings_intersect(ra: list[np.ndarray], rb: list[np.ndarray]) -> bool:
     return bool(hit.any())
 
 
+def spatial_hits(left: pa.Table, right: pa.Table,
+                 cfg: DelineationConfig = DEFAULT,
+                 left_id: str = "settlement_id",
+                 right_id: str = "block_id") -> rd.Dataset:
+    """Verified intersecting (lid, rid) pairs as a DATASET.
+
+    Scale shape: candidate pairs come from a cell hash join + groupby and
+    never leave the object store; each side's ring lists pack to one
+    large_binary column (ops/ringpack) and reach their candidate pairs
+    through two hash joins; the exact predicate runs in map_batches.  The
+    driver holds no per-vertex geometry and no pair table.
+    """
+    from ray.data.aggregate import Count
+
+    from ibray.ops.joins import hash_join
+    from ibray.ops.ringpack import boundary_to_binary, unpack_rings
+
+    lc = _cells_ds(left, left_id, "lid")
+    rc = _cells_ds(right, right_id, "rid")
+    # repartition scrubs the hash-shuffle groupby's zero-column empty
+    # blocks before the Acero joins (see ops/cc.py)
+    cand = hash_join(lc, rc, keys=("cell",), join_type="inner") \
+        .groupby(["lid", "rid"]).aggregate(Count(alias_name="n")) \
+        .map_batches(lambda t: t.select(["lid", "rid"]),
+                     batch_format="pyarrow").repartition(8).materialize()
+    if cand.count() == 0:
+        return rd.from_arrow(pa.table({"lid": pa.array([], pa.string()),
+                                       "rid": pa.array([], pa.string())}))
+    lgeom = rd.from_arrow(left).map_batches(
+        lambda b: boundary_to_binary(b, left_id, "lid", "geom_l"),
+        batch_format="pyarrow")
+    rgeom = rd.from_arrow(right).map_batches(
+        lambda b: boundary_to_binary(b, right_id, "rid", "geom_r"),
+        batch_format="pyarrow")
+    joined = cand.join(lgeom, join_type="inner", num_partitions=8,
+                       on=("lid",)) \
+                 .join(rgeom, join_type="inner", num_partitions=8,
+                       on=("rid",))
+
+    def _pred(t: pa.Table) -> pa.Table:
+        keep = np.zeros(len(t), dtype=bool)
+        gl = t.column("geom_l").to_pylist()
+        gr = t.column("geom_r").to_pylist()
+        for i in range(len(t)):
+            keep[i] = _rings_intersect(unpack_rings(gl[i]),
+                                       unpack_rings(gr[i]))
+        return t.filter(pa.array(keep)).select(["lid", "rid"])
+
+    return joined.map_batches(_pred, batch_format="pyarrow")
+
+
 def spatial_join(left: pa.Table, right: pa.Table,
                  cfg: DelineationConfig = DEFAULT,
                  left_id: str = "settlement_id", right_id: str = "block_id",
                  one_to_one: bool = True) -> pa.Table:
     """INTERSECT join of two polygon tables (boundary + cover_cells)."""
-    from ray.data.aggregate import Count
+    import pandas as pd
 
     from ibray import pipeline
-    from ibray.ops.joins import hash_join
-    from ibray.ops.overlay import settlement_rings
 
-    lc = _cells_ds(left, left_id, "lid")
-    rc = _cells_ds(right, right_id, "rid")
-    joined = hash_join(lc, rc, keys=("cell",), join_type="inner")
-    cand = pipeline._concat_refs(
-        joined.groupby(["lid", "rid"]).aggregate(Count(alias_name="n")),
-        pa.schema([("lid", pa.string()), ("rid", pa.string()),
-                   ("n", pa.int64())]))
-    l_rings = settlement_rings(left)
-    r_rings = settlement_rings(right)
-    l_row = {s: i for i, s in enumerate(np.asarray(left.column(left_id)).tolist())}
-    r_row = {s: i for i, s in enumerate(np.asarray(right.column(right_id)).tolist())}
-
-    def _pack(rings):
-        offs = [0]
-        for r in rings:
-            offs.append(offs[-1] + len(r))
-        flat = np.concatenate(rings, axis=0) if rings else np.zeros((0, 2))
-        return flat[:, 0].tolist(), flat[:, 1].tolist(), offs
-
-    items = []
-    for lid, rid in zip(np.asarray(cand.column("lid")),
-                        np.asarray(cand.column("rid"))):
-        ax, ay, ao = _pack(l_rings[l_row[lid]])
-        bx, by, bo = _pack(r_rings[r_row[rid]])
-        items.append({"lid": lid, "rid": rid, "ax": ax, "ay": ay, "ao": ao,
-                      "bx": bx, "by": by, "bo": bo})
-
-    def _unpack(xs, ys, offs):
-        xs = np.asarray(xs, dtype=np.float64)
-        ys = np.asarray(ys, dtype=np.float64)
-        offs = np.asarray(offs, dtype=np.int64)
-        return [np.column_stack([xs[offs[i]:offs[i + 1]],
-                                 ys[offs[i]:offs[i + 1]]])
-                for i in range(len(offs) - 1)]
-
-    def _test(row: dict) -> list[dict]:
-        ok = _rings_intersect(_unpack(row["ax"], row["ay"], row["ao"]),
-                              _unpack(row["bx"], row["by"], row["bo"]))
-        return [{"lid": row["lid"], "rid": row["rid"]}] if ok else []
-
-    if items:
-        hits = pipeline._concat_refs(
-            rd.from_items(items).flat_map(_test),
-            pa.schema([("lid", pa.string()), ("rid", pa.string())]))
-        hdf = hits.to_pandas()
-    else:
-        import pandas as pd
-
-        hdf = pd.DataFrame({"lid": [], "rid": []})
+    hits = spatial_hits(left, right, cfg, left_id, right_id)
     lids = np.asarray(left.column(left_id))
     if one_to_one:
-        grp = hdf.groupby("lid")["rid"]
-        cnt = grp.size()
-        first = grp.min()
+        # per-left reduce stays distributed (groupby lid); only the O(left)
+        # aggregate — the output contract — reaches the driver
+        def _reduce(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"lid": [df["lid"].iloc[0]],
+                                 "join_count": [len(df)],
+                                 "first": [df["rid"].min()]})
+
+        agg = pipeline._concat_refs(
+            hits.groupby("lid").map_groups(_reduce, batch_format="pandas"),
+            pa.schema([("lid", pa.string()), ("join_count", pa.int64()),
+                       ("first", pa.string())]))
+        cnt = dict(zip(np.asarray(agg.column("lid")).tolist(),
+                       np.asarray(agg.column("join_count")).tolist()))
+        first = dict(zip(np.asarray(agg.column("lid")).tolist(),
+                         np.asarray(agg.column("first")).tolist()))
         return pa.table({
             left_id: pa.array(lids, type=pa.string()),
             "join_count": pa.array([int(cnt.get(s, 0)) for s in lids],
@@ -144,7 +157,9 @@ def spatial_join(left: pa.Table, right: pa.Table,
             "first_" + right_id: pa.array(
                 [str(first.get(s, "")) for s in lids], type=pa.string()),
         })
-    hdf = hdf.sort_values(["lid", "rid"])
+    hdf = pipeline._concat_refs(
+        hits, pa.schema([("lid", pa.string()), ("rid", pa.string())])
+    ).to_pandas().sort_values(["lid", "rid"])
     return pa.table({
         left_id: pa.array(hdf["lid"].to_numpy(), type=pa.string()),
         right_id: pa.array(hdf["rid"].to_numpy(), type=pa.string()),
