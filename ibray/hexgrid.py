@@ -188,14 +188,58 @@ def closing(cells: np.ndarray, k: int) -> np.ndarray:
     return erode(dilate(cells, k), k)
 
 
+def _ring1_nbr_table(sc: np.ndarray) -> np.ndarray:
+    """(n, 6) neighbor-INDEX table over a sorted unique cell array (self
+    index where the neighbor is absent)."""
+    res, q, r = unpack(sc)
+    n = len(sc)
+    ring1 = k_ring_offsets(1)
+    ring1 = ring1[~((ring1[:, 0] == 0) & (ring1[:, 1] == 0))]
+    cols = []
+    for dq, dr in ring1:
+        nb = _pack(int(res[0]), q + dq, r + dr)
+        idx = np.searchsorted(sc, nb)
+        idx_c = np.clip(idx, 0, n - 1)
+        hit = sc[idx_c] == nb
+        cols.append(np.where(hit, idx_c, np.arange(n)))
+    return np.stack(cols, axis=1)
+
+
+def _cc_rounds(nbrs: np.ndarray) -> np.ndarray:
+    """Min-label propagation with pointer jumping (Shiloach-Vishkin style):
+    hook = pull the min neighbor label, jump = labels[labels] composition.
+    Converges in O(log diameter) vectorized rounds.  Returns per-cell root
+    INDEX (the smallest member index of the component)."""
+    labels = np.arange(len(nbrs), dtype=np.int64)
+    while True:
+        pulled = np.minimum(labels, labels[nbrs].min(axis=1))
+        changed = (pulled != labels).any()
+        labels = pulled
+        while True:
+            nl = labels[labels]
+            if (nl == labels).all():
+                break
+            labels = nl
+        if not changed:
+            break
+    return labels
+
+
 def connected_components(cells: np.ndarray, gap: int = 1) -> np.ndarray:
-    """Label connected components of a cell set; adjacency = hex distance ≤ gap.
+    """Label connected components of a cell set; adjacency = hex distance <= gap.
 
     Returns int64 labels (0..n_comp-1) aligned with the *sorted unique* input
     (callers should pass unique sorted cells).  Deterministic: labels are
     ordered by the smallest cell id in each component.
     Union-find over cells — the Ray-side analog of the reference's global
     ``Dissolve`` + singlepart explode (``IB-Tool2.py:826,841``).
+
+    Odd gaps run as ring-1 components over the (gap//2)-DILATED set: balls
+    of radius k touch iff their centers are <= 2k+1 apart, so gap-(2k+1)
+    single linkage == adjacency inside dilate(S, k).  That replaces the
+    per-cell O(ring(gap)) offset table (91 probes at gap 5) with an 18-probe
+    dilation + 6-probe ring-1 pass — the delineation hot kernel (the config
+    always derives gap = 2*closing_k + 1).
     """
     cells = np.asarray(cells, dtype=np.int64)
     n = len(cells)
@@ -203,52 +247,27 @@ def connected_components(cells: np.ndarray, gap: int = 1) -> np.ndarray:
         return np.zeros(0, dtype=np.int64)
     order = np.argsort(cells)
     sc = cells[order]
-    res, q, r = unpack(sc)
-
-    def _cc_rounds(nbrs: np.ndarray) -> np.ndarray:
-        # min-label propagation with pointer jumping (Shiloach-Vishkin
-        # style): hook = pull the min neighbor label, jump = labels[labels]
-        # composition.  Converges in O(log diameter) vectorized rounds.
-        labels = np.arange(len(nbrs), dtype=np.int64)
-        while True:
-            pulled = np.minimum(labels, labels[nbrs].min(axis=1))
-            changed = (pulled != labels).any()
-            labels = pulled
-            while True:
-                nl = labels[labels]
-                if (nl == labels).all():
-                    break
-                labels = nl
-            if not changed:
-                break
-        return labels
-
-    def _nbr_table(qs, rs, haystack, offsets):
-        cols = []
-        m = len(qs)
-        for dq, dr in offsets:
-            nb = _pack(int(res[0]), qs + dq, rs + dr)
-            idx = np.searchsorted(haystack, nb)
-            idx_c = np.clip(idx, 0, len(haystack) - 1)
-            hit = haystack[idx_c] == nb
-            cols.append((np.where(hit, idx_c, -1), hit))
-        return cols
-
-    ring1 = k_ring_offsets(1)
-    ring1 = ring1[~((ring1[:, 0] == 0) & (ring1[:, 1] == 0))]
-    cols1 = _nbr_table(q, r, sc, ring1)
-    nbrs1 = np.stack([np.where(h, i, np.arange(n)) for i, h in cols1], axis=1)
-    labels = _cc_rounds(nbrs1)
-    if gap > 1:
-        # two-phase: ring-1 components above, then gap links restricted to
-        # BOUNDARY cells (a closest pair between two components is always
-        # boundary-boundary: an interior closest cell could step one in-set
-        # cell toward the other component and get strictly closer), so
-        # interior cells of solid urban cores skip the O(ring(gap)) table.
-        miss = ~np.logical_and.reduce([h for _i, h in cols1])
-        b_idx = np.nonzero(miss)[0]
+    if gap == 1:
+        labels = _cc_rounds(_ring1_nbr_table(sc))
+    elif gap % 2 == 1:
+        k = gap // 2
+        dil = dilate(sc, k)
+        lab_d = _cc_rounds(_ring1_nbr_table(dil))
+        comp = lab_d[np.searchsorted(dil, sc)]
+        # per-cell smallest ORIGINAL member index (dilated min is not a
+        # valid canonical root: dilation can reorder near-ties)
+        uniq, inv = np.unique(comp, return_inverse=True)
+        first = np.full(len(uniq), n, dtype=np.int64)
+        np.minimum.at(first, inv, np.arange(n, dtype=np.int64))
+        labels = first[inv]
+    else:
+        # even gap (unused by the pipeline config): exact per-cell disk probes
+        labels = _cc_rounds(_ring1_nbr_table(sc))
+        res, q, r = unpack(sc)
+        miss_nbrs = _ring1_nbr_table(sc) == np.arange(n)[:, None]
+        b_idx = np.nonzero(miss_nbrs.any(axis=1))[0]
         if len(b_idx):
-            sb = sc[b_idx]  # ascending (b_idx ascending over sorted sc)
+            sb = sc[b_idx]
             offs = k_ring_offsets(gap)
             offs = offs[~((offs[:, 0] == 0) & (offs[:, 1] == 0))]
             qb, rb = q[b_idx], r[b_idx]
@@ -260,10 +279,7 @@ def connected_components(cells: np.ndarray, gap: int = 1) -> np.ndarray:
                 idx_c = np.clip(idx, 0, m - 1)
                 hit = sb[idx_c] == nb
                 cols_b.append(np.where(hit, idx_c, np.arange(m)))
-            nbrs_b = np.stack(cols_b, axis=1)  # (m, ring) self where absent
-            # component-level min-label propagation: every boundary cell
-            # carries its ring-1 component's label; per round, pull the min
-            # over gap-neighbors, reduce per component, pointer-jump.
+            nbrs_b = np.stack(cols_b, axis=1)
             comp_roots, comp_of_b = np.unique(labels[b_idx], return_inverse=True)
             lab_c = np.arange(len(comp_roots), dtype=np.int64)
             while True:
@@ -279,14 +295,9 @@ def connected_components(cells: np.ndarray, gap: int = 1) -> np.ndarray:
                 if (new_c == lab_c).all():
                     break
                 lab_c = new_c
-            # merged root CELL index per original ring-1 component = the min
-            # ring-1 root among components sharing a final label
             root_cell = np.full(len(comp_roots), n, dtype=np.int64)
             np.minimum.at(root_cell, lab_c, comp_roots)
             final_of_comp = root_cell[lab_c]
-            # map every cell's ring-1 root through the merge (roots of all
-            # components appear in comp_roots: every finite component has
-            # boundary cells)
             pos = np.searchsorted(comp_roots, labels)
             labels = final_of_comp[pos]
     # relabel components 0..k-1 ordered by smallest cell id (== smallest index)
@@ -294,6 +305,7 @@ def connected_components(cells: np.ndarray, gap: int = 1) -> np.ndarray:
     out = np.empty(n, dtype=np.int64)
     out[order] = labels_sorted
     return out
+
 
 
 def boundary_rings(cells: np.ndarray) -> list[np.ndarray]:

@@ -85,15 +85,33 @@ def replicate_to_parts(batch: pa.Table, cfg: DelineationConfig) -> pa.Table:
     out_shared = [np.zeros(int(interior.sum()), dtype=bool)]
     out_n = [n_in[interior]]
     if len(border):
+        # route each border cell to every neighbor partition whose hexagon
+        # lies within the halo margin of the cell center — 7 point-to-hexagon
+        # distance tests (3 plane projections each) instead of enumerating
+        # the gap-ring (91 cells at gap 5) and re-encoding each member.  The
+        # plane test under-estimates distance in corner sectors, so the copy
+        # set is a slight SUPERSET of the exact ring routing: extra halo
+        # copies only widen the shared band (labels are unchanged — a halo
+        # copy is a true member of its component, and stats ride only the
+        # n>0 own-partition row).
         bc = cells[border]
         own_part = parts0[border]
-        ring = hg.k_ring(bc, cfg.cluster_gap)  # (nb, m)
-        parts = hg.parent(ring.ravel(), cfg.res_part).reshape(ring.shape)
-        parts.sort(axis=1)
-        keep = np.ones(parts.shape, dtype=bool)
-        keep[:, 1:] = parts[:, 1:] != parts[:, :-1]
+        cand = hg.k_ring(own_part, 1)  # (nb, 7) own + 6 neighbor partitions
+        ccx, ccy = hg.cell_center(cand.ravel())
+        ddx = px[border][:, None] - ccx.reshape(cand.shape)
+        ddy = py[border][:, None] - ccy.reshape(cand.shape)
+        dist = np.maximum.reduce([
+            np.abs(ddx),
+            np.abs(0.5 * ddx + np.sqrt(3.0) / 2.0 * ddy),
+            np.abs(-0.5 * ddx + np.sqrt(3.0) / 2.0 * ddy),
+        ]) - r_in
+        # a ring member's center inside P implies dist(center, P hex) <=
+        # gap*spacing, and the plane formula under-estimates true distance,
+        # so gap*spacing is a sound (tight) routing threshold
+        keep = dist <= cfg.cluster_gap * spacing
+        keep[cand == own_part[:, None]] = True  # own copy always ships
         n_copies = keep.sum(axis=1)
-        rep_parts = parts[keep]
+        rep_parts = cand[keep]
         is_own = rep_parts == np.repeat(own_part, n_copies)
         out_cells.append(np.repeat(bc, n_copies))
         out_parts.append(rep_parts)
@@ -460,6 +478,21 @@ def _lattice_patch(lo: np.ndarray, hi: np.ndarray, res: int) -> np.ndarray:
     rs = np.arange(r.min(), r.max() + 1)
     qq, rr = np.meshgrid(qs, rs, indexing="ij")
     return hg._pack(res, qq.ravel(), rr.ravel())
+
+
+def region_label_index_batch(batch: pa.Table) -> pa.Table:
+    """Settlement rows (with region_cells) -> the PIP cell index in its
+    narrow int64 form: one (cell_fine, label) row per region cell (ids are
+    always "s{label}", so the label IS the id — strings are reconstructed
+    only at the output edge)."""
+    col = batch.column("region_cells")
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    counts = np.diff(np.asarray(col.offsets, dtype=np.int64))
+    labels = np.asarray(batch.column("label"), dtype=np.int64)
+    return pa.table({
+        "cell_fine": col.values,
+        "label": pa.array(np.repeat(labels, counts), type=pa.int64()),
+    })
 
 
 def region_index_batch(batch: pa.Table) -> pa.Table:
