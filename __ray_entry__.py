@@ -63,11 +63,17 @@ def _delineate_cached(sf: float) -> dict:
 
 def entry() -> Any:
     """Flagship delineation pipeline on the sf0.001 synthetic world; returns
-    the footprint→settlement assignment Dataset (the north_rule join rows)."""
+    the footprint→settlement assignment Dataset (the north_rule join rows).
+    Runs the FULL reference main loop: morphology delineation plus the
+    road-refinement second half (EdgeCatch/GapFix, IB-Tool2.py:2505-2516)."""
+    import dataclasses
+
     from ibray import pipeline
+    from ibray.config import DEFAULT
 
     world = synth.ensure_world(0.001)
-    res = pipeline.delineate(world)
+    cfg = dataclasses.replace(DEFAULT, refine_with_roads=True)
+    res = pipeline.delineate(world, cfg)
     return res["assignments"]
 
 
@@ -392,18 +398,20 @@ def _q_settlement_parts(sf_dir: str):
 
 
 def _refined_cached(sf: float):
+    """Road-refined delineation THROUGH the flagship path: delineate() with
+    cfg.refine_with_roads=True runs EdgeCatch -> GapFix -> re-assignment
+    inside the pipeline (the reference's main loop, IB-Tool2.py:2505-2516)."""
     key = ("refined", sf)
     if key not in _CACHE:
+        import dataclasses
+
         from ibray import pipeline
-        from ibray.ops import edgecatch as EC
+        from ibray.config import DEFAULT
 
         world = synth.ensure_world(sf)
-        fp = pipeline.footprint_dataset(world)
-        settlements = _delineate_cached(sf)["settlements"]
-        blocks = _blocks_cached(sf)
-        _r, merges, snapped = EC.edge_catch_full(fp, settlements, blocks)
-        rs = EC.refined_settlements(settlements, blocks, merges, snapped)
-        _CACHE[key] = (rs, EC.refined_assignments(fp, rs))
+        cfg = dataclasses.replace(DEFAULT, refine_with_roads=True)
+        res = pipeline.delineate(world, cfg)
+        _CACHE[key] = (res["settlements"], res["assignments"])
     return _CACHE[key]
 
 

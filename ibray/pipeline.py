@@ -207,7 +207,7 @@ def delineate(world_dir: str, cfg: DelineationConfig = DEFAULT,
     fp = fp_all.map_batches(
         lambda b: F.filter_footprints(b, cfg, positive), batch_format="pyarrow"
     )
-    cell_index = None
+    poly = None
     if ck and ck.has("settlements"):
         settlements = ck.read_table("settlements")
     else:
@@ -220,8 +220,6 @@ def delineate(world_dir: str, cfg: DelineationConfig = DEFAULT,
         poly = work.repartition(max(2, _num_cpus() * 4)).map_batches(
             lambda b: C.polygonize_batch(b, cfg),
             batch_format="pyarrow", batch_size=4).materialize()
-        cell_index = poly.map_batches(C.region_index_batch,
-                                      batch_format="pyarrow")
         settlements = _concat_refs(
             poly.drop_columns(["region_cells"]),
             _settlement_schema(),
@@ -235,37 +233,136 @@ def delineate(world_dir: str, cfg: DelineationConfig = DEFAULT,
     else:
         # PIP back-assignment = cell membership: every settlement polygon is
         # a union of whole fine cells (its region — polygonize_cells), so
-        # "centroid inside polygon" is exactly "cell_fine in region": a
-        # distributed hash join on int64 cells.  This replaces round-2's
-        # driver-packed ring shards + part_cell range sort + ray-cast actor
-        # pool (the three dominant phases of the 32-CPU profile, ~160 s at
-        # 10M footprints) with ONE shuffle, and leaves no polygon payload or
-        # shard map on the driver.
-        if cell_index is None:  # resumed settlements from checkpoint
-            cell_index = rd.from_arrow(settlements).map_batches(
-                lambda b: C.region_from_settlements(b, cfg),
-                batch_format="pyarrow", batch_size=16)
-        joined = fp_all.select_columns(
-            ["footprint_id", "doc_id", "span_idx", "cell_fine"]
-        ).join(cell_index, join_type="left_outer",
-               num_partitions=max(8, _num_cpus()), on=("cell_fine",))
+        # "centroid inside polygon" is exactly "cell_fine in region".  Two
+        # execution strategies (cfg.pip_strategy):
+        #   broadcast — sorted int64 cell index shared once through the
+        #     object store (workers get zero-copy numpy views), assignment is
+        #     a searchsorted inside plain map_batches: NO shuffle, scales
+        #     linearly (the hash join measured 0.7x going 8->32 CPUs);
+        #   join — distributed left join on cell_fine for indexes too big to
+        #     hold per-node (the 100-TB fallback).
+        # "auto" picks by index size against cfg.pip_broadcast_max_cells.
+        if poly is not None:
+            # narrow int64 (cell_fine, label) index; materialized so the
+            # auto-strategy count is free metadata and neither branch
+            # re-executes the region flat-map
+            label_index = poly.map_batches(
+                C.region_label_index_batch, batch_format="pyarrow"
+            ).materialize()
+        else:  # resumed settlements from checkpoint: re-rasterize + parse
+            def _parse_label(b: pa.Table) -> pa.Table:
+                import pyarrow.compute as pc
 
-        def _finish(b: pa.Table) -> pa.Table:
+                return pa.table({
+                    "cell_fine": b.column("cell_fine"),
+                    "label": pc.cast(pc.utf8_slice_codeunits(
+                        b.column("settlement_id"), 1, 2 ** 31 - 1),
+                        pa.int64()),
+                })
+
+            label_index = rd.from_arrow(settlements).map_batches(
+                lambda b: C.region_from_settlements(b, cfg),
+                batch_format="pyarrow", batch_size=16
+            ).map_batches(_parse_label, batch_format="pyarrow").materialize()
+        strategy = cfg.pip_strategy
+        if strategy == "auto":
+            n_cells = label_index.count()
+            strategy = ("broadcast"
+                        if n_cells <= cfg.pip_broadcast_max_cells else "join")
+        if strategy == "broadcast":
             import pyarrow.compute as pc
 
-            sid = pc.coalesce(b.column("settlement_id"),
-                              pa.scalar("", type=pa.string()))
-            return pa.table({
-                "footprint_id": b.column("footprint_id"),
-                "doc_id": b.column("doc_id"),
-                "span_idx": b.column("span_idx"),
-                "settlement_id": sid,
-            })
+            idx = _concat_refs(label_index, pa.schema(
+                [("cell_fine", pa.int64()), ("label", pa.int64())]))
+            labs = np.asarray(idx.column("label"), dtype=np.int64)
+            cells_i = np.asarray(idx.column("cell_fine"), dtype=np.int64)
+            o = np.argsort(cells_i)
+            idx_ref = ray.put((cells_i[o], labs[o]))
 
-        assignments = joined.map_batches(_finish, batch_format="pyarrow")
+            def _assign(b: pa.Table) -> pa.Table:
+                import pyarrow.compute as pc
+
+                cells_s, labs_s = ray.get(idx_ref)
+                cf = np.asarray(b.column("cell_fine"), dtype=np.int64)
+                if len(cells_s):
+                    pos = np.clip(np.searchsorted(cells_s, cf),
+                                  0, len(cells_s) - 1)
+                    hit = cells_s[pos] == cf
+                    lab = labs_s[pos]
+                else:
+                    hit = np.zeros(len(cf), dtype=bool)
+                    lab = np.zeros(len(cf), dtype=np.int64)
+                lab_str = pc.cast(pa.array(lab), pa.string())
+                sid = pc.binary_join_element_wise(
+                    pa.array(np.where(hit, "s", "")),
+                    pc.if_else(pa.array(hit), lab_str, pa.scalar("")), "")
+                return pa.table({
+                    "footprint_id": b.column("footprint_id"),
+                    "doc_id": b.column("doc_id"),
+                    "span_idx": b.column("span_idx"),
+                    "settlement_id": sid,
+                })
+
+            assignments = fp_all.select_columns(
+                ["footprint_id", "doc_id", "span_idx", "cell_fine"]
+            ).map_batches(_assign, batch_format="pyarrow")
+        else:
+            joined = fp_all.select_columns(
+                ["footprint_id", "doc_id", "span_idx", "cell_fine"]
+            ).join(label_index, join_type="left_outer",
+                   num_partitions=max(8, _num_cpus()), on=("cell_fine",))
+
+            def _finish(b: pa.Table) -> pa.Table:
+                import pyarrow.compute as pc
+
+                lab = b.column("label")
+                hit = pc.is_valid(lab)
+                sid = pc.if_else(
+                    hit,
+                    pc.binary_join_element_wise(
+                        pa.scalar("s"), pc.cast(pc.coalesce(
+                            lab, pa.scalar(0, pa.int64())), pa.string()), ""),
+                    pa.scalar(""))
+                return pa.table({
+                    "footprint_id": b.column("footprint_id"),
+                    "doc_id": b.column("doc_id"),
+                    "span_idx": b.column("span_idx"),
+                    "settlement_id": sid,
+                })
+
+            assignments = joined.map_batches(_finish, batch_format="pyarrow")
         if ck:
             assignments = ck.write_dataset(assignments, "assignments")
     _mark("pip_built")
+    base_settlements = settlements
+    if cfg.refine_with_roads:
+        # the reference's main loop runs EdgeCatch -> GapFix -> re-assignment
+        # ON the delineation result (IB-Tool2.py:2505-2516); behind this flag
+        # the flagship path does the same: Blocker blocks from the road
+        # layer, block annexation + settlement merge, exact union polygons,
+        # and a fresh PIP pass against the refined geometry.
+        from ibray.ops import blocks as B
+        from ibray.ops import edgecatch as EC
+
+        if ck and ck.has("refined_settlements"):
+            settlements = ck.read_table("refined_settlements")
+        else:
+            blocks = _concat_refs(B.blocks_dataset(world_dir, cfg),
+                                  B._empty_blocks().schema)
+            _r, merges, snapped = EC.edge_catch_full(
+                fp_all, settlements, blocks, cfg)
+            settlements = EC.refined_settlements(
+                base_settlements, blocks, merges, snapped, cfg)
+            if ck:
+                ck.write_table(settlements, "refined_settlements")
+        if ck and ck.has("refined_assignments"):
+            assignments = ck.read_dataset("refined_assignments")
+        else:
+            assignments = EC.refined_assignments(fp_all, settlements, cfg)
+            if ck:
+                assignments = ck.write_dataset(assignments,
+                                               "refined_assignments")
+        _mark("refined")
     tiles = fp_all.select_columns(["footprint_id", "cell_r9", "cell_r10", "cell_r11"])
     if ck and not ck.has("tiles"):
         tiles = ck.write_dataset(tiles, "tiles")
@@ -273,6 +370,7 @@ def delineate(world_dir: str, cfg: DelineationConfig = DEFAULT,
         tiles = ck.read_dataset("tiles")
     return {
         "settlements": settlements,
+        "base_settlements": base_settlements,
         "assignments": assignments,
         "tiles": tiles,
         "n_footprints": fp_all.count(),
