@@ -381,6 +381,18 @@ def _q_spatial_join(sf_dir: str):
     return SJ.spatial_join(res["settlements"], _blocks_cached(sf))
 
 
+def _q_spatial_anti_join(sf_dir: str):
+    """J6 spatial ANTI-join: settlements intersecting NO road block
+    (SelectLayerByLocation INVERT, IB-Tool2.py:670,1371-1372)."""
+    from ibray.ops import spatialjoin as SJ
+
+    sf = synth.sf_of_dir(sf_dir)
+    golden.ensure_golden(sf)
+    res = _delineate_cached(sf)
+    out = SJ.spatial_anti_join(res["settlements"], _blocks_cached(sf))
+    return out.select(["settlement_id", "n_footprints"])
+
+
 def _q_settlement_parts(sf_dir: str):
     """M13 multipart -> singlepart over the settlement boundaries."""
     import ray.data as rd
@@ -511,6 +523,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_symdiff": _q_exact_symdiff,    # golden oracle (U2-U5 overlay)
         "edge_catch_refined": _q_edge_catch,  # golden oracle (EdgeCatch analog)
         "spatial_join_blocks": _q_spatial_join,   # golden oracle (J3 generic)
+        "spatial_anti_join": _q_spatial_anti_join,  # golden oracle (J6 INVERT)
         "settlement_parts": _q_settlement_parts,  # golden oracle (M13 explode)
         "gap_fix_merges": _q_gap_fix,         # golden oracle (GapFix analog)
         "refined_settlements": _q_refined_settlements,  # golden oracle (road-refined union)
@@ -702,6 +715,13 @@ def oracle_sql() -> dict[str, str]:
         "spatial_join_blocks": f"""
             SELECT settlement_id, join_count, first_block_id
             FROM read_parquet('{gold}/spatial_join.parquet')
+        """,
+        "spatial_anti_join": f"""
+            SELECT s.settlement_id, s.n_footprints
+            FROM read_parquet('{gold}/settlements.parquet') s
+            JOIN read_parquet('{gold}/spatial_join.parquet') j
+              USING (settlement_id)
+            WHERE j.join_count = 0
         """,
         "settlement_parts": f"""
             SELECT part_id, CAST(ROUND(area_m2 * 100) AS BIGINT) AS area_m2

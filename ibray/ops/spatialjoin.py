@@ -164,3 +164,28 @@ def spatial_join(left: pa.Table, right: pa.Table,
         left_id: pa.array(hdf["lid"].to_numpy(), type=pa.string()),
         right_id: pa.array(hdf["rid"].to_numpy(), type=pa.string()),
     })
+
+
+def spatial_anti_join(left: pa.Table, right: pa.Table,
+                      cfg: DelineationConfig = DEFAULT,
+                      left_id: str = "settlement_id",
+                      right_id: str = "block_id") -> pa.Table:
+    """Spatial ANTI-join (J6): left polygons intersecting NO right polygon —
+    the reference's ``SelectLayerByLocation ... INVERT``
+    (/root/reference/IB-Tool2.py:670,1371-1372).
+
+    Runs the same distributed candidate + exact-predicate machinery as
+    spatial_join (spatial_hits); only the per-left hit id set — O(|left|)
+    ids, the output contract — reaches the driver."""
+    from ray.data.aggregate import Count
+
+    from ibray import pipeline
+
+    hits = spatial_hits(left, right, cfg, left_id, right_id)
+    agg = pipeline._concat_refs(
+        hits.groupby("lid").aggregate(Count(alias_name="n")),
+        pa.schema([("lid", pa.string()), ("n", pa.int64())]))
+    hit_ids = set(np.asarray(agg.column("lid")).tolist())
+    lids = np.asarray(left.column(left_id))
+    keep = np.array([s not in hit_ids for s in lids], dtype=bool)
+    return left.filter(pa.array(keep))

@@ -76,3 +76,46 @@ def test_spatial_join_matches_golden(ray_session, world):
     # ONE_TO_MANY emits every intersecting pair
     pairs = SJ.spatial_join(settlements, blocks, one_to_one=False).to_pandas()
     assert len(pairs) == e["join_count"].sum()
+
+
+def test_spatial_anti_join(ray_session, world):
+    from ibray import pipeline
+    from ibray.ops import blocks as B
+    from ibray.ops import spatialjoin as SJ
+
+    settlements = pipeline.delineate(world)["settlements"]
+    blocks = pipeline._concat_refs(B.blocks_dataset(world),
+                                   B._empty_blocks().schema)
+    # anti == complement of the ONE_TO_ONE join_count>0 set, both directions
+    sj = SJ.spatial_join(settlements, blocks).to_pandas()
+    anti = SJ.spatial_anti_join(settlements, blocks)
+    expect = set(sj.loc[sj["join_count"] == 0, "settlement_id"])
+    got = set(anti.column("settlement_id").to_pylist())
+    assert got == expect
+    # reversed direction: rural road blocks with no settlement exist
+    anti_b = SJ.spatial_anti_join(blocks, settlements,
+                                  left_id="block_id",
+                                  right_id="settlement_id")
+    pairs = SJ.spatial_join(settlements, blocks, one_to_one=False).to_pandas()
+    hit_blocks = set(pairs["block_id"])
+    all_blocks = set(blocks.column("block_id").to_pylist())
+    assert set(anti_b.column("block_id").to_pylist()) == all_blocks - hit_blocks
+    # synthetic INVERT case with a guaranteed non-empty result: a far-away
+    # square can never intersect the settlement set
+    from ibray import hexgrid as hg
+    from ibray.config import DEFAULT
+
+    sq = np.array([[9e6, 9e6], [9e6 + 50, 9e6], [9e6 + 50, 9e6 + 50],
+                   [9e6, 9e6 + 50], [9e6, 9e6]])
+    from ibray.ops.cluster import rings_to_arrow
+
+    far = pa.table({
+        "block_id": pa.array(["far"], type=pa.string()),
+        "boundary": rings_to_arrow([[sq]]),
+        "cover_cells": pa.array(
+            [np.unique(hg.encode(sq[:, 0], sq[:, 1], DEFAULT.res_mid))],
+            type=pa.list_(pa.int64())),
+    })
+    anti_far = SJ.spatial_anti_join(far, settlements, left_id="block_id",
+                                    right_id="settlement_id")
+    assert anti_far.column("block_id").to_pylist() == ["far"]
