@@ -17,7 +17,7 @@ import pyarrow.parquet as pq
 from ibray import oracle, synth
 from ibray.config import DEFAULT
 
-ORACLE_VERSION = 11
+ORACLE_VERSION = 12
 
 
 def golden_dir(sf: float, base: str = "/tmp/ibray_golden") -> str:

@@ -89,26 +89,29 @@ def golden_nearest_road(world_dir: str, cutoff: float = 200.0,
 
 
 def golden_knn(world_dir: str, k: int = 4) -> pa.Table:
-    """O(m²) brute-force kNN per coarse partition, ties by ascending id."""
+    """GLOBAL (unpartitioned) brute-force kNN, ties by ascending id — the
+    oracle is deliberately partition-free so it verifies the engine's
+    cross-border halo edges rather than sharing its partition rule."""
     fp = _fp_table_single(world_dir)
+    x = fp["cx"].to_numpy(dtype=np.float64)
+    y = fp["cy"].to_numpy(dtype=np.float64)
+    ids = fp["footprint_id"].to_numpy()
+    m = len(x)
+    kk = min(k, m - 1)
+    if kk <= 0:
+        return pa.table({"src": pa.array([], type=pa.string()),
+                         "dst": pa.array([], type=pa.string()),
+                         "dist_m": pa.array([], type=pa.float64())})
+    id_rank = np.empty(m, dtype=np.int64)
+    id_rank[np.argsort(ids, kind="stable")] = np.arange(m)
     out_s, out_d, out_w = [], [], []
-    for _, g in fp.groupby("part_cell", sort=True):
-        x = g["cx"].to_numpy()
-        y = g["cy"].to_numpy()
-        ids = g["footprint_id"].to_numpy()
-        m = len(x)
-        kk = min(k, m - 1)
-        if kk <= 0:
-            continue
-        id_rank = np.empty(m, dtype=np.int64)
-        id_rank[np.argsort(ids, kind="stable")] = np.arange(m)
-        for i in range(m):
-            d2 = (x - x[i]) ** 2 + (y - y[i]) ** 2
-            d2[i] = np.inf
-            sel = np.lexsort((id_rank, d2))[:kk]
-            out_s.append(np.full(kk, ids[i]))
-            out_d.append(ids[sel])
-            out_w.append(np.sqrt(d2[sel]))
+    for i in range(m):
+        d2 = (x - x[i]) ** 2 + (y - y[i]) ** 2
+        d2[i] = np.inf
+        sel = np.lexsort((id_rank, d2))[:kk]
+        out_s.append(np.full(kk, ids[i]))
+        out_d.append(ids[sel])
+        out_w.append(np.sqrt(d2[sel]))
     return pa.table({
         "src": pa.array(np.concatenate(out_s), type=pa.string()),
         "dst": pa.array(np.concatenate(out_d), type=pa.string()),

@@ -30,7 +30,7 @@ from ray.data.aggregate import Count, Sum
 from ibray import arrange, geom
 from ibray import hexgrid as hg
 from ibray.config import DEFAULT, DelineationConfig
-from ibray.ops.pip import _Shard, pack_settlement_shards
+from ibray.ops.pip import _Shard
 from ibray.util import pool_size as _pool
 
 MIN_BDG_COUNT = 20      # IB-Tool2.py:981 MinBdgCount
@@ -173,102 +173,185 @@ def blocks_dataset(world_dir: str, cfg: DelineationConfig = DEFAULT) -> rd.Datas
         lambda g: polygonize_part(g, cfg), batch_format="pyarrow")
 
 
-class BlockAssigner:
-    """Actor-pool stage: footprint centroids → containing block id, carrying
-    the integer cm² footprint area for the exact distributed OVERLAP sum."""
+def _probe_schema() -> pa.Schema:
+    return pa.schema([
+        ("probe_part", pa.int64()), ("kind", pa.int8()),
+        ("block_id", pa.string()), ("geom", pa.large_binary()),
+        ("cov", pa.large_binary()), ("footprint_id", pa.string()),
+        ("cx", pa.float64()), ("cy", pa.float64()),
+        ("area_cm2", pa.int64()),
+    ])
 
-    def __init__(self, shard_refs, cfg: DelineationConfig):
-        from ibray.ops.pip import PIPAssigner
 
-        self._inner = PIPAssigner(shard_refs, cfg)
-        self.cfg = cfg
+def _pack_block_rows(batch: pa.Table, cfg: DelineationConfig) -> pa.Table:
+    """Block rows -> one (probe_part, packed geometry + cover) copy per
+    coarse partition the block's cover cells touch — the worker-side
+    replacement for driver shard packing (each copy is a plain binary
+    column riding the probe shuffle)."""
+    from ibray.ops.overlay import settlement_rings
+    from ibray.ops.ringpack import pack_rings
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        cx = np.asarray(batch.column("cx"))
-        cy = np.asarray(batch.column("cy"))
-        out = np.full(len(cx), "", dtype=object)
-        mid = hg.encode(cx, cy, self.cfg.res_mid)
-        inner = self._inner
-        if inner.single is not None:
-            inner.single.probe(cx, cy, mid, out, np.arange(len(cx)))
-        else:
-            parts = hg.parent(mid, self.cfg.res_part)
-            order = np.argsort(parts, kind="stable")
-            ps = parts[order]
-            grp = np.nonzero(np.concatenate([[True], ps[1:] != ps[:-1]]))[0]
-            grp_end = np.concatenate([grp[1:], [len(ps)]])
-            for gs, ge in zip(grp, grp_end):
-                sh = inner._shard(int(ps[gs]))
-                if sh is not None:
-                    sh.probe(cx, cy, mid, out, order[gs:ge])
-        area_cm2 = np.round(np.asarray(batch.column("area_m2")) * 1e4).astype(np.int64)
-        return pa.table({
-            "footprint_id": batch.column("footprint_id"),
-            "block_id": pa.array(list(out), type=pa.string()),
-            "area_cm2": pa.array(area_cm2, type=pa.int64()),
-        })
+    rings = settlement_rings(batch)
+    geom_blobs = [pack_rings(rs) for rs in rings]
+    cover = batch.column("cover_cells")
+    cover = cover.combine_chunks() if isinstance(cover, pa.ChunkedArray) else cover
+    offs = np.asarray(cover.offsets, dtype=np.int64)
+    flat = np.asarray(cover.values, dtype=np.int64)
+    cov_blobs = [flat[offs[i]:offs[i + 1]].tobytes()
+                 for i in range(len(batch))]
+    srow = np.repeat(np.arange(len(batch)), np.diff(offs))
+    pairs = np.unique(
+        np.column_stack([hg.parent(flat, cfg.res_part), srow]), axis=0)
+    nb = len(pairs)
+    return pa.table({
+        "probe_part": pa.array(pairs[:, 0], type=pa.int64()),
+        "kind": pa.array(np.zeros(nb, dtype=np.int8)),
+        "block_id": batch.column("block_id").take(pa.array(pairs[:, 1])),
+        "geom": pa.array([geom_blobs[r] for r in pairs[:, 1]],
+                         type=pa.large_binary()),
+        "cov": pa.array([cov_blobs[r] for r in pairs[:, 1]],
+                        type=pa.large_binary()),
+        "footprint_id": pa.array([""] * nb, type=pa.string()),
+        "cx": pa.array(np.zeros(nb)), "cy": pa.array(np.zeros(nb)),
+        "area_cm2": pa.array(np.zeros(nb, dtype=np.int64)),
+    })
+
+
+def _pack_probe_rows(batch: pa.Table, cfg: DelineationConfig) -> pa.Table:
+    cx = np.asarray(batch.column("cx"), dtype=np.float64)
+    cy = np.asarray(batch.column("cy"), dtype=np.float64)
+    mid = hg.encode(cx, cy, cfg.res_mid)
+    n = len(cx)
+    area_cm2 = np.round(
+        np.asarray(batch.column("area_m2")) * 1e4).astype(np.int64)
+    return pa.table({
+        "probe_part": pa.array(hg.parent(mid, cfg.res_part), type=pa.int64()),
+        "kind": pa.array(np.ones(n, dtype=np.int8)),
+        "block_id": pa.array([""] * n, type=pa.string()),
+        "geom": pa.array([b""] * n, type=pa.large_binary()),
+        "cov": pa.array([b""] * n, type=pa.large_binary()),
+        "footprint_id": batch.column("footprint_id"),
+        "cx": pa.array(cx), "cy": pa.array(cy),
+        "area_cm2": pa.array(area_cm2, type=pa.int64()),
+    })
+
+
+def _assign_group(g: pa.Table, cfg: DelineationConfig) -> pa.Table:
+    """One coarse partition: rebuild the packed block payload from the
+    co-grouped binary rows, then run the standard CSR cover probe."""
+    from ibray.ops.ringpack import unpack_rings
+
+    kinds = np.asarray(g.column("kind"))
+    fsel = np.nonzero(kinds == 1)[0]
+    empty = pa.table({
+        "footprint_id": pa.array([], type=pa.string()),
+        "block_id": pa.array([], type=pa.string()),
+        "area_cm2": pa.array([], type=pa.int64()),
+    })
+    if not len(fsel):
+        return empty
+    bsel = np.nonzero(kinds == 0)[0]
+    cx = np.asarray(g.column("cx"), dtype=np.float64)[fsel]
+    cy = np.asarray(g.column("cy"), dtype=np.float64)[fsel]
+    out = np.full(len(cx), "", dtype=object)
+    if len(bsel):
+        gsub = g.take(pa.array(bsel))
+        ring_sets = [unpack_rings(b) for b in gsub.column("geom").to_pylist()]
+        covs = [np.frombuffer(b, dtype=np.int64)
+                for b in gsub.column("cov").to_pylist()]
+        poly_off = np.concatenate(
+            [[0], np.cumsum([len(rs) for rs in ring_sets])])
+        all_rings = [r for rs in ring_sets for r in rs]
+        ring_off = np.concatenate(
+            [[0], np.cumsum([len(r) for r in all_rings])])
+        flat = (np.concatenate(all_rings, axis=0) if all_rings
+                else np.zeros((0, 2)))
+        payload = {
+            "ids": gsub.column("block_id").to_pylist(),
+            "poly_off": poly_off.astype(np.int64),
+            "ring_off": ring_off.astype(np.int64),
+            "xs": np.ascontiguousarray(flat[:, 0]),
+            "ys": np.ascontiguousarray(flat[:, 1]),
+            "cov_list_off": np.concatenate(
+                [[0], np.cumsum([len(c) for c in covs])]).astype(np.int64),
+            "cov_flat": (np.concatenate(covs) if covs
+                         else np.zeros(0, np.int64)),
+        }
+        shard = _Shard(payload, cfg)
+        mid = hg.encode(cx, cy, cfg.res_mid)
+        shard.probe(cx, cy, mid, out, np.arange(len(cx)))
+    return pa.table({
+        "footprint_id": g.column("footprint_id").take(pa.array(fsel)),
+        "block_id": pa.array(list(out), type=pa.string()),
+        "area_cm2": g.column("area_cm2").take(pa.array(fsel)),
+    })
 
 
 def block_assignments(world_dir: str, fp: rd.Dataset,
                       cfg: DelineationConfig = DEFAULT,
-                      blocks: pa.Table | None = None) -> rd.Dataset:
-    """footprint → block join rows (sharded PIP probe)."""
-    import ray
+                      blocks_ds: rd.Dataset | None = None) -> rd.Dataset:
+    """footprint → block join rows.
 
-    from ibray import pipeline
-
-    if blocks is None:
-        blocks = pipeline._concat_refs(blocks_dataset(world_dir, cfg),
-                                       _empty_blocks().schema)
-    shard_refs = {p: ray.put(payload) for p, payload in
-                  pack_settlement_shards(blocks, cfg, id_col="block_id").items()}
-    return fp.select_columns(["footprint_id", "cx", "cy", "area_m2"]).map_batches(
-        BlockAssigner,
-        fn_constructor_args=(shard_refs, cfg),
-        batch_format="pyarrow",
-        batch_size=cfg.batch_size,
-        concurrency=_pool(4),
-    )
+    Scale shape: block geometry never lands on the driver — each
+    partition's blocks pack to binary rows that CO-SHUFFLE with the probe
+    points into one groupby(probe_part); the CSR cover probe runs inside
+    map_groups (replaces round 2's driver shard packing + per-shard
+    ray.put).  Emits (footprint_id, block_id ['' when outside all blocks],
+    area_cm2)."""
+    if blocks_ds is None:
+        blocks_ds = blocks_dataset(world_dir, cfg)
+    bp = blocks_ds.map_batches(lambda b: _pack_block_rows(b, cfg),
+                               batch_format="pyarrow")
+    pp = fp.select_columns(
+        ["footprint_id", "cx", "cy", "area_m2"]).map_batches(
+        lambda b: _pack_probe_rows(b, cfg), batch_format="pyarrow")
+    return bp.union(pp).groupby("probe_part").map_groups(
+        lambda g: _assign_group(g, cfg), batch_format="pyarrow")
 
 
 def block_overlap(world_dir: str, fp: rd.Dataset,
-                  cfg: DelineationConfig = DEFAULT) -> pa.Table:
+                  cfg: DelineationConfig = DEFAULT,
+                  blocks_ds: rd.Dataset | None = None) -> pa.Table:
     """FootprintDensity (A3): per block Σ footprint area / block area × 100.
     Returns blocks with ≥1 footprint: (block_id, n_footprints, area_m2,
-    overlap_pct)."""
+    overlap_pct).
+
+    Fully distributed: the co-grouped probe assigns footprints, a groupby
+    reduces INTEGER cm² partials, and block areas attach through a Dataset
+    hash join — only the output contract (hit blocks) reaches the driver."""
     from ibray import pipeline
 
-    blocks = pipeline._concat_refs(blocks_dataset(world_dir, cfg),
-                                   _empty_blocks().schema)
-    assigned = block_assignments(world_dir, fp, cfg, blocks=blocks)
+    if blocks_ds is None:
+        blocks_ds = blocks_dataset(world_dir, cfg).materialize()
+    assigned = block_assignments(world_dir, fp, cfg, blocks_ds=blocks_ds)
     hit = assigned.map_batches(
         lambda b: b.filter(pa.compute.not_equal(b.column("block_id"), "")),
         batch_format="pyarrow")
     agg = hit.groupby("block_id").aggregate(
         Count(alias_name="n_footprints"),
         Sum("area_cm2", alias_name="fp_area_cm2"),
-    )
-    agg_tbl = pipeline._concat_refs(
-        agg, pa.schema([("block_id", pa.string()),
-                        ("n_footprints", pa.int64()),
-                        ("fp_area_cm2", pa.int64())]))
-    bid = np.asarray(blocks.column("block_id"))
-    barea = np.asarray(blocks.column("area_m2"))
-    order = np.argsort(bid, kind="stable")
-    bid_s, barea_s = bid[order], barea[order]
-    aid = np.asarray(agg_tbl.column("block_id"))
-    pos = np.searchsorted(bid_s, aid)
-    n = np.asarray(agg_tbl.column("n_footprints"), dtype=np.int64)
-    fp_cm2 = np.asarray(agg_tbl.column("fp_area_cm2"), dtype=np.int64)
-    blk_area = barea_s[pos]
-    overlap = (fp_cm2 / 1e4) / blk_area * 100.0
-    o2 = np.argsort(aid, kind="stable")
-    return pa.table({
-        "block_id": pa.array(aid[o2], type=pa.string()),
-        "n_footprints": pa.array(n[o2], type=pa.int64()),
-        "area_m2": pa.array(blk_area[o2], type=pa.float64()),
-        "overlap_pct": pa.array(overlap[o2], type=pa.float64()),
-    })
+    ).map_batches(lambda t: t, batch_format="pyarrow").repartition(8)
+    areas = blocks_ds.map_batches(
+        lambda b: b.select(["block_id", "area_m2"]), batch_format="pyarrow")
+    joined = agg.join(areas, join_type="inner", num_partitions=8,
+                      on=("block_id",))
+
+    def _finish(b: pa.Table) -> pa.Table:
+        fp_cm2 = np.asarray(b.column("fp_area_cm2"), dtype=np.int64)
+        blk_area = np.asarray(b.column("area_m2"), dtype=np.float64)
+        return pa.table({
+            "block_id": b.column("block_id"),
+            "n_footprints": b.column("n_footprints"),
+            "area_m2": b.column("area_m2"),
+            "overlap_pct": pa.array((fp_cm2 / 1e4) / blk_area * 100.0),
+        })
+
+    out = pipeline._concat_refs(
+        joined.map_batches(_finish, batch_format="pyarrow"),
+        pa.schema([("block_id", pa.string()), ("n_footprints", pa.int64()),
+                   ("area_m2", pa.float64()),
+                   ("overlap_pct", pa.float64())]))
+    return out.sort_by("block_id")
 
 
 def global_overlap_threshold(world_dir: str, fp: rd.Dataset,
@@ -279,12 +362,18 @@ def global_overlap_threshold(world_dir: str, fp: rd.Dataset,
     mid-res cells dilated 1 ring — the 100 m buffer analog) and more than
     MIN_BDG_COUNT footprints.  Falls back to 18.0 when ≤5 inner blocks
     (IB-Tool2.py:1085-1096).
-    """
+
+    The inner-block test runs distributed: the (small) dilated mass cell
+    set broadcasts once via ray.put and each block batch checks its core
+    cells against it in map_batches; the final mean sums the inner overlap
+    rows in ascending block_id order (deterministic — identical to the
+    single-process golden)."""
+    import ray
+
     from ibray import pipeline
 
-    blocks = pipeline._concat_refs(blocks_dataset(world_dir, cfg),
-                                   _empty_blocks().schema)
-    ov = block_overlap(world_dir, fp, cfg)
+    blocks_ds = blocks_dataset(world_dir, cfg).materialize()
+    ov = block_overlap(world_dir, fp, cfg, blocks_ds=blocks_ds)
     # settlement mass from occupied mid cells (distributed dedup, small out)
     occ = pipeline._concat_refs(
         fp.select_columns(["cell_r9"]).map_batches(
@@ -293,23 +382,44 @@ def global_overlap_threshold(world_dir: str, fp: rd.Dataset,
             batch_format="pyarrow"),
         pa.schema([("cell", pa.int64())]))
     mass = hg.dilate(np.unique(np.asarray(occ.column("cell"))), 1)
-    core = blocks.column("core_cells")
-    core = core.combine_chunks() if isinstance(core, pa.ChunkedArray) else core
-    offs = np.asarray(core.offsets, dtype=np.int64)
-    flat = np.asarray(core.values, dtype=np.int64)
-    in_mass = np.isin(flat, mass)
-    n_core = np.diff(offs)
-    all_in = np.array([in_mass[offs[i]:offs[i + 1]].all() and n_core[i] > 0
-                       for i in range(len(n_core))])
-    inner_ids = set(np.asarray(blocks.column("block_id"))[all_in].tolist())
-    ovd = ov.to_pandas()
-    inner = ovd[(ovd["block_id"].isin(inner_ids))
-                & (ovd["n_footprints"] > MIN_BDG_COUNT)]
-    if len(inner) > 5:
-        thr = float(inner["overlap_pct"].sum() / len(inner))
+    mass_ref = ray.put(mass)
+
+    def _inner_flags(b: pa.Table) -> pa.Table:
+        m = ray.get(mass_ref)
+        core = b.column("core_cells")
+        core = core.combine_chunks() if isinstance(core, pa.ChunkedArray) else core
+        offs = np.asarray(core.offsets, dtype=np.int64)
+        flat = np.asarray(core.values, dtype=np.int64)
+        pos = np.clip(np.searchsorted(m, flat), 0, max(len(m) - 1, 0))
+        in_mass = (m[pos] == flat) if len(m) else np.zeros(len(flat), bool)
+        n_core = np.diff(offs)
+        ok = np.logical_and.reduceat(
+            np.concatenate([in_mass, [True]]), offs[:-1]) \
+            if len(n_core) else np.zeros(0, bool)
+        ok = ok & (n_core > 0)
+        return pa.table({"block_id": b.column("block_id"),
+                         "inner": pa.array(ok)})
+
+    flags = blocks_ds.map_batches(_inner_flags, batch_format="pyarrow")
+    flag_tbl = pipeline._concat_refs(flags, pa.schema(
+        [("block_id", pa.string()), ("inner", pa.bool_())]))
+    inner_ids = np.asarray(flag_tbl.column("block_id"))[
+        np.asarray(flag_tbl.column("inner"))]
+    inner_sorted = np.sort(inner_ids)
+    bid = np.asarray(ov.column("block_id"))
+    pos = np.clip(np.searchsorted(inner_sorted, bid), 0,
+                  max(len(inner_sorted) - 1, 0))
+    is_inner = (inner_sorted[pos] == bid) if len(inner_sorted) else \
+        np.zeros(len(bid), bool)
+    nf = np.asarray(ov.column("n_footprints"), dtype=np.int64)
+    sel = is_inner & (nf > MIN_BDG_COUNT)
+    ovp = np.asarray(ov.column("overlap_pct"), dtype=np.float64)[sel]
+    n_inner = int(sel.sum())
+    if n_inner > 5:
+        thr = float(ovp.sum() / n_inner)
     else:
         thr = FALLBACK_THRESHOLD
     return pa.table({
-        "n_inner_blocks": pa.array([len(inner)], type=pa.int64()),
+        "n_inner_blocks": pa.array([n_inner], type=pa.int64()),
         "global_overlap_pct": pa.array([thr], type=pa.float64()),
     })

@@ -140,12 +140,176 @@ def knn_edges_group(group: pd.DataFrame, k: int = 6) -> pd.DataFrame:
     return pd.DataFrame({"src": ids[rows], "dst": ids[cols], "dist_m": dist})
 
 
-def knn_graph(fp: rd.Dataset, cfg: DelineationConfig = DEFAULT, k: int = 6) -> rd.Dataset:
-    """Distributed kNN graph: one group per coarse partition."""
+def _route_halo(batch: "pa.Table", cfg: DelineationConfig, H: float,
+                m_steps: int, active_parts: np.ndarray | None,
+                allowed_src: np.ndarray | None) -> "pa.Table":
+    """Point rows -> one copy per candidate partition whose hexagon lies
+    within H meters (plane-distance test; the same superset-safe routing as
+    the clustering halo).  After round 1 only copies destined for ACTIVE
+    partitions ship, and source points are pre-filtered by the dilated
+    active-part set, so later rounds touch a vanishing fraction of points."""
+    import pyarrow as pa
+
+    from ibray import hexgrid as hg
+
+    x = np.asarray(batch.column("cx"), dtype=np.float64)
+    y = np.asarray(batch.column("cy"), dtype=np.float64)
+    own = np.asarray(batch.column("part_cell"), dtype=np.int64)
+    if allowed_src is not None and len(x):
+        pos = np.clip(np.searchsorted(allowed_src, own), 0,
+                      len(allowed_src) - 1)
+        m_src = allowed_src[pos] == own
+        batch = batch.filter(pa.array(m_src))
+        x, y, own = x[m_src], y[m_src], own[m_src]
+    empty = pa.table({
+        "part_cell": pa.array([], type=pa.int64()),
+        "footprint_id": pa.array([], type=pa.string()),
+        "cx": pa.array([], type=pa.float64()),
+        "cy": pa.array([], type=pa.float64()),
+        "own": pa.array([], type=pa.bool_()),
+    })
+    if not len(x):
+        return empty
+    s_part = hg.edge_length_m(cfg.res_part)
+    r_in = np.sqrt(3.0) / 2.0 * s_part
+    cand = hg.k_ring(own, m_steps)  # (n, c) candidate partitions
+    ccx, ccy = hg.cell_center(cand.ravel())
+    ddx = x[:, None] - ccx.reshape(cand.shape)
+    ddy = y[:, None] - ccy.reshape(cand.shape)
+    dist = np.maximum.reduce([
+        np.abs(ddx),
+        np.abs(0.5 * ddx + np.sqrt(3.0) / 2.0 * ddy),
+        np.abs(-0.5 * ddx + np.sqrt(3.0) / 2.0 * ddy),
+    ]) - r_in
+    keep = dist <= H
+    keep |= cand == own[:, None]
+    if active_parts is not None:
+        pos = np.clip(np.searchsorted(active_parts, cand), 0,
+                      len(active_parts) - 1)
+        # active points' own parts are active by construction, so the plain
+        # intersection keeps exactly the rows later rounds need
+        keep &= active_parts[pos.ravel()].reshape(cand.shape) == cand
+    counts = keep.sum(axis=1)
+    rep = np.repeat(np.arange(len(x)), counts)
+    parts = cand[keep]
+    return pa.table({
+        "part_cell": pa.array(parts, type=pa.int64()),
+        "footprint_id": batch.column("footprint_id").take(pa.array(rep)),
+        "cx": pa.array(x[rep]),
+        "cy": pa.array(y[rep]),
+        "own": pa.array(parts == own[rep]),
+    })
+
+
+def _knn_halo_group(g: pd.DataFrame, k: int, kk_target: int, H: float,
+                    pending: frozenset | None) -> pd.DataFrame:
+    """Per-partition exact kNN over own + halo candidates.  An own active
+    point is FINAL when it found kk_target neighbors with k-th distance
+    <= H (every excluded point lies > H from this partition's hexagon, so
+    none can beat the k-th).  Unsatisfied points emit a pending row
+    (dst='') carrying their partition for the next, wider round."""
+    x = g["cx"].to_numpy(dtype=np.float64)
+    y = g["cy"].to_numpy(dtype=np.float64)
+    ids = g["footprint_id"].to_numpy()
+    own = g["own"].to_numpy(dtype=bool)
+    part = int(g["part_cell"].iloc[0]) if len(g) else 0
+    active = own if pending is None else own & np.isin(ids, list(pending))
+    empty = pd.DataFrame({"src": pd.Series([], dtype=object),
+                          "dst": pd.Series([], dtype=object),
+                          "dist_m": pd.Series([], dtype=np.float64),
+                          "part_cell": pd.Series([], dtype=np.int64)})
+    if not active.any():
+        return empty
+    m = len(x)
+    if m <= 1:
+        return pd.DataFrame({"src": ids[active], "dst": "",
+                             "dist_m": -1.0, "part_cell": part})
+    id_rank = np.empty(m, dtype=np.int64)
+    id_rank[np.argsort(ids, kind="stable")] = np.arange(m)
+    rows, cols, dist = _knn_indices(x, y, k, id_rank)
+    cnt = np.bincount(rows, minlength=m)
+    kth = np.zeros(m)
+    np.maximum.at(kth, rows, dist)
+    satisfied = (cnt >= kk_target) & (kth <= H)
+    emit = active[rows] & satisfied[rows]
+    pend = active & ~satisfied
+    return pd.DataFrame({
+        "src": np.concatenate([ids[rows[emit]], ids[pend]]),
+        "dst": np.concatenate([ids[cols[emit]],
+                               np.full(int(pend.sum()), "", dtype=object)]),
+        "dist_m": np.concatenate([dist[emit],
+                                  np.full(int(pend.sum()), -1.0)]),
+        "part_cell": np.full(int(emit.sum()) + int(pend.sum()), part,
+                             dtype=np.int64),
+    })
+
+
+def knn_graph(fp: rd.Dataset, cfg: DelineationConfig = DEFAULT, k: int = 6,
+              halo: bool = True, h0: float = 500.0) -> rd.Dataset:
+    """Distributed EXACT kNN graph.
+
+    With ``halo`` (default) the graph is globally exact: each round
+    replicates points into every partition within H meters (plane-test
+    halo), computes kNN per partition over own + halo candidates, and
+    finalizes points whose k-th distance is <= H; unsatisfied points (k-th
+    neighbor beyond the halo — sparse/border cases) escalate with H doubled
+    until none remain.  ``halo=False`` keeps the partition-local graph (the
+    reference's per-partition Delaunay semantics, IB-Tool2.py:1259)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ibray import hexgrid as hg
+    from ibray import pipeline
+
     pts = fp.select_columns(["footprint_id", "cx", "cy", "part_cell"])
-    return pts.groupby("part_cell").map_groups(
-        lambda g: knn_edges_group(g, k), batch_format="pandas"
-    )
+    if not halo:
+        return pts.groupby("part_cell").map_groups(
+            lambda g: knn_edges_group(g, k), batch_format="pandas"
+        )
+    pts = pts.materialize()
+    n_total = pts.count()
+    _empty = rd.from_arrow(pa.table({
+        "src": pa.array([], type=pa.string()),
+        "dst": pa.array([], type=pa.string()),
+        "dist_m": pa.array([], type=pa.float64())}))
+    if n_total <= 1:
+        return _empty
+    kk_target = min(k, n_total - 1)
+    s_part = hg.edge_length_m(cfg.res_part)
+    H = float(h0)
+    pending: frozenset | None = None
+    active_parts: np.ndarray | None = None
+    edge_sets: list[rd.Dataset] = []
+    while True:
+        # ring radius guaranteeing every hexagon within H is enumerated:
+        # parts at coarse ring t sit >= 1.5*t*s - 2*s from any own point
+        m_steps = int(H / (1.5 * s_part) + 1.0 / 3.0) + 2
+        allowed_src = (hg.dilate(active_parts, m_steps)
+                       if active_parts is not None else None)
+        routed = pts.map_batches(
+            lambda b, H=H, m=m_steps, ap=active_parts, al=allowed_src:
+            _route_halo(b, cfg, H, m, ap, al),
+            batch_format="pyarrow")
+        out = routed.groupby("part_cell").map_groups(
+            lambda g, H=H, p=pending: _knn_halo_group(g, k, kk_target, H, p),
+            batch_format="pandas").materialize()
+        edge_sets.append(out.map_batches(
+            lambda b: b.filter(pc.not_equal(b.column("dst"), ""))
+            .select(["src", "dst", "dist_m"]), batch_format="pyarrow"))
+        pend_tbl = pipeline._concat_refs(out.map_batches(
+            lambda b: b.filter(pc.equal(b.column("dst"), ""))
+            .select(["src", "part_cell"]), batch_format="pyarrow"),
+            pa.schema([("src", pa.string()), ("part_cell", pa.int64())]))
+        if pend_tbl.num_rows == 0:
+            break
+        pending = frozenset(np.asarray(pend_tbl.column("src")).tolist())
+        active_parts = np.unique(
+            np.asarray(pend_tbl.column("part_cell"), dtype=np.int64))
+        H *= 2.0
+    ds = edge_sets[0]
+    for e in edge_sets[1:]:
+        ds = ds.union(e)
+    return ds
 
 
 def _find(parent: np.ndarray, a: int) -> int:

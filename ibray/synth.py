@@ -342,6 +342,183 @@ def build_roads(sf: float, seed: int = SEED) -> pa.Table:
     return pa.table({"road_id": ids, "line": line, "klass": klass})
 
 
+AUX_VERSION = 1  # landuse/aux-lines layer version (additive per world)
+
+
+def settlement_centers(sf: float, seed: int = SEED):
+    """Settlement seed centers + world extent WITHOUT materializing
+    footprints (replays exactly the leading rng draws of
+    generate_footprints, so centers are bit-identical)."""
+    rng = np.random.default_rng(seed)
+    n_target = sf_to_n_footprints(sf)
+    n_set = max(2, int(round(n_target / 280)))
+    side = int(np.ceil(np.sqrt(n_set)))
+    spacing = 4000.0
+    gi = np.arange(n_set)
+    cx = (gi % side) * spacing + rng.uniform(-500, 500, n_set)
+    cy = (gi // side) * spacing + rng.uniform(-500, 500, n_set)
+    return cx, cy, side, spacing
+
+
+def build_landuse(sf: float, seed: int = SEED) -> pa.Table:
+    """REAL land-use polygon layer — the synthetic analog of the
+    reference's AX_* tables (Error_Classification.py:305-372, 468-528):
+    square zones (~600 m) tiling the world, class driven by distance to
+    the nearest settlement center (residential cores, mixed/industrial
+    fringe, open country) plus a seeded per-zone draw.  Each zone carries
+    a polygon boundary and its mid-res cover cells, so consumers look it
+    up through the standard polygon PIP machinery — not a hash."""
+    from ibray import hexgrid as hg
+
+    cx, cy, side, spacing = settlement_centers(sf, seed)
+    Z = 600.0
+    lo, hi = -2500.0, side * spacing + 2500.0
+    nz = int(np.ceil((hi - lo) / Z))
+    ix, iy = np.meshgrid(np.arange(nz), np.arange(nz), indexing="ij")
+    ix, iy = ix.ravel(), iy.ravel()
+    zx = lo + (ix + 0.5) * Z
+    zy = lo + (iy + 0.5) * Z
+    # nearest settlement center: centers sit on a jittered spacing-grid, so
+    # the nearest lies in the 3x3 neighborhood of the zone's grid cell
+    gx = np.clip(np.round(zx / spacing).astype(np.int64), 0, side - 1)
+    gy = np.clip(np.round(zy / spacing).astype(np.int64), 0, side - 1)
+    n_set = len(cx)
+    best = np.full(len(zx), np.inf)
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            ax = np.clip(gx + dx, 0, side - 1)
+            ay = np.clip(gy + dy, 0, side - 1)
+            k = ay * side + ax
+            ok = k < n_set
+            d = np.where(ok, np.hypot(zx - cx[np.minimum(k, n_set - 1)],
+                                      zy - cy[np.minimum(k, n_set - 1)]),
+                         np.inf)
+            best = np.minimum(best, d)
+    draw = np.random.default_rng(seed + 5).random(len(zx))
+    # classes: 0 industrial, 1 residential, 2 mixed, 3 open
+    lu = np.full(len(zx), 3, dtype=np.int64)
+    core = best < 500.0
+    lu[core] = np.where(draw[core] < 0.75, 1, 2)
+    fringe = (best >= 500.0) & (best < 1100.0)
+    lu[fringe] = np.where(draw[fringe] < 0.45, 0, 2)
+    outer = (best >= 1100.0) & (best < 1800.0)
+    lu[outer] = np.where(draw[outer] < 0.2, 0, 3)
+    x0 = lo + ix * Z
+    y0 = lo + iy * Z
+    # 4-corner CCW rings, flat construction
+    bx = np.stack([x0, x0 + Z, x0 + Z, x0], axis=1)
+    by = np.stack([y0, y0, y0 + Z, y0 + Z], axis=1)
+    pts = pa.StructArray.from_arrays(
+        [pa.array(bx.ravel()), pa.array(by.ravel())], names=["x", "y"])
+    ring = pa.ListArray.from_arrays(
+        pa.array(np.arange(0, 4 * len(zx) + 1, 4, dtype=np.int32)), pts)
+    boundary = pa.ListArray.from_arrays(
+        pa.array(np.arange(len(zx) + 1, dtype=np.int32)), ring)
+    # mid-res cover: every cell whose center may fall in the square
+    from ibray.config import DEFAULT as _CFG
+
+    sm = hg.edge_length_m(_CFG.res_mid)
+    # per-zone (q, r) corner bounds of the padded square, fully vectorized
+    n_z = len(zx)
+    cxs = np.stack([x0 - sm, x0 + Z + sm, x0 - sm, x0 + Z + sm], axis=1)
+    cys = np.stack([y0 - sm, y0 - sm, y0 + Z + sm, y0 + Z + sm], axis=1)
+    _, cq, cr = hg.unpack(hg.encode(cxs.ravel(), cys.ravel(), _CFG.res_mid))
+    cq = cq.reshape(n_z, 4)
+    cr = cr.reshape(n_z, 4)
+    qmin, qmax = cq.min(axis=1), cq.max(axis=1)
+    rmin, rmax = cr.min(axis=1), cr.max(axis=1)
+    qspan = qmax - qmin + 1
+    rspan = rmax - rmin + 1
+    counts = qspan * rspan
+    offs_arr = np.concatenate([[0], np.cumsum(counts)])
+    total = int(offs_arr[-1])
+    zrow = np.repeat(np.arange(n_z), counts)
+    local = np.arange(total) - offs_arr[zrow]
+    qq = qmin[zrow] + local // rspan[zrow]
+    rr = rmin[zrow] + local % rspan[zrow]
+    cover_flat = hg._pack(_CFG.res_mid, qq, rr)
+    offs = offs_arr.tolist()
+    covers = [cover_flat]
+    zone_ids = np.char.add(
+        np.char.add("z", np.char.zfill(ix.astype("U6"), 5)),
+        np.char.add("_", np.char.zfill(iy.astype("U6"), 5)))
+    return pa.table({
+        "zone_id": pa.array(zone_ids, type=pa.string()),
+        "lu": pa.array(lu, type=pa.int64()),
+        "boundary": boundary,
+        "cover_cells": pa.ListArray.from_arrays(
+            pa.array(offs, type=pa.int32()),
+            pa.array(np.concatenate(covers), type=pa.int64())),
+    })
+
+
+def build_aux_lines(sf: float, seed: int = SEED) -> pa.Table:
+    """Vegetation / land-use boundary polylines — the A_AUX layer the
+    reference merges with the road net before blocking
+    (IB-Tool2.py:2311-2326): one green-belt square loop per settlement at
+    a seeded radius, plus scattered forest-patch loops."""
+    cx, cy, side, spacing = settlement_centers(sf, seed)
+    rng = np.random.default_rng(seed + 7)
+    rows_x, rows_y, ids, klass = [], [], [], []
+    r_belt = rng.uniform(700.0, 950.0, len(cx))
+    for i in range(len(cx)):
+        r = r_belt[i]
+        xs = [cx[i] - r, cx[i] + r, cx[i] + r, cx[i] - r, cx[i] - r]
+        ys = [cy[i] - r, cy[i] - r, cy[i] + r, cy[i] + r, cy[i] - r]
+        rows_x.append(xs); rows_y.append(ys)
+        ids.append(f"veg_{i:07d}"); klass.append("belt")
+    n_forest = max(2, len(cx) // 3)
+    fx = rng.uniform(-2000, side * spacing, n_forest)
+    fy = rng.uniform(-2000, side * spacing, n_forest)
+    fr = rng.uniform(150.0, 500.0, n_forest)
+    for j in range(n_forest):
+        xs = [fx[j] - fr[j], fx[j] + fr[j], fx[j] + fr[j],
+              fx[j] - fr[j], fx[j] - fr[j]]
+        ys = [fy[j] - fr[j], fy[j] - fr[j], fy[j] + fr[j],
+              fy[j] + fr[j], fy[j] - fr[j]]
+        rows_x.append(xs); rows_y.append(ys)
+        ids.append(f"veg_f{j:06d}"); klass.append("forest")
+    line = pa.array(
+        [[{"x": float(x), "y": float(y)} for x, y in zip(xs, ys)]
+         for xs, ys in zip(rows_x, rows_y)],
+        type=pa.list_(pa.struct([("x", pa.float64()), ("y", pa.float64())])))
+    return pa.table({
+        "aux_id": pa.array(ids, type=pa.string()),
+        "line": line,
+        "klass": pa.array(klass, type=pa.string()),
+    })
+
+
+def ensure_aux_for(world_dir: str) -> bool:
+    """Generate the landuse/aux-line layers for a synth world dir on first
+    use (LAZY — the flagship bench path never consumes them, so huge bench
+    worlds don't pay the generation).  Returns True when present."""
+    import re as _re
+
+    base = os.path.basename(world_dir.rstrip("/"))
+    m = _re.match(r"sf([0-9.]+)_seed(\d+)_v\d+$", base)
+    if m is None:
+        return os.path.exists(os.path.join(world_dir, "landuse.parquet"))
+    _ensure_aux(world_dir, float(m.group(1)), int(m.group(2)))
+    return True
+
+
+def _ensure_aux(d: str, sf: float, seed: int) -> None:
+    """Write the landuse + aux-line layers into an existing world dir if
+    missing (additive — footprints/documents/roads stay untouched, so
+    cached large worlds never regenerate)."""
+    lu_path = os.path.join(d, "landuse.parquet")
+    aux_path = os.path.join(d, "aux_lines.parquet")
+    if os.path.exists(lu_path) and os.path.exists(aux_path):
+        return
+    tmp_lu = lu_path + ".tmp"
+    tmp_aux = aux_path + ".tmp"
+    pq.write_table(build_landuse(sf, seed), tmp_lu)
+    pq.write_table(build_aux_lines(sf, seed), tmp_aux)
+    os.replace(tmp_lu, lu_path)
+    os.replace(tmp_aux, aux_path)
+
+
 def ensure_world(sf: float, seed: int = SEED, base: str = "/tmp/ibray_synth") -> str:
     """Generate (once) and cache the world; returns its directory.
 
