@@ -284,10 +284,13 @@ def _q_patch_classes(sf_dir: str):
     cb = S.settlement_cells(expert["settlements"], DEFAULT)
     tiles = res["tiles_tbl"].to_pandas()
     cnt = tiles.groupby("cell_r11").size()
+    from ibray.ops.landuse import landuse_lookup
+
+    world = synth.ensure_world(sf)
     return _scale_cols(
         S.classify_patches(
             ca, cb, (cnt.index.to_numpy("int64"), cnt.to_numpy("int64")),
-            DEFAULT),
+            DEFAULT, landuse=landuse_lookup(world)),
         {"area_m2": 2, "share_pct": 6})
 
 
@@ -499,6 +502,44 @@ def _q_mst_graph(sf_dir: str):
     return _scale_cols(K.mst_graph(fp, k=6), {"dist_m": 4})
 
 
+def _q_landuse_stats(sf_dir: str):
+    """Real land-use layer spatial join (AX_* analog): per-class footprint
+    and occupied-zone counts via the distributed co-shuffled zone probe."""
+    from ibray import pipeline
+    from ibray.ops import landuse as LU
+
+    sf = synth.sf_of_dir(sf_dir)
+    golden.ensure_golden(sf)
+    world = synth.ensure_world(sf)
+    fp = pipeline.footprint_dataset(world)
+    return LU.landuse_class_stats(world, fp)
+
+
+def _q_veg_dense_blocks(sf_dir: str):
+    """Blocks_red: dense blocks of the aux+road Blocker (pre-extraction)."""
+    from ibray import pipeline
+    from ibray.ops import blocks as B
+
+    sf = synth.sf_of_dir(sf_dir)
+    golden.ensure_golden(sf)
+    world = synth.ensure_world(sf)
+    fp = pipeline.footprint_dataset(world)
+    return _scale_cols(B.dense_blocks(world, fp, thr=5.0),
+                       {"area_m2": 2, "overlap_pct": 6})
+
+
+def _q_rect_buffers(sf_dir: str):
+    """F8 planar offsets: per-footprint min-rect FULL/ROUND 18 m buffer."""
+    from ibray import pipeline
+    from ibray.ops import buffer as BUF
+
+    sf = synth.sf_of_dir(sf_dir)
+    golden.ensure_golden(sf)
+    world = synth.ensure_world(sf)
+    fp = pipeline.footprint_dataset(world)
+    return _scale_cols(BUF.rect_buffers(fp), {"buf_area_m2": 2})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from ibray.ops import ann as A
     from ibray.ops import dedup as D
@@ -532,6 +573,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "single_bdg_rects": _q_single_bdg,    # golden oracle (AddSinglBdg)
         "block_overlap": _q_block_overlap,    # golden oracle (Blocker + A3)
         "global_overlap": _q_global_overlap,  # golden oracle (A4 threshold)
+        "landuse_class_stats": _q_landuse_stats,  # golden oracle (AX_* join)
+        "veg_dense_blocks": _q_veg_dense_blocks,  # golden oracle (Blocks_red)
+        "rect_buffers": _q_rect_buffers,          # golden oracle (F8 offsets)
         "media_assets": _q_media_assets,
         "tile_features": _q_tile_features,    # golden oracle (deterministic stub decode)
         "knn_graph": _q_knn_graph,            # golden oracle (O(m^2) brute force)
@@ -777,6 +821,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROUND(area_m2 * 100) AS BIGINT) AS area_m2,
                    CAST(ROUND(share_pct * 1000000) AS BIGINT) AS share_pct
             FROM read_parquet('{gold}/patch_classification.parquet')
+        """,
+        "landuse_class_stats": f"""
+            SELECT landuse, n_footprints, n_zones
+            FROM read_parquet('{gold}/landuse_class_stats.parquet')
+        """,
+        "veg_dense_blocks": f"""
+            SELECT block_id, n_footprints,
+                   CAST(ROUND(area_m2 * 100) AS BIGINT) AS area_m2,
+                   CAST(ROUND(overlap_pct * 1000000) AS BIGINT) AS overlap_pct
+            FROM read_parquet('{gold}/veg_dense_blocks.parquet')
+        """,
+        "rect_buffers": f"""
+            SELECT footprint_id,
+                   CAST(ROUND(buf_area_m2 * 100) AS BIGINT) AS buf_area_m2
+            FROM read_parquet('{gold}/rect_buffers.parquet')
         """,
         "simhash_fingerprints": f"""
             SELECT doc_id, simhash FROM read_parquet('{dgold}/simhash.parquet')

@@ -85,9 +85,29 @@ def _intersections(segs: np.ndarray):
     eps = 1e-9
     ok = (np.abs(rxs) > eps) & (t > -eps) & (t < 1 + eps) & \
          (u > -eps) & (u < 1 + eps)
-    out_i = np.concatenate([ia[ok], ib[ok]])
-    out_t = np.concatenate([np.clip(t[ok], 0.0, 1.0), np.clip(u[ok], 0.0, 1.0)])
-    return out_i, out_t
+    out_i = [ia[ok], ib[ok]]
+    out_t = [np.clip(t[ok], 0.0, 1.0), np.clip(u[ok], 0.0, 1.0)]
+    # collinear partially-overlapping pairs: the cross test above never
+    # fires (rxs≈0), so each segment must additionally be cut at the
+    # OTHER's projected endpoints — otherwise duplicate-but-offset
+    # collinear edges survive into the half-edge structure and corrupt
+    # face traversal (e.g. a road clipped exactly onto a partition edge).
+    col = (np.abs(rxs) <= eps) & (np.abs(qpxr) <= eps)
+    if col.any():
+        ca, cb = ia[col], ib[col]
+        rc, sc, qpc = r[col], s[col], qp[col]
+        rr = np.einsum("ij,ij->i", rc, rc)
+        ss = np.einsum("ij,ij->i", sc, sc)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t0 = np.einsum("ij,ij->i", qpc, rc) / rr          # b start on a
+            t1 = np.einsum("ij,ij->i", qpc + sc, rc) / rr     # b end on a
+            u0 = np.einsum("ij,ij->i", -qpc, sc) / ss         # a start on b
+            u1 = np.einsum("ij,ij->i", rc - qpc, sc) / ss     # a end on b
+        for seg_idx, tt in ((ca, t0), (ca, t1), (cb, u0), (cb, u1)):
+            inner = (tt > eps) & (tt < 1 - eps)
+            out_i.append(seg_idx[inner])
+            out_t.append(tt[inner])
+    return np.concatenate(out_i), np.concatenate(out_t)
 
 
 def _split_edges(segs: np.ndarray) -> np.ndarray:

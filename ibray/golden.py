@@ -17,7 +17,7 @@ import pyarrow.parquet as pq
 from ibray import oracle, synth
 from ibray.config import DEFAULT
 
-ORACLE_VERSION = 12
+ORACLE_VERSION = 13
 
 
 def golden_dir(sf: float, base: str = "/tmp/ibray_golden") -> str:
@@ -105,6 +105,13 @@ def ensure_golden(sf: float) -> str:
     pq.write_table(r_ra, os.path.join(tmp, "refined_assignments.parquet"))
     pq.write_table(GX.golden_settlement_parts(world, DEFAULT, res_a=res),
                    os.path.join(tmp, "settlement_parts.parquet"))
+    # round-3 goldens: real land-use layer + veg-block pre-extraction
+    pq.write_table(GX.golden_landuse_class_stats(world),
+                   os.path.join(tmp, "landuse_class_stats.parquet"))
+    pq.write_table(GX.golden_veg_dense_blocks(world),
+                   os.path.join(tmp, "veg_dense_blocks.parquet"))
+    pq.write_table(GX.golden_rect_buffers(world),
+                   os.path.join(tmp, "rect_buffers.parquet"))
     open(os.path.join(tmp, "_done"), "w").write("ok")
     try:
         os.rename(tmp, d)

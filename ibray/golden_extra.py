@@ -259,33 +259,98 @@ def golden_patch_classification(world_dir: str,
                   for ring in s["boundary"]] for s in res["settlements"]]
         return pa.table({"boundary": C.rings_to_arrow(rings)})
 
+    from ibray.ops.landuse import landuse_lookup
+
     ca = S.settlement_cells(_tbl(res_a), cfg)
     cb = S.settlement_cells(_tbl(res_b), cfg)
     c11 = np.asarray(res_a["tiles"].column("cell_r11"), dtype=np.int64)
     u, n = np.unique(c11, return_counts=True)
-    return S.classify_patches(ca, cb, (u, n), cfg)
+    return S.classify_patches(ca, cb, (u, n), cfg,
+                              landuse=landuse_lookup(world_dir))
 
 
-def _blocks_single(world_dir: str, cfg: DelineationConfig = DEFAULT):
-    """Single-process Blocker: same (part, segment) routing rule and the
-    shared arrangement kernel, executed in one plain loop over partitions."""
+def golden_landuse_class_stats(world_dir: str,
+                               cfg: DelineationConfig = DEFAULT) -> pa.Table:
+    """Single-process land-use join oracle: every footprint centroid
+    assigned its containing zone with the shared CSR probe
+    (ops/landuse.LanduseIndex), then plain numpy per-class reduction."""
+    from ibray.ops.landuse import LANDUSE_NAMES, LanduseIndex, load_landuse
+
+    fp = _fp_table_single(world_dir, cfg)
+    idx = LanduseIndex(load_landuse(world_dir), cfg)
+    x = fp["cx"].to_numpy(dtype=np.float64)
+    y = fp["cy"].to_numpy(dtype=np.float64)
+    zones = np.full(len(x), "", dtype=object)
+    mid = hg.encode(x, y, cfg.res_mid)
+    idx.shard.probe(x, y, mid, zones, np.arange(len(x)))
+    zones = zones.astype(str)
+    lu = idx.lu_of_zone(zones)
+    names = np.array(LANDUSE_NAMES, dtype=object)[lu]
+    rows = {"landuse": [], "n_footprints": [], "n_zones": []}
+    for cls in sorted(set(names.tolist())):
+        m = names == cls
+        rows["landuse"].append(cls)
+        rows["n_footprints"].append(int(m.sum()))
+        rows["n_zones"].append(int(len(np.unique(zones[m & (zones != "")]))))
+    return pa.table({
+        "landuse": pa.array(rows["landuse"], type=pa.string()),
+        "n_footprints": pa.array(rows["n_footprints"], type=pa.int64()),
+        "n_zones": pa.array(rows["n_zones"], type=pa.int64()),
+    })
+
+
+def golden_rect_buffers(world_dir: str, dist: float = 18.0) -> pa.Table:
+    """FULL/ROUND rectangle-buffer oracle: plain per-row loop with the
+    shared convex-offset kernel (min-area rect -> buffer -> shoelace)."""
+    from ibray.ops.buffer import _ring_area, buffer_convex
+
+    fp = _fp_table_single(world_dir)
+    ids, areas = [], []
+    for _, row in fp.iterrows():
+        pts = np.column_stack([np.asarray(row["xs"], dtype=np.float64),
+                               np.asarray(row["ys"], dtype=np.float64)])
+        corners, _a, _ang = geom.min_area_rect(pts)
+        buf = buffer_convex(corners, dist)
+        ids.append(row["footprint_id"])
+        areas.append(_ring_area(buf))
+    return pa.table({
+        "footprint_id": pa.array(ids, type=pa.string()),
+        "buf_area_m2": pa.array(areas, type=pa.float64()),
+    })
+
+
+def _blocks_single(world_dir: str, cfg: DelineationConfig = DEFAULT,
+                   include_aux: bool = False):
+    """Single-process Blocker: the SHARED (part, segment) routing rule
+    (ops/blocks.segment_parts) and the shared arrangement kernel, executed
+    in one plain loop over partitions."""
     from ibray import arrange
+    from ibray.ops.blocks import segment_parts
 
     roads = pq.read_table(world_dir + "/roads.parquet", columns=["line"])
     from ibray.ops.roads import _packed_lines
 
     xs, ys, offs = _packed_lines(roads)
+    if include_aux:
+        from ibray import synth
+
+        synth.ensure_aux_for(world_dir)
+        aux = pq.read_table(world_dir + "/aux_lines.parquet",
+                            columns=["line"])
+        ax, ay, aoffs = _packed_lines(aux)
+        xs = np.concatenate([xs, ax])
+        ys = np.concatenate([ys, ay])
+        offs = np.concatenate([offs, aoffs[1:] + offs[-1]])
     valid = np.ones(max(len(xs) - 1, 0), dtype=bool)
     inner_ends = offs[1:-1] - 1
     valid[inner_ends[inner_ends < len(valid)]] = False
     v = np.nonzero(valid)[0]
     x1, y1, x2, y2 = xs[v], ys[v], xs[v + 1], ys[v + 1]
-    p1 = hg.encode(x1, y1, cfg.res_part)
-    p2 = hg.encode(x2, y2, cfg.res_part)
+    srow, spart = segment_parts(x1, y1, x2, y2, cfg)
     rows = []
     segs_all = np.column_stack([x1, y1, x2, y2])
-    for part in np.unique(np.concatenate([p1, p2])):
-        m = (p1 == part) | (p2 == part)
+    for part in np.unique(spart):
+        m = srow[spart == part]
         segs = np.unique(segs_all[m], axis=0)
         hex_ring = hg.cell_boundary(np.array([part], dtype=np.int64))[0]
         clipped = arrange.clip_segments_to_hex(segs, hex_ring)
@@ -303,10 +368,11 @@ def _blocks_single(world_dir: str, cfg: DelineationConfig = DEFAULT):
 
 
 def golden_block_overlap(world_dir: str,
-                         cfg: DelineationConfig = DEFAULT) -> pa.Table:
+                         cfg: DelineationConfig = DEFAULT,
+                         include_aux: bool = False) -> pa.Table:
     """FootprintDensity oracle: brute-force footprint→block assignment
     (bbox prefilter + shared PIP kernel), integer cm² area sums."""
-    blocks = _blocks_single(world_dir, cfg)
+    blocks = _blocks_single(world_dir, cfg, include_aux=include_aux)
     fp = _fp_table_single(world_dir)
     px = fp["cx"].to_numpy()
     py = fp["cy"].to_numpy()
@@ -335,6 +401,18 @@ def golden_block_overlap(world_dir: str,
         "area_m2": pa.array(barea),
         "overlap_pct": pa.array(overlap),
     })
+
+
+def golden_veg_dense_blocks(world_dir: str,
+                            cfg: DelineationConfig = DEFAULT,
+                            thr: float = 5.0) -> pa.Table:
+    """Blocks_red oracle: brute-force OVERLAP over the aux+road Blocker
+    output, strict > threshold selection (IB-Tool2.py:897-900).  The
+    registered query uses thr=5 — the synthetic world's footprint density
+    peaks near 17%, so the reference default 18 selects nothing."""
+    ov = golden_block_overlap(world_dir, cfg, include_aux=True)
+    keep = np.asarray(ov.column("overlap_pct"), dtype=np.float64) > thr
+    return ov.filter(pa.array(keep))
 
 
 def golden_global_overlap(world_dir: str,

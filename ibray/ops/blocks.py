@@ -37,10 +37,49 @@ MIN_BDG_COUNT = 20      # IB-Tool2.py:981 MinBdgCount
 FALLBACK_THRESHOLD = 18.0  # IB-Tool2_Config.txt:1 / IB-Tool2.py:981
 
 
+def segment_parts(x1: np.ndarray, y1: np.ndarray,
+                  x2: np.ndarray, y2: np.ndarray,
+                  cfg: DelineationConfig) -> tuple[np.ndarray, np.ndarray]:
+    """(segment row, coarse partition) routing pairs — SUPERSET-safe
+    spatial-intersect routing (clipping discards non-intersecting copies):
+    candidate partitions are the 1-rings of sample-point partitions taken
+    every inradius along the segment (a partition crossed on any chord has
+    a sample in itself or a neighbor), filtered by a circumradius-padded
+    bbox test.  Shared by the engine Blocker and the single-process golden
+    so conformance checks see identical block sets."""
+    n = len(x1)
+    if n == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    s_part = hg.edge_length_m(cfg.res_part)
+    r_in = np.sqrt(3.0) / 2.0 * s_part
+    seg_len = np.hypot(x2 - x1, y2 - y1)
+    n_samp = np.maximum(2, (seg_len / r_in).astype(np.int64) + 2)
+    seg_of = np.repeat(np.arange(n), n_samp)
+    cum = np.concatenate([[0], np.cumsum(n_samp)])
+    t = (np.arange(int(n_samp.sum())) - cum[seg_of]) / (n_samp[seg_of] - 1)
+    sx = x1[seg_of] + t * (x2 - x1)[seg_of]
+    sy = y1[seg_of] + t * (y2 - y1)[seg_of]
+    sp = hg.encode(sx, sy, cfg.res_part)
+    cand = hg.k_ring(sp, 1)                      # (n_samples, 7)
+    ccx, ccy = hg.cell_center(cand.ravel())
+    ccx = ccx.reshape(cand.shape)
+    ccy = ccy.reshape(cand.shape)
+    so = seg_of[:, None]
+    keep = (ccx >= (np.minimum(x1, x2)[so[:, 0]] - s_part)[:, None]) & \
+           (ccx <= (np.maximum(x1, x2)[so[:, 0]] + s_part)[:, None]) & \
+           (ccy >= (np.minimum(y1, y2)[so[:, 0]] - s_part)[:, None]) & \
+           (ccy <= (np.maximum(y1, y2)[so[:, 0]] + s_part)[:, None])
+    keep |= cand == sp[:, None]                  # own part always routes
+    rows = np.repeat(seg_of, keep.sum(axis=1))
+    parts = cand[keep]
+    pairs = np.unique(np.column_stack([rows, parts]), axis=0)
+    return pairs[:, 0], pairs[:, 1]
+
+
 def road_segments_to_parts(batch: pa.Table, cfg: DelineationConfig) -> pa.Table:
     """Explode polylines to segments and emit one copy per coarse partition
-    either endpoint falls in (coarse cells are km-scale; road segments are
-    far shorter, so endpoint parts cover every partition the segment meets)."""
+    the segment can intersect (superset-safe sampled routing —
+    ``segment_parts``; the per-partition clip discards the spares)."""
     from ibray.ops.roads import _packed_lines
 
     xs, ys, offs = _packed_lines(batch)
@@ -49,18 +88,11 @@ def road_segments_to_parts(batch: pa.Table, cfg: DelineationConfig) -> pa.Table:
     valid[inner_ends[inner_ends < len(valid)]] = False
     v = np.nonzero(valid)[0] if len(valid) else np.empty(0, np.int64)
     x1, y1, x2, y2 = xs[v], ys[v], xs[v + 1], ys[v + 1]
-    p1 = hg.encode(x1, y1, cfg.res_part)
-    p2 = hg.encode(x2, y2, cfg.res_part)
-    same = p1 == p2
-    parts = np.concatenate([p1, p2[~same]])
-    sx1 = np.concatenate([x1, x1[~same]])
-    sy1 = np.concatenate([y1, y1[~same]])
-    sx2 = np.concatenate([x2, x2[~same]])
-    sy2 = np.concatenate([y2, y2[~same]])
+    rows, parts = segment_parts(x1, y1, x2, y2, cfg)
     return pa.table({
         "part_cell": pa.array(parts, type=pa.int64()),
-        "x1": pa.array(sx1), "y1": pa.array(sy1),
-        "x2": pa.array(sx2), "y2": pa.array(sy2),
+        "x1": pa.array(x1[rows]), "y1": pa.array(y1[rows]),
+        "x2": pa.array(x2[rows]), "y2": pa.array(y2[rows]),
     })
 
 
@@ -164,10 +196,20 @@ def _empty_blocks() -> pa.Table:
     })
 
 
-def blocks_dataset(world_dir: str, cfg: DelineationConfig = DEFAULT) -> rd.Dataset:
-    """The Blocker: roads → per-partition planar arrangement → block table."""
-    roads = rd.read_parquet(f"{world_dir}/roads.parquet", columns=["line"])
-    segs = roads.map_batches(lambda b: road_segments_to_parts(b, cfg),
+def blocks_dataset(world_dir: str, cfg: DelineationConfig = DEFAULT,
+                   include_aux: bool = False) -> rd.Dataset:
+    """The Blocker: line layers → per-partition planar arrangement → block
+    table.  ``include_aux`` merges the vegetation/land-use auxiliary lines
+    with the road net before blocking — the reference's AuxLayers_Line
+    pass (IB-Tool2.py:2311-2326, Blocks_Veg at :2464)."""
+    lines = rd.read_parquet(f"{world_dir}/roads.parquet", columns=["line"])
+    if include_aux:
+        from ibray import synth
+
+        synth.ensure_aux_for(world_dir)
+        lines = lines.union(rd.read_parquet(
+            f"{world_dir}/aux_lines.parquet", columns=["line"]))
+    segs = lines.map_batches(lambda b: road_segments_to_parts(b, cfg),
                              batch_format="pyarrow")
     return segs.groupby("part_cell").map_groups(
         lambda g: polygonize_part(g, cfg), batch_format="pyarrow")
@@ -352,6 +394,22 @@ def block_overlap(world_dir: str, fp: rd.Dataset,
                    ("area_m2", pa.float64()),
                    ("overlap_pct", pa.float64())]))
     return out.sort_by("block_id")
+
+
+def dense_blocks(world_dir: str, fp: rd.Dataset,
+                 cfg: DelineationConfig = DEFAULT,
+                 thr: float = FALLBACK_THRESHOLD) -> pa.Table:
+    """Blocks_red — the dense-block pre-extraction branch
+    (IB-Tool2.py:2464-2482): Blocker runs over the MERGED aux+road line
+    layer (Blocks_Veg), FootprintDensity computes per-block OVERLAP, and
+    blocks with OVERLAP strictly above MinOverlapBlocks (config line 1,
+    default 18) are extracted as settled areas.  Same distributed
+    co-shuffled probe as block_overlap; only the (small) dense subset —
+    the output contract — reaches the driver."""
+    blocks_ds = blocks_dataset(world_dir, cfg, include_aux=True).materialize()
+    ov = block_overlap(world_dir, fp, cfg, blocks_ds=blocks_ds)
+    keep = np.asarray(ov.column("overlap_pct"), dtype=np.float64) > thr
+    return ov.filter(pa.array(keep))
 
 
 def global_overlap_threshold(world_dir: str, fp: rd.Dataset,

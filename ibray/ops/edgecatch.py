@@ -243,8 +243,15 @@ def refined_settlements(settlements: pa.Table, blocks: pa.Table,
     """Road-refined settlement polygons: per GapFix-merged group, the exact
     UNION of the member settlements and their snapped blocks (overlay
     regions where membership is ANY), computed per group in parallel.
-    Merged groups are disjoint (two groups sharing a snapped block would
-    have merged), so the result is a valid polygon partition for PIP.
+    Groups never share a snapped block (they would have merged), but a
+    snapped block CAN spatially overlap another group's settlement without
+    containing one of its footprint centroids, so refined polygons may
+    overlap on rare corner cases.  CONTRACT: when a probe point falls in
+    several refined polygons, the LEXICOGRAPHICALLY LAST merged id wins —
+    refined_assignments sorts the polygons by id before packing and the
+    CSR probe overwrites in index order, matching the golden oracle's
+    sorted-gid overwrite loop exactly (golden_extra.py
+    golden_refined_assignments).
 
     Returns (settlement_id=merged id, area_m2, boundary, cover_cells).
     """
@@ -358,11 +365,14 @@ def refined_assignments(fp: rd.Dataset, refined: pa.Table,
                         cfg: DelineationConfig = DEFAULT) -> rd.Dataset:
     """PIP back-assignment against the road-refined polygons — footprints in
     annexed blocks now land in their settlement (the reference's post-
-    EdgeCatch delineation result)."""
+    EdgeCatch delineation result).  Polygons are packed in ascending-id
+    order so overlap ties resolve deterministically (last id wins — the
+    refined_settlements contract)."""
     import ray
 
     from ibray.ops.pip import PIPAssigner, pack_settlement_shards
 
+    refined = refined.sort_by("settlement_id")
     shard_refs = {p: ray.put(v) for p, v in
                   pack_settlement_shards(refined, cfg).items()}
     return fp.select_columns(

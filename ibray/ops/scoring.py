@@ -128,25 +128,13 @@ def score_boundaries(computed_cells: np.ndarray, expert_cells: np.ndarray,
 LANDUSE_CLASSES = ["industrial", "residential", "mixed", "open"]
 
 
-def landuse_of(cells: np.ndarray, res: int = 9) -> np.ndarray:
-    """Deterministic synthetic land-use class per mid-res zone cell (the
-    analog of the reference's AX_* land-use table,
-    Error_Classification.py:305-372/468-528 — the synthetic world carries
-    no land-use layer, so zones derive from a Knuth hash of the zone cell;
-    identical on engine and oracle by construction)."""
-    from ibray import hexgrid as hg
-
-    zone = hg.parent(np.asarray(cells, dtype=np.int64), res)
-    h = (zone.astype(np.uint64) * np.uint64(2654435761)) >> np.uint64(16)
-    return (h % np.uint64(4)).astype(np.int64)
-
-
 def classify_patches(computed_cells: np.ndarray, expert_cells: np.ndarray,
                      fp_cell_counts: tuple[np.ndarray, np.ndarray],
                      cfg: DelineationConfig,
                      dense_thr: float = 0.18,
                      min_patch_m2: float = 250.0,
-                     class_area_m2: float = 10_000.0) -> pa.Table:
+                     class_area_m2: float = 10_000.0,
+                     landuse=None) -> pa.Table:
     """The full Error_Classification cascade analog
     (Error_Classification.py:585-755): symmetric-difference patches are
     consumed class by class —
@@ -159,8 +147,21 @@ def classify_patches(computed_cells: np.ndarray, expert_cells: np.ndarray,
       holes     neg patch entirely enclosed by computed cells, sparse
                 (Class_Holes)
       then the density bands (pos/neg × dense/sparse) and 'small'.
+
+    ``landuse`` is the cells→class-int callable backed by the world's REAL
+    zone-polygon table (ops/landuse.landuse_lookup — the AX_* spatial-join
+    analog, Error_Classification.py:305-372/468-528); it is required
+    whenever the cascade classes are wanted (None raises on first use).
     """
     from ibray import hexgrid as hg
+
+    if landuse is None:
+        from ibray.ops.landuse import landuse_lookup  # noqa: F401 — doc only
+
+        raise ValueError(
+            "classify_patches needs the land-use lookup "
+            "(ops/landuse.landuse_lookup(world_dir)) — the cascade keys "
+            "off the world's real zone-polygon table")
 
     computed_cells = np.unique(np.asarray(computed_cells, dtype=np.int64))
     expert_cells = np.unique(np.asarray(expert_cells, dtype=np.int64))
@@ -202,7 +203,7 @@ def classify_patches(computed_cells: np.ndarray, expert_cells: np.ndarray,
             if area < min_patch_m2:
                 cls = "small"
             else:
-                lu = landuse_of(patch)
+                lu = landuse(patch)
                 maj = int(np.bincount(lu, minlength=4).argmax())
                 # settbody: the patch IS a whole component of its own side
                 i0 = np.searchsorted(own_cells, patch[0])

@@ -179,10 +179,22 @@ def delineate(world_dir: str, cfg: DelineationConfig = DEFAULT,
 
     import ray
 
+    from ibray.log import RunLog
+
     _prof = bool(_os.environ.get("IBRAY_PROFILE"))
     _t_start = _time.time()
+    run_log = RunLog()
+    run_log.debug("delineate", f"start world={world_dir}")
+    # M11 Starter validation: metadata-only layer/schema gate before any
+    # distributed work (fail in milliseconds, not after a cluster read)
+    from ibray import sources as _sources
+
+    _sources.validate_world(world_dir,
+                            require_aux=False)
 
     def _mark(name: str):
+        run_log.debug(name, "stage complete",
+                      metric=_time.time() - _t_start)
         if _prof:
             print(f"[ibray-profile] {name}: {_time.time() - _t_start:.1f}s",
                   file=_sys.stderr, flush=True)
@@ -272,12 +284,15 @@ def delineate(world_dir: str, cfg: DelineationConfig = DEFAULT,
         if strategy == "broadcast":
             import pyarrow.compute as pc
 
-            idx = _concat_refs(label_index, pa.schema(
+            # sort DISTRIBUTED (range shuffle); the driver then only
+            # concatenates already-ordered blocks — no serial argsort over
+            # the whole index (the argsort was the flat piece of this
+            # phase in the 8-vs-32 profile)
+            idx = _concat_refs(label_index.sort("cell_fine"), pa.schema(
                 [("cell_fine", pa.int64()), ("label", pa.int64())]))
             labs = np.asarray(idx.column("label"), dtype=np.int64)
             cells_i = np.asarray(idx.column("cell_fine"), dtype=np.int64)
-            o = np.argsort(cells_i)
-            idx_ref = ray.put((cells_i[o], labs[o]))
+            idx_ref = ray.put((cells_i, labs))
 
             def _assign(b: pa.Table) -> pa.Table:
                 import pyarrow.compute as pc
@@ -368,6 +383,10 @@ def delineate(world_dir: str, cfg: DelineationConfig = DEFAULT,
         tiles = ck.write_dataset(tiles, "tiles")
     elif ck:
         tiles = ck.read_dataset("tiles")
+    run_log.info("delineate", "run complete",
+                 metric=_time.time() - _t_start)
+    if ck:
+        run_log.flush(out_dir)  # S6 log sink: structured per-stage rows
     return {
         "settlements": settlements,
         "base_settlements": base_settlements,

@@ -58,6 +58,52 @@ def check_documents_schema(schema: pa.Schema) -> None:
                 f"documents: span field '{name}' must be {want}, got {have[name]}")
 
 
+LINE_TYPE = pa.list_(pa.struct([("x", pa.float64()), ("y", pa.float64())]))
+
+
+def validate_world(world_dir: str, require_roads: bool = True,
+                   require_aux: bool = False) -> dict:
+    """Starter input validation (M11 — the reference's Starter checks the
+    config plus every input layer before partition work begins,
+    IB-Tool2.py:266-340): verify the world directory carries the documents
+    corpus (schema-gated), the road layer (line column of the right type),
+    and optionally the aux land-use layers.  Metadata-only — no data scan.
+    Returns {layer: row_count}; raises SchemaError on anything missing."""
+    import pyarrow.parquet as pq
+
+    report: dict[str, int] = {}
+    docs = os.path.join(world_dir, "documents")
+    if not (os.path.isdir(docs) or os.path.exists(docs + ".parquet")):
+        raise SchemaError(f"world {world_dir}: missing documents table")
+    d = docs if os.path.isdir(docs) else docs + ".parquet"
+    if os.path.isdir(d):
+        parts = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        if not parts:
+            raise SchemaError(f"world {world_dir}: documents dir is empty")
+        check_documents_schema(pq.read_schema(os.path.join(d, sorted(parts)[0])))
+        report["documents"] = -1  # per-file metadata only; count not summed
+    else:
+        meta = pq.read_metadata(d)
+        check_documents_schema(pq.read_schema(d))
+        report["documents"] = meta.num_rows
+    roads = os.path.join(world_dir, "roads.parquet")
+    if require_roads:
+        if not os.path.exists(roads):
+            raise SchemaError(f"world {world_dir}: missing roads.parquet")
+        rs = pq.read_schema(roads)
+        if "line" not in rs.names or rs.field("line").type != LINE_TYPE:
+            raise SchemaError(
+                f"world {world_dir}: roads 'line' must be {LINE_TYPE}")
+        report["roads"] = pq.read_metadata(roads).num_rows
+    for name, needed in (("landuse", require_aux), ("aux_lines", require_aux)):
+        p = os.path.join(world_dir, f"{name}.parquet")
+        if os.path.exists(p):
+            report[name] = pq.read_metadata(p).num_rows
+        elif needed:
+            raise SchemaError(f"world {world_dir}: missing {name}.parquet")
+    return report
+
+
 def is_lance_dataset(path: str) -> bool:
     return path.endswith(".lance") or os.path.isdir(os.path.join(path, "_versions"))
 

@@ -30,6 +30,19 @@ def test_polygonize_ignores_dangles():
     assert abs(arrange.region_area(faces[0]) - 100.0) < 1e-6  # spur cancels
 
 
+def test_polygonize_collinear_overlap():
+    from ibray import arrange
+
+    # unit square whose bottom edge is covered by TWO collinear offset
+    # segments (overlapping [2,10] twice): the arrangement must cut them
+    # at each other's endpoints and dedupe, not corrupt face traversal
+    segs = np.array([[0, 0, 10, 0], [2, 0, 12, 0],
+                     [10, 0, 10, 10], [10, 10, 0, 10], [0, 10, 0, 0]], float)
+    faces = arrange.polygonize_segments(segs)
+    assert len(faces) == 1
+    assert abs(arrange.region_area(faces[0]) - 100.0) < 1e-6
+
+
 def test_clip_segments_convex():
     from ibray import arrange
 
