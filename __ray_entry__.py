@@ -544,6 +544,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from ibray.ops import ann as A
     from ibray.ops import dedup as D
     from ibray.ops import relational as R
+    from ibray.ops import stream as ST
     from ibray.ops import text as T
 
     return {
@@ -592,6 +593,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_stats": _q_event_stats,
         "user_cumulative_value": _q_user_cum,
         "union_high_value_keys": R.union_high_value_keys,
+        # event-time windowed / streaming-style ops (pure SQL oracles)
+        "tumbling_window_stats": ST.tumbling_window_stats,
+        "session_stats": ST.session_stats,
+        "late_events": ST.late_events,
         # text analysis / dedup / similarity (training-data ops)
         "token_counts": T.token_counts,
         "quality_scores": T.quality_scores,
@@ -935,6 +940,49 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL
                 SELECT l_orderkey AS o_orderkey FROM lineitem WHERE l_quantity > 45.0
             ) GROUP BY o_orderkey
+        """,
+        # event-time windows / sessionization / watermark (all-integer
+        # outputs, so the hash check needs no scaling)
+        "tumbling_window_stats": """
+            SELECT epoch_us(ts) // 3600000000 * 3600 AS window_start_s,
+                   event_type, COUNT(*) AS n_events,
+                   SUM(CAST(ROUND(value * 100) AS BIGINT)) AS value_cents
+            FROM events GROUP BY 1, 2
+        """,
+        "session_stats": """
+            WITH o AS (
+              SELECT user_id, event_id, epoch_us(ts) AS us,
+                     CAST(ROUND(value * 100) AS BIGINT) AS cents,
+                     CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                          OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                             > 1800000000
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+              SELECT user_id, us, cents,
+                     SUM(new_s) OVER (PARTITION BY user_id
+                         ORDER BY us, event_id
+                         ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+              FROM o
+            )
+            SELECT user_id, session_idx, COUNT(*) AS n_events,
+                   MIN(us) AS start_us, SUM(cents) AS value_cents
+            FROM s GROUP BY user_id, session_idx
+        """,
+        "late_events": """
+            WITH r AS (
+              SELECT event_id, user_id, epoch_us(ts) AS us,
+                     MAX(epoch_us(ts)) OVER (
+                         ORDER BY (event_id * 2654435761) % 4294967296,
+                                  event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                         AS before_max
+              FROM events
+            )
+            SELECT event_id, user_id, us,
+                   (before_max - us) // 1000000 AS behind_s
+            FROM r WHERE us < before_max - 600000000
         """,
         # ------------- text / dedup / similarity --------------------------
         "token_counts": """

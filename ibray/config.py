@@ -44,11 +44,16 @@ class DelineationConfig:
     # cells (~3.2 GB of packed index at the cap — one copy per node via
     # plasma, a per-actor sorted view on the heap)
     pip_broadcast_max_cells: int = 200_000_000
-    # fold the road-refinement second half (EdgeCatch block annexation +
-    # GapFix merge + re-assignment) into delineate(), as the reference's
-    # main loop does (IB-Tool2.py:2505-2516); off by default so the base
-    # morphology result stays directly addressable
+    # fold the road-refinement second half (dense veg-block pre-extraction
+    # + EdgeCatch block annexation + GapFix merge + re-assignment) into
+    # delineate(), as the reference's main loop does
+    # (IB-Tool2.py:2464-2516); off by default so the base morphology
+    # result stays directly addressable
     refine_with_roads: bool = False
+    # Blocks_red selection threshold (reference MinOverlapBlocks,
+    # IB-Tool2_Config.txt:1 default 18); the synthetic world's footprint
+    # density peaks near 17%, so the default here is scaled to 5
+    veg_dense_thr: float = 5.0
 
     @property
     def cluster_gap(self) -> int:

@@ -685,7 +685,8 @@ def _blocks_table_single(world_dir: str,
 
 def golden_refined_assignments(world_dir: str,
                                cfg: DelineationConfig = DEFAULT,
-                               res_a: dict | None = None):
+                               res_a: dict | None = None,
+                               include_veg: bool = True):
     """Road-refined delineation oracle: golden EdgeCatch pairs/merges, the
     same per-group exact union (shared overlay kernel, plain loop), then
     brute-force PIP of every footprint.  Returns (refined_table,
@@ -738,6 +739,21 @@ def golden_refined_assignments(world_dir: str,
                 for b in sorted(blocks_of.get(gid, set()))]
         cover = np.unique(np.concatenate(cov)) if cov else np.zeros(0, np.int64)
         out_rows.append((gid, area, rings, cover))
+    # dense veg-block pre-extraction (Blocks_red): dense aux+road blocks
+    # join the refined set as their own polygons, ids 'v'+block_id —
+    # ascending AFTER every 's' group, so the overwrite loop below gives
+    # them the overlap-tie win (the engine's refined_settlements contract)
+    from ibray.ops.blocks import block_cover
+
+    if include_veg:
+        dense_ids = set(np.asarray(golden_veg_dense_blocks(
+            world_dir, cfg, thr=cfg.veg_dense_thr).column("block_id")).tolist())
+        veg_blocks = _blocks_single(world_dir, cfg, include_aux=True)
+        for bid, _part, v_area, region in sorted(veg_blocks,
+                                                 key=lambda r: r[0]):
+            if bid in dense_ids:
+                out_rows.append(("v" + bid, v_area, region,
+                                 block_cover(region, cfg)))
     cov_counts = np.array([len(r[3]) for r in out_rows], dtype=np.int64)
     cover_col = pa.ListArray.from_arrays(
         pa.array(np.concatenate([[0], np.cumsum(cov_counts)]), type=pa.int32()),

@@ -412,6 +412,42 @@ def dense_blocks(world_dir: str, fp: rd.Dataset,
     return ov.filter(pa.array(keep))
 
 
+def dense_block_polygons(world_dir: str, fp: rd.Dataset,
+                         cfg: DelineationConfig = DEFAULT,
+                         thr: float | None = None) -> pa.Table:
+    """Blocks_red WITH geometry: (block_id, area_m2, boundary,
+    cover_cells) of the dense aux+road blocks — the polygon payload the
+    refined pipeline merges into the settlement set
+    (IB-Tool2.py:2482, 2505-2511: Blocks_red merged into Feat_Merge and
+    Inner_Areas).  Only the dense subset (the pre-extraction contract)
+    reaches the driver; the overlap scan itself is the distributed
+    co-shuffled probe."""
+    if thr is None:
+        thr = cfg.veg_dense_thr
+    from ibray import pipeline
+
+    blocks_ds = blocks_dataset(world_dir, cfg, include_aux=True).materialize()
+    ov = block_overlap(world_dir, fp, cfg, blocks_ds=blocks_ds)
+    keep = np.asarray(ov.column("overlap_pct"), dtype=np.float64) > thr
+    dense_ids = np.sort(np.asarray(ov.column("block_id"))[keep])
+
+    def _filt(b: pa.Table) -> pa.Table:
+        bid = np.asarray(b.column("block_id"))
+        pos = np.clip(np.searchsorted(dense_ids, bid), 0,
+                      max(len(dense_ids) - 1, 0))
+        hit = (dense_ids[pos] == bid) if len(dense_ids) else \
+            np.zeros(len(bid), bool)
+        return b.filter(pa.array(hit)).select(
+            ["block_id", "area_m2", "boundary", "cover_cells"])
+
+    out = pipeline._concat_refs(
+        blocks_ds.map_batches(_filt, batch_format="pyarrow"),
+        pa.schema([("block_id", pa.string()), ("area_m2", pa.float64()),
+                   ("boundary", _empty_blocks().schema.field("boundary").type),
+                   ("cover_cells", pa.list_(pa.int64()))]))
+    return out.sort_by("block_id")
+
+
 def global_overlap_threshold(world_dir: str, fp: rd.Dataset,
                              cfg: DelineationConfig = DEFAULT) -> pa.Table:
     """CalcFootprintDensity (A4): mean OVERLAP over inner blocks.

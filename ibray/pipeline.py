@@ -368,6 +368,27 @@ def delineate(world_dir: str, cfg: DelineationConfig = DEFAULT,
                 fp_all, settlements, blocks, cfg)
             settlements = EC.refined_settlements(
                 base_settlements, blocks, merges, snapped, cfg)
+            # dense veg-block pre-extraction (Blocks_red,
+            # IB-Tool2.py:2464-2482): dense blocks of the aux+road
+            # Blocker join the settlement set as their own polygons
+            # (id 'v'+block_id — sorted AFTER the merged groups, so by
+            # the overlap-tie contract a footprint inside a dense block
+            # lands in the block, matching the reference's pre-delete of
+            # Blocks_red footprints from the MST path)
+            veg = B.dense_block_polygons(world_dir, fp_all, cfg)
+            if veg.num_rows:
+                import pyarrow.compute as _pc
+
+                veg_rows = pa.table({
+                    "settlement_id": _pc.binary_join_element_wise(
+                        pa.array(["v"] * veg.num_rows),
+                        veg.column("block_id"), ""),
+                    "area_m2": veg.column("area_m2"),
+                    "boundary": veg.column("boundary"),
+                    "cover_cells": veg.column("cover_cells"),
+                })
+                settlements = pa.concat_tables(
+                    [settlements, veg_rows]).combine_chunks()
             if ck:
                 ck.write_table(settlements, "refined_settlements")
         if ck and ck.has("refined_assignments"):

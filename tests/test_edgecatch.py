@@ -46,7 +46,9 @@ def test_refined_assignments_match_golden(ray_session, world):
     rs = EC.refined_settlements(settlements, blocks, merges, snapped)
     ra = EC.refined_assignments(fp, rs).to_pandas().sort_values(
         "footprint_id").reset_index(drop=True)
-    g_rs, g_ra = GX.golden_refined_assignments(world)
+    # op-level parity WITHOUT the veg pre-extraction fold (that layer is
+    # exercised by the pipeline-level conformance tests)
+    g_rs, g_ra = GX.golden_refined_assignments(world, include_veg=False)
     g_ra = g_ra.to_pandas().sort_values("footprint_id").reset_index(drop=True)
     assert ra.equals(g_ra)
     # the refined polygons annex road blocks: assignments can only gain
@@ -54,3 +56,30 @@ def test_refined_assignments_match_golden(ray_session, world):
     n_base = (base["settlement_id"] != "").sum()
     n_ref = (ra["settlement_id"] != "").sum()
     assert n_ref >= n_base
+
+
+def test_flagship_refined_with_veg_matches_golden(ray_session, world):
+    """Pipeline-level parity INCLUDING the dense veg-block pre-extraction
+    (Blocks_red) fold: delineate(refine_with_roads=True) == golden."""
+    import dataclasses
+
+    from ibray import golden_extra as GX
+    from ibray import pipeline
+    from ibray.config import DEFAULT
+
+    cfg = dataclasses.replace(DEFAULT, refine_with_roads=True)
+    res = pipeline.delineate(world, cfg)
+    st = res["settlements"]
+    sids = st.column("settlement_id").to_pylist()
+    assert any(s.startswith("v") for s in sids)  # veg blocks folded in
+    g_rs, g_ra = GX.golden_refined_assignments(world)
+    eng = st.select(["settlement_id", "area_m2"]).to_pandas() \
+        .sort_values("settlement_id").reset_index(drop=True)
+    gold = g_rs.select(["settlement_id", "area_m2"]).to_pandas() \
+        .sort_values("settlement_id").reset_index(drop=True)
+    assert eng.equals(gold)
+    ra = res["assignments"].to_pandas().sort_values(
+        "footprint_id").reset_index(drop=True)
+    gra = g_ra.to_pandas().sort_values("footprint_id").reset_index(drop=True)
+    assert ra[["footprint_id", "settlement_id"]].equals(
+        gra[["footprint_id", "settlement_id"]])
