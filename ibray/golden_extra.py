@@ -1058,7 +1058,11 @@ def _ivf_centroids_single(emb: pd.DataFrame, n_cent: int = 16,
     return cent
 
 
-def golden_ivf_assign(emb: pd.DataFrame, n_cent: int = 16) -> pa.Table:
+def golden_ivf_assign(emb: pd.DataFrame, n_cent: int | None = None) -> pa.Table:
+    from ibray.ops.ann import scaled_n_cent
+
+    if n_cent is None:
+        n_cent = scaled_n_cent(len(emb))
     cent = _ivf_centroids_single(emb, n_cent)
     vecs = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
     d = ((vecs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
@@ -1068,8 +1072,13 @@ def golden_ivf_assign(emb: pd.DataFrame, n_cent: int = 16) -> pa.Table:
     })
 
 
-def golden_ivf_topk(emb: pd.DataFrame, n_cent: int = 16, nprobe: int = 4,
+def golden_ivf_topk(emb: pd.DataFrame, n_cent: int | None = None,
+                    nprobe: int = 4,
                     n_queries: int = 5, top_k: int = 10) -> pa.Table:
+    from ibray.ops.ann import scaled_n_cent
+
+    if n_cent is None:
+        n_cent = scaled_n_cent(len(emb))
     cent = _ivf_centroids_single(emb, n_cent)
     vecs = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
     vids = emb["vec_id"].to_numpy(dtype=np.int64)
@@ -1098,7 +1107,7 @@ def golden_ivf_topk(emb: pd.DataFrame, n_cent: int = 16, nprobe: int = 4,
 
 # -------------------------------------------------------------- driver dir -
 
-DRIVER_GOLDEN_V = 3
+DRIVER_GOLDEN_V = 4
 
 
 def driver_golden_dir(sf_dir: str, base: str = "/tmp/ibray_golden_driver") -> str:

@@ -82,11 +82,15 @@ def _train_centroids(sf_dir: str, n_cent: int = 16, iters: int = 5) -> np.ndarra
     return cent
 
 
-def ivf_assign(sf_dir: str, n_cent: int = 16) -> rd.Dataset:
+def ivf_assign(sf_dir: str, n_cent: int | None = None) -> rd.Dataset:
     """Assign every vector to its nearest coarse centroid (the IVF bucketing
-    map_batches; at scale the buckets become the shuffle/partition key)."""
+    map_batches; at scale the buckets become the shuffle/partition key).
+    ``n_cent`` defaults to the sqrt-N rule (scaled_n_cent) so bucket size
+    stays ~sqrt(N) as the corpus grows."""
     import ray
 
+    if n_cent is None:
+        n_cent = scaled_n_cent(_emb(sf_dir).count())
     cent = _train_centroids(sf_dir, n_cent)
     ref = ray.put(cent)
 
@@ -107,12 +111,14 @@ def _ivf_index_dir(sf_dir: str, n_cent: int) -> str:
     return f"/tmp/ibray_ivf/{tag}_c{n_cent}"
 
 
-def ivf_build(sf_dir: str, n_cent: int = 16) -> str:
+def ivf_build(sf_dir: str, n_cent: int | None = None) -> str:
     """Materialize the bucket-partitioned layout: embeddings written as
     parquet partitioned by centroid id, so a probe reads only its buckets.
-    Idempotent (cached per sf_dir)."""
+    Idempotent (cached per sf_dir).  ``n_cent`` defaults to the sqrt-N rule."""
     import ray
 
+    if n_cent is None:
+        n_cent = scaled_n_cent(_emb(sf_dir).count())
     out = _ivf_index_dir(sf_dir, n_cent)
     if os.path.exists(os.path.join(out, "_done")):
         return out
@@ -134,10 +140,13 @@ def ivf_build(sf_dir: str, n_cent: int = 16) -> str:
     return out
 
 
-def ivf_topk(sf_dir: str, n_cent: int = 16, nprobe: int = 4) -> pa.Table:
+def ivf_topk(sf_dir: str, n_cent: int | None = None,
+             nprobe: int = 4) -> pa.Table:
     """IVF-pruned cosine top-k: reads ONLY the nprobe closest buckets per
     query from the partitioned layout (approximate; recall vs brute force is
     checked in tests)."""
+    if n_cent is None:
+        n_cent = scaled_n_cent(_emb(sf_dir).count())
     idx_dir = ivf_build(sf_dir, n_cent)
     cent = np.load(os.path.join(idx_dir, "centroids.npy"))
     qids, q = _query_matrix(sf_dir)

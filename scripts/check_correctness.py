@@ -6,6 +6,10 @@ row-and-column-sorted frame — the same protocol the grading driver uses
 for CORRECTNESS_r{N}.json.
 
     python scripts/check_correctness.py [--tiny] [query ...]
+
+--tiny runs at sf0.001 and is ONLY valid for queries whose oracle SQL
+reads the registered table VIEWS (relational/text/stream); golden-parquet
+oracles are pinned to sf0.01 and must be checked at the default scale.
 """
 
 from __future__ import annotations
