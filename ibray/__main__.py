@@ -27,18 +27,59 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--closing-k", type=int, default=None)
     d.add_argument("--min-footprints", type=int, default=None)
     sub.add_parser("bench")
+    ing = sub.add_parser(
+        "ingest",
+        help="checkpoint the events table partitioned by event-time hour, "
+             "recording watermark/ingestion-lag metrics in the manifest "
+             "(resume reports the stored metrics without recomputation)")
+    ing.add_argument("--world", required=True,
+                     help="directory containing events.parquet")
+    ing.add_argument("--out", required=True)
+    ing.add_argument("--watermark-s", type=int, default=600)
     args = ap.parse_args(argv)
 
     import ray
 
+    started = False
     if not ray.is_initialized():
         ray.init(address="local", include_dashboard=False,
                  logging_level="ERROR")
+        started = True
     try:
         if args.cmd == "bench":
             import bench
 
             print(json.dumps(bench.run_bench()))
+            return 0
+        if args.cmd == "ingest":
+            import numpy as np
+            import pyarrow as pa
+            import ray.data as rd
+
+            from ibray.checkpoint import Checkpoint
+            from ibray.config import DEFAULT
+            from ibray.ops import stream as ST
+
+            ck = Checkpoint(args.out, DEFAULT, args.world)
+            if ck.has("events"):
+                meta = ck.manifest("events")
+                print(json.dumps({"resumed": True,
+                                  **meta.get("metrics", {})}))
+                return 0
+            wm = ST.watermark_summary(args.world, args.watermark_s)
+
+            def _hour(b: pa.Table) -> pa.Table:
+                us = np.asarray(b.column("ts").cast(pa.int64()),
+                                dtype=np.int64)
+                return b.append_column(
+                    "ingest_hour", pa.array(us // 3_600_000_000,
+                                            type=pa.int64()))
+
+            ds = rd.read_parquet(args.world + "/events.parquet") \
+                .map_batches(_hour, batch_format="pyarrow")
+            ck.write_dataset(ds, "events", partition_col="ingest_hour",
+                             extra=wm)
+            print(json.dumps({"resumed": False, **wm}))
             return 0
         from ibray.config import DEFAULT, DelineationConfig
         from ibray import pipeline
@@ -58,7 +99,8 @@ def main(argv: list[str] | None = None) -> int:
         }))
         return 0
     finally:
-        ray.shutdown()
+        if started:  # leave caller-owned sessions (tests, drivers) alone
+            ray.shutdown()
 
 
 if __name__ == "__main__":

@@ -161,17 +161,30 @@ def polygonize_segments(segs: np.ndarray) -> list[list[np.ndarray]]:
                                   - np.dot(np.roll(c[:, 0], -1), c[:, 1]))
                       for c in cycles])
     order = np.argsort(areas, kind="stable")
-    pts = [_interior_point(c) for c in cycles]
+    pts = np.array([_interior_point(c) for c in cycles])
     parent = np.full(len(cycles), -1, dtype=np.int64)
-    for pos, i in enumerate(order):
-        for j in order[pos + 1:]:
-            if areas[j] <= areas[i]:
-                continue
-            if bool(geom.points_in_ring(np.array([pts[i][0]]),
-                                        np.array([pts[i][1]]),
-                                        cycles[j][:, 0], cycles[j][:, 1])[0]):
-                parent[i] = j
-                break
+    # ascending-area scan: when cycle j comes up, every strictly-smaller
+    # cycle without a parent yet gets j if j contains its interior point —
+    # the FIRST containing cycle in ascending order is the smallest, so
+    # this is the same forest as the naive per-pair scan but with one
+    # vectorized bbox-filtered ring test per cycle instead of O(n^2) calls
+    for pos, j in enumerate(order):
+        prior = order[:pos]
+        cand = prior[(parent[prior] == -1) & (areas[prior] < areas[j])]
+        if not len(cand):
+            continue
+        cj = cycles[j]
+        x0, y0 = cj.min(axis=0)
+        x1, y1 = cj.max(axis=0)
+        p = pts[cand]
+        box = ((p[:, 0] >= x0) & (p[:, 0] <= x1) &
+               (p[:, 1] >= y0) & (p[:, 1] <= y1))
+        cand = cand[box]
+        if not len(cand):
+            continue
+        inside = geom.points_in_ring(pts[cand, 0], pts[cand, 1],
+                                     cj[:, 0], cj[:, 1])
+        parent[cand[inside]] = j
     regions: list[list[np.ndarray]] = []
     for i in range(len(cycles)):
         rings = [cycles[i]]
@@ -179,6 +192,64 @@ def polygonize_segments(segs: np.ndarray) -> list[list[np.ndarray]]:
             rings.append(cycles[c][::-1])  # hole, CW
         regions.append(rings)
     return regions
+
+
+def dissolve_faces(faces: list[list[np.ndarray]]) -> list[np.ndarray]:
+    """Union ring set of a DISJOINT face tiling (e.g. a kept subset of
+    ``polygonize_segments`` output): every internal edge is traversed twice
+    in opposite directions (outer-vs-outer or outer-vs-hole) and cancels;
+    surviving edges chain head-to-tail into the merged boundary rings.
+    Orientation is inherited (outers CCW, holes CW), so signed ring areas
+    and even-odd membership over the result stay valid.  Deterministic:
+    edges are walked in lexicographic order and junction ties pick the
+    lexicographically-smallest continuation."""
+    segs = []
+    for reg in faces:
+        for r in reg:
+            rr = np.asarray(r, dtype=np.float64)
+            if len(rr) > 1 and rr[0, 0] == rr[-1, 0] and rr[0, 1] == rr[-1, 1]:
+                rr = rr[:-1]
+            if len(rr) < 2:
+                continue
+            nxt = np.roll(rr, -1, axis=0)
+            segs.append(np.column_stack([rr, nxt]))
+    if not segs:
+        return []
+    e = np.concatenate(segs, axis=0)
+    key = e.copy()
+    flip = (key[:, 0] > key[:, 2]) | ((key[:, 0] == key[:, 2]) &
+                                      (key[:, 1] > key[:, 3]))
+    key[flip] = key[flip][:, [2, 3, 0, 1]]
+    _, inv, cnt = np.unique(key, axis=0, return_inverse=True,
+                            return_counts=True)
+    e = e[cnt[inv] == 1]
+    if not len(e):
+        return []
+    order = np.lexsort((e[:, 3], e[:, 2], e[:, 1], e[:, 0]))
+    e = e[order]
+    heads: dict[tuple[float, float], list[int]] = {}
+    for i in range(len(e)):
+        heads.setdefault((e[i, 0], e[i, 1]), []).append(i)
+    used = np.zeros(len(e), dtype=bool)
+    rings: list[np.ndarray] = []
+    for i in range(len(e)):
+        if used[i]:
+            continue
+        used[i] = True
+        pts = [e[i, :2]]
+        first = (e[i, 0], e[i, 1])
+        cur = (e[i, 2], e[i, 3])
+        while cur != first:
+            pts.append(np.asarray(cur))
+            nxt_i = next((j for j in heads.get(cur, ()) if not used[j]), None)
+            if nxt_i is None:  # open chain: invalid tiling — drop fragment
+                pts = None
+                break
+            used[nxt_i] = True
+            cur = (e[nxt_i, 2], e[nxt_i, 3])
+        if pts is not None and len(pts) >= 3:
+            rings.append(np.asarray(pts, dtype=np.float64))
+    return rings
 
 
 def _ccw_cycles(segs: np.ndarray) -> list[np.ndarray]:

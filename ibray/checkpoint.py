@@ -63,8 +63,12 @@ class Checkpoint:
 
     def write_dataset(self, ds: rd.Dataset, stage: str,
                       partition_col: str | None = None,
-                      wall_sec: float | None = None) -> rd.Dataset:
-        """Write a Dataset stage atomically; returns the re-read Dataset."""
+                      wall_sec: float | None = None,
+                      extra: dict | None = None) -> rd.Dataset:
+        """Write a Dataset stage atomically; returns the re-read Dataset.
+        ``extra`` lands in the manifest as ``metrics`` (e.g. the ingest
+        stage's watermark/lag summary), so a resumed run can report the
+        stage's metrics without recomputation."""
         final = self._dir(stage)
         tmp = final + ".tmp"
         shutil.rmtree(tmp, ignore_errors=True)
@@ -75,19 +79,21 @@ class Checkpoint:
             ds.write_parquet(tmp)
         rows = None  # avoid a second pass; recorded as -1 when unknown
         self._finish(stage, tmp, final, rows, wall_sec or (time.time() - t0),
-                     partition_col)
+                     partition_col, extra)
         return self.read_dataset(stage)
 
     def write_table(self, tbl: pa.Table, stage: str,
-                    wall_sec: float | None = None) -> None:
+                    wall_sec: float | None = None,
+                    extra: dict | None = None) -> None:
         final = self._dir(stage)
         tmp = final + ".tmp"
         shutil.rmtree(tmp, ignore_errors=True)
         os.makedirs(tmp, exist_ok=True)
         pq.write_table(tbl, os.path.join(tmp, "data.parquet"))
-        self._finish(stage, tmp, final, tbl.num_rows, wall_sec, None)
+        self._finish(stage, tmp, final, tbl.num_rows, wall_sec, None, extra)
 
-    def _finish(self, stage, tmp, final, rows, wall_sec, partition_col):
+    def _finish(self, stage, tmp, final, rows, wall_sec, partition_col,
+                extra: dict | None = None):
         manifest = {
             "stage": stage,
             "rows": rows if rows is not None else -1,
@@ -102,6 +108,8 @@ class Checkpoint:
             "written_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
             "code_version": CODE_VERSION,
         }
+        if extra:
+            manifest["metrics"] = extra
         with open(os.path.join(tmp, "_manifest.json"), "w") as f:
             json.dump(manifest, f, indent=1)
         shutil.rmtree(final, ignore_errors=True)

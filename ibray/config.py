@@ -50,6 +50,15 @@ class DelineationConfig:
     # (IB-Tool2.py:2464-2516); off by default so the base morphology
     # result stays directly addressable
     refine_with_roads: bool = False
+    # replace the hex-staircase settlement boundary with a true planar
+    # offset closing (ops/buffer.close_region: buffer +d/-d, ROUND joins,
+    # d = one fine-cell edge) — the reference's final boundaries come from
+    # real buffer geometry (IB-Tool2.py:1866-1882), the hex morphology only
+    # decides membership.  Assignment stays cell-exact either way (PIP is
+    # region-cell membership); this flag changes ONLY the boundary rings
+    # and the area_m2 computed from them.  Off by default: the smoothing
+    # runs one small arrangement per settlement inside polygonize.
+    exact_boundary_offset: bool = False
     # Blocks_red selection threshold (reference MinOverlapBlocks,
     # IB-Tool2_Config.txt:1 default 18); the synthetic world's footprint
     # density peaks near 17%, so the default here is scaled to 5

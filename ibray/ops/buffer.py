@@ -137,6 +137,149 @@ def _ring_area(ring: np.ndarray) -> float:
     return 0.5 * float(np.dot(x, np.roll(y, -1)) - np.dot(np.roll(x, -1), y))
 
 
+def _simplify_collinear(ring: np.ndarray) -> np.ndarray:
+    """Drop vertices interior to straight runs (relative-eps cross test).
+    Hex-cell union boundaries have only 3 edge directions, so long
+    staircase-free runs collapse to single edges before buffering."""
+    r = np.asarray(ring, dtype=np.float64)
+    if len(r) > 1 and r[0, 0] == r[-1, 0] and r[0, 1] == r[-1, 1]:
+        r = r[:-1]
+    if len(r) < 4:
+        return r
+    prv = np.roll(r, 1, axis=0)
+    nxt = np.roll(r, -1, axis=0)
+    ax, ay = r[:, 0] - prv[:, 0], r[:, 1] - prv[:, 1]
+    bx, by = nxt[:, 0] - r[:, 0], nxt[:, 1] - r[:, 1]
+    cross = ax * by - ay * bx
+    keep = np.abs(cross) > 1e-6 * np.hypot(ax, ay) * np.hypot(bx, by)
+    return r[keep] if keep.sum() >= 3 else r
+
+
+def _tube_pieces(rings: list[np.ndarray], d: float,
+                 quad_segs: int = DEFAULT_QUAD_SEGS) -> list[np.ndarray]:
+    """The sampled radius-``d`` tube of a ring set as CONVEX CCW pieces:
+    one width-2d rectangle per edge plus one arc sector per vertex on the
+    side where the adjacent offsets diverge (a full disk per vertex is
+    redundant — the converging side is covered by the overlapping rects).
+    The union of the pieces covers every point within d·cos(π/4q) of the
+    rings and nothing beyond distance d."""
+    out: list[np.ndarray] = []
+    for ring in rings:
+        r = np.asarray(ring, dtype=np.float64)
+        if len(r) > 1 and r[0, 0] == r[-1, 0] and r[0, 1] == r[-1, 1]:
+            r = r[:-1]
+        if not len(r):
+            continue
+        q = np.roll(r, -1, axis=0)
+        e = q - r
+        ln = np.hypot(e[:, 0], e[:, 1])
+        ok = ln > 1e-12
+        rr, qq, ee, ll = r[ok], q[ok], e[ok], ln[ok]
+        nrm = np.column_stack([ee[:, 1] / ll, -ee[:, 0] / ll])  # right normal
+        off = nrm * d
+        for i in range(len(rr)):
+            out.append(np.array([rr[i] + off[i], qq[i] + off[i],
+                                 qq[i] - off[i], rr[i] - off[i]]))
+        # per-vertex sector between the incoming and outgoing edge normals,
+        # on the diverging side (right of travel at a left turn, left at a
+        # right turn); the sector closes through the vertex itself
+        e_in = np.roll(ee / ll[:, None], 1, axis=0)
+        e_out = ee / ll[:, None]
+        turn = e_in[:, 0] * e_out[:, 1] - e_in[:, 1] * e_out[:, 0]
+        for i in np.nonzero(np.abs(turn) > 1e-9)[0]:
+            v = rr[i]
+            n_in = nrm[i - 1] if i else nrm[-1]
+            n_out = nrm[i]
+            if turn[i] > 0:      # left turn: right-side normals sweep CCW
+                a0 = np.arctan2(n_in[1], n_in[0])
+                a1 = np.arctan2(n_out[1], n_out[0])
+                p0, p1 = v + n_in * d, v + n_out * d
+            else:                # right turn: left-side normals sweep CCW
+                a0 = np.arctan2(-n_out[1], -n_out[0])
+                a1 = np.arctan2(-n_in[1], -n_in[0])
+                p0, p1 = v - n_out * d, v - n_in * d
+            arc = _arc_points(v[0], v[1], a0, a1, d, quad_segs)
+            out.append(np.concatenate([[v], [p0], arc, [p1]], axis=0))
+    return out
+
+
+def _pieces_segs(pieces: list[np.ndarray]) -> np.ndarray:
+    if not pieces:
+        return np.zeros((0, 4), dtype=np.float64)
+    return np.concatenate(
+        [np.column_stack([p, np.roll(p, -1, axis=0)]) for p in pieces],
+        axis=0)
+
+
+def _in_pieces(pts: np.ndarray, pieces: list[np.ndarray]) -> np.ndarray:
+    """Membership of points in a union of convex CCW polygons, vectorized
+    per piece with a bbox prefilter (boundary counts as inside)."""
+    res = np.zeros(len(pts), dtype=bool)
+    for poly in pieces:
+        todo = np.nonzero(~res)[0]
+        if not len(todo):
+            break
+        x0, y0 = poly.min(axis=0)
+        x1, y1 = poly.max(axis=0)
+        p = pts[todo]
+        box = ((p[:, 0] >= x0) & (p[:, 0] <= x1) &
+               (p[:, 1] >= y0) & (p[:, 1] <= y1))
+        todo = todo[box]
+        if not len(todo):
+            continue
+        q = np.roll(poly, -1, axis=0)
+        ex, ey = q[:, 0] - poly[:, 0], q[:, 1] - poly[:, 1]
+        px = pts[todo, 0][:, None]
+        py = pts[todo, 1][:, None]
+        cr = (ex[None, :] * (py - poly[None, :, 1])
+              - ey[None, :] * (px - poly[None, :, 0]))
+        res[todo] |= (cr >= -1e-9).all(axis=1)
+    return res
+
+
+def close_region(rings: list[np.ndarray], d: float,
+                 quad_segs: int = DEFAULT_QUAD_SEGS) -> list[np.ndarray]:
+    """Morphological closing (buffer +d, then -d; ROUND joins) of an
+    even-odd region — the exact-offset analog of the reference's
+    double-buffer GapClose (IB-Tool2.py:1866-1882): concavities narrower
+    than ~2d fill, hex staircases smooth to sampled arcs, convex shapes
+    return unchanged.
+
+    Both passes overlay the region's rings with its sampled boundary tube
+    (``_tube_pieces``: edge rectangles + vertex arc sectors) and classify
+    each arrangement face EXACTLY against that sampled geometry:
+    ``inside ∪ in_tube`` dilates, ``inside ∩ ¬in_tube`` erodes.  Because
+    classification matches the tube polygons (convex-piece membership,
+    not a distance threshold), every face is consistently in or out and
+    the result's boundary is a clean offset curve.  The sampled tube lies
+    between the inscribed (d·cos(π/4q)) and true (d) disks, so each pass
+    carries a one-sided radial error ≤ d·(1−cos(π/4q)) (~0.5% of d at
+    q=8); in particular closing ⊇ input only up to that band.  Returns
+    the closed region's MERGED rings (outers CCW, holes CW; even-odd)."""
+    from ibray import arrange, geom
+
+    rings = [x for x in (_simplify_collinear(r) for r in rings)
+             if len(x) >= 3]
+    if not rings:
+        return []
+
+    def _pass(cur: list[np.ndarray], dilating: bool) -> list[np.ndarray]:
+        pieces = _tube_pieces(cur, d, quad_segs)
+        segs = np.concatenate([arrange._ring_segs(cur),
+                               _pieces_segs(pieces)], axis=0)
+        faces = arrange.polygonize_segments(segs)
+        if not faces:
+            return cur
+        pts = np.array([arrange.region_interior_point(f) for f in faces])
+        inside = geom.points_in_polygon(pts[:, 0], pts[:, 1], cur)
+        in_tube = _in_pieces(pts, pieces)
+        keep = (inside | in_tube) if dilating else (inside & ~in_tube)
+        return arrange.dissolve_faces(
+            [f for f, k in zip(faces, keep) if k])
+
+    return _pass(_pass(rings, True), False)
+
+
 def rect_buffer_batch(b: pa.Table, dist: float,
                       quad_segs: int = DEFAULT_QUAD_SEGS) -> pa.Table:
     """Per footprint: min-area rect of its ring -> FULL/ROUND buffer ->

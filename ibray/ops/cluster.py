@@ -349,6 +349,18 @@ def polygonize_cells(cells: np.ndarray, cfg: DelineationConfig,
             continue  # HoleClose: small interior hole absorbed
         area += a
         kept.append(np.asarray(ring, dtype=np.float64))
+    if cfg.exact_boundary_offset and kept:
+        # fidelity option: smooth the hex staircase with a true planar
+        # offset closing (ops/buffer.close_region).  Membership (region
+        # cells, PIP, labels) is decided BEFORE this step and unchanged.
+        from ibray.ops import buffer as B
+
+        smoothed = B.close_region(kept, hg.edge_length_m(cfg.res_fine))
+        if smoothed:
+            kept = smoothed
+            area = sum(float(geom.ring_area(
+                r[:, 0], r[:, 1], np.array([0, len(r)]))[0])
+                for r in smoothed)
     # PIP candidate cover: every point inside the polygon lies in a closed
     # fine cell, whose mid-res parent is within 1 mid-res ring of the point's
     # own mid-res cell — so parents ∪ their 1-ring is a sound cover

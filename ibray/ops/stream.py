@@ -145,3 +145,51 @@ def late_events(sf_dir: str, watermark_s: int = WATERMARK_S) -> rd.Dataset:
         return out
 
     return bucketed.groupby("bucket").map_groups(_scan, batch_format="pandas")
+
+
+def watermark_summary(sf_dir: str, watermark_s: int = WATERMARK_S) -> dict:
+    """Ingestion-lag metrics for the event stream (the S6/S7 manifest
+    metric of the ``ingest`` CLI stage): total events, max event time,
+    late-event count and worst lag vs the arrival-order watermark
+    (``late_events`` semantics).  Everything reduces from per-batch
+    partials / the distributed late scan — no driver-side event loop."""
+    from ibray import pipeline
+
+    ds = _events(sf_dir, ["ts"])
+
+    def _p(b: pa.Table) -> pa.Table:
+        us = np.asarray(b.column("ts").cast(pa.int64()), dtype=np.int64)
+        return pa.table({
+            "n": pa.array([len(us)], type=pa.int64()),
+            "max_us": pa.array([int(us.max()) if len(us) else -1],
+                               type=pa.int64()),
+        })
+
+    part = pipeline._concat_refs(
+        ds.map_batches(_p, batch_format="pyarrow"),
+        pa.schema([("n", pa.int64()), ("max_us", pa.int64())]))
+    n = int(np.asarray(part.column("n")).sum()) if part.num_rows else 0
+    max_us = (int(np.asarray(part.column("max_us")).max())
+              if part.num_rows else -1)
+
+    def _lp(b: pa.Table) -> pa.Table:
+        behind = np.asarray(b.column("behind_s"), dtype=np.int64)
+        return pa.table({
+            "n": pa.array([len(behind)], type=pa.int64()),
+            "worst": pa.array([int(behind.max()) if len(behind) else 0],
+                              type=pa.int64()),
+        })
+
+    lt = pipeline._concat_refs(
+        late_events(sf_dir, watermark_s).map_batches(
+            _lp, batch_format="pyarrow"),
+        pa.schema([("n", pa.int64()), ("worst", pa.int64())]))
+    n_late = int(np.asarray(lt.column("n")).sum()) if lt.num_rows else 0
+    worst = int(np.asarray(lt.column("worst")).max()) if lt.num_rows else 0
+    return {
+        "n_events": n,
+        "max_event_us": max_us,
+        "watermark_s": int(watermark_s),
+        "n_late": n_late,
+        "worst_lag_s": worst,
+    }
