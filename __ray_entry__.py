@@ -110,6 +110,29 @@ def _q_settlements(sf_dir: str):
     return res["settlements"].select(["settlement_id", "n_footprints", "area_m2"])
 
 
+def _q_smoothed_settlements(sf_dir: str):
+    """Planar-offset boundary smoothing (cfg.exact_boundary_offset
+    surface) as a DISTRIBUTED op: map_batches over the settlement table,
+    one ops/buffer.close_region per row, no shuffle.  Oracle: the golden's
+    single-process recompute of the identical kernel."""
+    import ray.data as rd
+
+    from ibray import hexgrid as hg
+    from ibray.config import DEFAULT
+    from ibray.ops import buffer as B
+
+    sf = synth.sf_of_dir(sf_dir)
+    golden.ensure_golden(sf)
+    st = _delineate_cached(sf)["settlements"]
+    d = hg.edge_length_m(DEFAULT.res_fine)
+    # batch_size=1: one close_region per task — the cost is skewed by
+    # settlement size, so row-level tasks load-balance where a 16-row
+    # batch would serialize the heavy rows behind one worker
+    return rd.from_arrow(st.select(["settlement_id", "boundary"])) \
+        .map_batches(lambda b: B.smooth_boundary_batch(b, d),
+                     batch_format="pyarrow", batch_size=1)
+
+
 def _q_assignments(sf_dir: str):
     sf = synth.sf_of_dir(sf_dir)
     golden.ensure_golden(sf)
@@ -185,6 +208,21 @@ def _q_road_stats(sf_dir: str):
 
     world = synth.ensure_world(synth.sf_of_dir(sf_dir))
     return _scale_cols(RD.road_length_stats(world), {"total_len_m": 2})
+
+
+def _q_repair_geometry(sf_dir: str):
+    from ibray.ops import footprints as F
+
+    # area_m2 already scaled to x100 int via the exact integer shoelace
+    world = synth.ensure_world(synth.sf_of_dir(sf_dir))
+    return F.repair_geometry(world)
+
+
+def _q_road_edges(sf_dir: str):
+    from ibray.ops import roads as RD
+
+    world = synth.ensure_world(synth.sf_of_dir(sf_dir))
+    return _scale_cols(RD.road_edge_table(world), {"len_m": 2})
 
 
 def _q_dead_ends(sf_dir: str):
@@ -552,9 +590,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_footprints": _q_extract_footprints,
         "span_kind_counts": _q_span_kind_counts,
         "delineate_settlements": _q_settlements,
+        "smoothed_settlements": _q_smoothed_settlements,  # golden oracle (planar-offset closing)
         "footprint_assignments": _q_assignments,
         "tile_assignments": _q_tiles,
         "road_length_stats": _q_road_stats,
+        "road_edge_table": _q_road_edges,  # M9 standalone edge table
+        "repair_geometry": _q_repair_geometry,  # M12 repair report
         "dead_end_roads": _q_dead_ends,
         "road_segment_shares": _q_segment_shares,
         "density_r9": _q_density_r9,
@@ -650,6 +691,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT settlement_id, n_footprints, area_m2
             FROM read_parquet('{gold}/settlements.parquet')
         """,
+        "smoothed_settlements": f"""
+            SELECT settlement_id, area_m2
+            FROM read_parquet('{gold}/smoothed_settlements.parquet')
+        """,
         "footprint_assignments": f"""
             SELECT footprint_id, doc_id, span_idx, settlement_id
             FROM read_parquet('{gold}/assignments.parquet')
@@ -673,6 +718,62 @@ def oracle_sql() -> dict[str, str]:
             SELECT klass, COUNT(DISTINCT road_id) AS n_roads,
                    CAST(ROUND(SUM(seg) * 100) AS BIGINT) AS total_len_m
             FROM segs GROUP BY klass
+        """,
+        # M12 repair report: shoelace orientation + duplicate-vertex scan
+        # recomputed from the raw span geometry text in SQL
+        "repair_geometry": f"""
+            WITH fp AS (
+              SELECT doc_id || ':' || lpad(CAST(i - 1 AS VARCHAR), 3, '0')
+                       AS footprint_id,
+                     string_split(string_split(spans[i].text, ';')[2], ',') AS parr
+              FROM (SELECT doc_id, spans,
+                           unnest(generate_series(1, len(spans))) AS i
+                    FROM {docs})
+              WHERE spans[i].kind = 'footprint'
+            ), pts AS (
+              SELECT footprint_id, j, len(parr) AS n,
+                     CAST(string_split(trim(parr[j]), ' ')[1] AS DOUBLE) AS x,
+                     CAST(string_split(trim(parr[j]), ' ')[2] AS DOUBLE) AS y
+              FROM (SELECT footprint_id, parr,
+                           unnest(generate_series(1, len(parr))) AS j
+                    FROM fp)
+            ), shoelace AS (
+              -- exact integer shoelace over centimeter coordinates: the
+              -- SUM is pure int64, so reduction order cannot perturb it
+              SELECT a.footprint_id, ANY_VALUE(a.n) AS n_pts,
+                     SUM(a.xi * b.yi - b.xi * a.yi) AS a2i,
+                     SUM(CASE WHEN a.xi = b.xi AND a.yi = b.yi
+                              THEN 1 ELSE 0 END) AS n_dup
+              FROM (SELECT footprint_id, j, n,
+                           CAST(ROUND(x * 100) AS BIGINT) AS xi,
+                           CAST(ROUND(y * 100) AS BIGINT) AS yi
+                    FROM pts) a
+              JOIN (SELECT footprint_id, j,
+                           CAST(ROUND(x * 100) AS BIGINT) AS xi,
+                           CAST(ROUND(y * 100) AS BIGINT) AS yi
+                    FROM pts) b
+                ON a.footprint_id = b.footprint_id
+               AND b.j = CASE WHEN a.j = a.n THEN 1 ELSE a.j + 1 END
+              GROUP BY a.footprint_id
+            )
+            SELECT footprint_id, n_pts, n_dup,
+                   a2i < 0 AS reversed,
+                   CAST(ROUND(abs(a2i) / 200.0) AS BIGINT) AS area_m2
+            FROM shoelace
+        """,
+        # M9 standalone edge table: consecutive vertex pairs per polyline
+        "road_edge_table": f"""
+            WITH pts AS (
+              SELECT road_id, i, line[i].x AS x, line[i].y AS y
+              FROM (SELECT road_id, line,
+                           unnest(generate_series(1, len(line))) AS i
+                    FROM read_parquet('{world}/roads.parquet'))
+            )
+            SELECT a.road_id, a.i AS seg_idx,
+                   a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2,
+                   CAST(ROUND(sqrt((b.x-a.x)^2 + (b.y-a.y)^2) * 100) AS BIGINT)
+                     AS len_m
+            FROM pts a JOIN pts b ON a.road_id = b.road_id AND b.i = a.i + 1
         """,
         # A7 grouped length stats, recomputed entirely in SQL
         "road_segment_shares": f"""

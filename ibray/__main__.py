@@ -26,6 +26,9 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--out", default=None)
     d.add_argument("--closing-k", type=int, default=None)
     d.add_argument("--min-footprints", type=int, default=None)
+    d.add_argument("--exact-boundary", action="store_true",
+                   help="smooth settlement boundaries with the true planar "
+                        "offset closing (cfg.exact_boundary_offset)")
     sub.add_parser("bench")
     ing = sub.add_parser(
         "ingest",
@@ -89,6 +92,8 @@ def main(argv: list[str] | None = None) -> int:
             overrides["closing_k"] = args.closing_k
         if args.min_footprints is not None:
             overrides["min_footprints"] = args.min_footprints
+        if args.exact_boundary:
+            overrides["exact_boundary_offset"] = True
         cfg = DelineationConfig(**overrides) if overrides else DEFAULT
         res = pipeline.delineate(args.world, cfg=cfg, out_dir=args.out)
         print(json.dumps({

@@ -36,7 +36,9 @@ def _snap(a: np.ndarray) -> np.ndarray:
 
 
 def _seg_pairs(segs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """Candidate intersecting pairs via bbox bucketing on a coarse grid."""
+    """Candidate intersecting pairs via bbox bucketing on a coarse grid —
+    fully vectorized (grid registration, ragged per-bucket pair expansion
+    and dedupe are all numpy; no Python dict/set in the hot path)."""
     n = len(segs)
     if n < 2:
         return np.empty(0, np.int64), np.empty(0, np.int64)
@@ -44,25 +46,42 @@ def _seg_pairs(segs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     cell = max(float(np.median(lens)) * 2.0, 1.0)
     x0 = min(segs[:, 0].min(), segs[:, 2].min())
     y0 = min(segs[:, 1].min(), segs[:, 3].min())
-    pairs = set()
-    # register each segment into every coarse cell its bbox overlaps
     bx1 = ((np.minimum(segs[:, 0], segs[:, 2]) - x0) / cell).astype(np.int64)
     bx2 = ((np.maximum(segs[:, 0], segs[:, 2]) - x0) / cell).astype(np.int64)
     by1 = ((np.minimum(segs[:, 1], segs[:, 3]) - y0) / cell).astype(np.int64)
     by2 = ((np.maximum(segs[:, 1], segs[:, 3]) - y0) / cell).astype(np.int64)
-    buckets: dict[tuple[int, int], list[int]] = {}
-    for i in range(n):
-        for gx in range(bx1[i], bx2[i] + 1):
-            for gy in range(by1[i], by2[i] + 1):
-                buckets.setdefault((gx, gy), []).append(i)
-    for members in buckets.values():
-        for a in range(len(members)):
-            for b in range(a + 1, len(members)):
-                pairs.add((members[a], members[b]))
-    if not pairs:
+    sx = bx2 - bx1 + 1
+    sy = by2 - by1 + 1
+    span = sx * sy
+    sid = np.repeat(np.arange(n), span)
+    local = np.arange(int(span.sum())) - np.repeat(
+        np.cumsum(span) - span, span)
+    gx = bx1[sid] + local % sx[sid]
+    gy = by1[sid] + local // sx[sid]
+    ncols = int(by2.max()) + 2
+    key = gx * ncols + gy
+    order = np.lexsort((sid, key))
+    key = key[order]
+    sid = sid[order]
+    starts = np.nonzero(np.concatenate([[True], key[1:] != key[:-1]]))[0]
+    sizes = np.diff(np.concatenate([starts, [len(key)]]))
+    # ragged all-pairs within each bucket: element at local position k is
+    # the SECOND of k pairs whose firsts are the k earlier bucket members
+    pos = np.arange(len(sid))
+    grp_start = np.repeat(starts, sizes)
+    k2 = pos - grp_start
+    total = int(k2.sum())
+    if not total:
         return np.empty(0, np.int64), np.empty(0, np.int64)
-    arr = np.array(sorted(pairs), dtype=np.int64)
-    return arr[:, 0], arr[:, 1]
+    b_pos = np.repeat(pos, k2)
+    cum = np.cumsum(k2) - k2
+    a_pos = np.arange(total) - np.repeat(cum, k2) + np.repeat(grp_start, k2)
+    pa_ = sid[a_pos]
+    pb_ = sid[b_pos]
+    lo = np.minimum(pa_, pb_)
+    hi = np.maximum(pa_, pb_)
+    u = np.unique(lo * np.int64(n) + hi)
+    return u // n, u % n
 
 
 def _intersections(segs: np.ndarray):
@@ -121,18 +140,20 @@ def _split_edges(segs: np.ndarray) -> np.ndarray:
     if not len(segs):
         return np.zeros((0, 4))
     idx, ts = _intersections(segs)
-    order = np.argsort(idx, kind="stable")
+    # per-segment sorted unique cut params incl. endpoints, fully
+    # vectorized: one global lexsort replaces the per-segment loop
+    n = len(segs)
+    idx = np.concatenate([idx, np.arange(n), np.arange(n)])
+    ts = np.concatenate([ts, np.zeros(n), np.ones(n)])
+    order = np.lexsort((ts, idx))
     idx, ts = idx[order], ts[order]
-    starts = np.searchsorted(idx, np.arange(len(segs)))
-    ends = np.searchsorted(idx, np.arange(len(segs)) + 1)
-    pieces = []
-    for i in range(len(segs)):
-        t = np.unique(np.concatenate([[0.0, 1.0], ts[starts[i]:ends[i]]]))
-        px = segs[i, 0] + t * (segs[i, 2] - segs[i, 0])
-        py = segs[i, 1] + t * (segs[i, 3] - segs[i, 1])
-        px, py = _snap(px), _snap(py)
-        pieces.append(np.column_stack([px[:-1], py[:-1], px[1:], py[1:]]))
-    e = np.concatenate(pieces, axis=0)
+    keep = np.concatenate([[True], (idx[1:] != idx[:-1]) | (ts[1:] != ts[:-1])])
+    idx, ts = idx[keep], ts[keep]
+    px = _snap(segs[idx, 0] + ts * (segs[idx, 2] - segs[idx, 0]))
+    py = _snap(segs[idx, 1] + ts * (segs[idx, 3] - segs[idx, 1]))
+    adj = idx[1:] == idx[:-1]
+    e = np.column_stack([px[:-1][adj], py[:-1][adj],
+                         px[1:][adj], py[1:][adj]])
     keep = (e[:, 0] != e[:, 2]) | (e[:, 1] != e[:, 3])
     e = e[keep]
     # canonical undirected ordering + dedupe
@@ -326,9 +347,36 @@ def _ring_segs(rings: list[np.ndarray]) -> np.ndarray:
     return np.concatenate(segs, axis=0) if segs else np.zeros((0, 4))
 
 
+def _pip_one(px: float, py: float, edges) -> bool:
+    """Lean scalar even-odd test against precomputed ring edges
+    (x1, y1, x2, y2, inv_dy) — same crossing rule as geom.points_in_ring
+    but without per-call asarray/roll/errstate overhead (the interior-point
+    search makes tens of thousands of single-point tests)."""
+    x1, y1, x2, y2, inv_dy = edges
+    cond = (y1 > py) != (y2 > py)
+    xint = x1 + (py - y1) * (x2 - x1) * inv_dy
+    return bool(np.count_nonzero(cond & (px < xint)) & 1)
+
+
+def _ring_edges(ring: np.ndarray):
+    """Precompute the edge arrays consumed by _pip_one."""
+    x1, y1 = ring[:, 0], ring[:, 1]
+    x2 = np.roll(x1, -1)
+    y2 = np.roll(y1, -1)
+    dy = y2 - y1
+    with np.errstate(divide="ignore", invalid="ignore"):
+        inv_dy = np.where(dy == 0, 0.0, 1.0 / np.where(dy == 0, 1.0, dy))
+    return x1, y1, x2, y2, inv_dy
+
+
 def _interior_point(ring: np.ndarray) -> np.ndarray:
     """A point strictly inside a CCW face ring: edge midpoint nudged along
-    the inward (left) normal; verified with the even-odd test."""
+    the inward (left) normal; verified with the even-odd test.
+
+    Longest edges are tried first, one candidate point per lean ring test
+    — O(k) per try instead of the all-midpoints O(k^2) broadcast, which
+    dominated arrangement cost on buffer-sized inputs.  The exhaustive
+    all-midpoints scan remains as the rare-degenerate fallback."""
     from ibray import geom
 
     nxt = np.roll(ring, -1, axis=0)
@@ -341,8 +389,17 @@ def _interior_point(ring: np.ndarray) -> np.ndarray:
     # callers classify the returned point against the ORIGINAL (unsnapped)
     # geometry, so a 1 mm nudge can land on the wrong side of an edge that
     # snapping moved by up to 1 cm
+    cand = np.argsort(-ln, kind="stable")[:8]
+    cand = cand[ln[cand] > 0]
+    edges = _ring_edges(ring)
     for eps in (5e-2, 5e-1, 1e-2, 1e-3):
         # left normal of (ex, ey) is (-ey, ex): interior side of a CCW ring
+        for i in cand:
+            px = mids[i, 0] - ey[i] / ln[i] * eps
+            py = mids[i, 1] + ex[i] / ln[i] * eps
+            if _pip_one(px, py, edges):
+                return np.array([px, py])
+    for eps in (5e-2, 5e-1, 1e-2, 1e-3):  # exhaustive fallback
         px = mids[ok, 0] - ey[ok] / ln[ok] * eps
         py = mids[ok, 1] + ex[ok] / ln[ok] * eps
         inside = geom.points_in_ring(px, py, ring[:, 0], ring[:, 1])
@@ -353,7 +410,9 @@ def _interior_point(ring: np.ndarray) -> np.ndarray:
 
 
 def region_interior_point(region: list[np.ndarray]) -> np.ndarray:
-    """A point inside the region (inside the outer ring, outside holes)."""
+    """A point inside the region (inside the outer ring, outside holes).
+    Longest outer edges first, one candidate per test (see
+    _interior_point); exhaustive all-midpoints scan as the fallback."""
     from ibray import geom
 
     ring = region[0]
@@ -363,8 +422,20 @@ def region_interior_point(region: list[np.ndarray]) -> np.ndarray:
     ey = nxt[:, 1] - ring[:, 1]
     ln = np.hypot(ex, ey)
     ok = ln > 0
+    cand = np.argsort(-ln, kind="stable")[:8]
+    cand = cand[ln[cand] > 0]
+    edges = [_ring_edges(r) for r in region]
     # eps must exceed the snap grid — see _interior_point
     for eps in (5e-2, 5e-1, 1e-2, 1e-3):
+        for i in cand:
+            px = mids[i, 0] - ey[i] / ln[i] * eps
+            py = mids[i, 1] + ex[i] / ln[i] * eps
+            inside = False
+            for e in edges:
+                inside ^= _pip_one(px, py, e)
+            if inside:
+                return np.array([px, py])
+    for eps in (5e-2, 5e-1, 1e-2, 1e-3):  # exhaustive fallback
         px = mids[ok, 0] - ey[ok] / ln[ok] * eps
         py = mids[ok, 1] + ex[ok] / ln[ok] * eps
         inside = geom.points_in_polygon(px, py, region)

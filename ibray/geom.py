@@ -128,12 +128,16 @@ def points_in_ring(px: np.ndarray, py: np.ndarray, rx: np.ndarray, ry: np.ndarra
     px, py: (n,) query points; rx, ry: (m,) ring vertices (open or closed).
     Returns bool (n,).
     """
-    px = np.asarray(px, dtype=np.float64)[:, None]
-    py = np.asarray(py, dtype=np.float64)[:, None]
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
     rx = np.asarray(rx, dtype=np.float64)
     ry = np.asarray(ry, dtype=np.float64)
     if len(rx) and rx[0] == rx[-1] and ry[0] == ry[-1]:
         rx, ry = rx[:-1], ry[:-1]
+    if len(px) * len(rx) > 65536 and len(rx) >= 32:
+        return _points_in_ring_bucketed(px, py, rx, ry)
+    px = px[:, None]
+    py = py[:, None]
     x1, y1 = rx[None, :], ry[None, :]
     x2 = np.roll(rx, -1)[None, :]
     y2 = np.roll(ry, -1)[None, :]
@@ -143,6 +147,54 @@ def points_in_ring(px: np.ndarray, py: np.ndarray, rx: np.ndarray, ry: np.ndarra
         xint = x1 + (py - y1) * (x2 - x1) / (y2 - y1)
     crossings = cond & (px < xint)
     inside = crossings.sum(axis=1) % 2 == 1
+    return inside
+
+
+def _points_in_ring_bucketed(px, py, rx, ry) -> np.ndarray:
+    """points_in_ring fast path for large point-set × large-ring products:
+    edges are binned by their y-interval into uniform buckets, each point
+    only tests the edges of its own bucket — O(n + m + crossings-scale)
+    instead of the full n×m broadcast.  Bit-identical crossing rule."""
+    x2r = np.roll(rx, -1)
+    y2r = np.roll(ry, -1)
+    y0 = min(ry.min(), py.min())
+    y1m = max(ry.max(), py.max())
+    nb = max(1, int(np.sqrt(len(rx))))
+    h = (y1m - y0) / nb or 1.0
+    elo = np.clip(((np.minimum(ry, y2r) - y0) / h).astype(np.int64), 0, nb - 1)
+    ehi = np.clip(((np.maximum(ry, y2r) - y0) / h).astype(np.int64), 0, nb - 1)
+    counts = np.zeros(nb + 1, dtype=np.int64)
+    spans = ehi - elo + 1
+    # CSR bucket -> edge ids
+    eb = np.repeat(np.arange(len(rx)), spans)
+    bb = np.concatenate([np.arange(a, b + 1) for a, b in zip(elo, ehi)]) \
+        if len(rx) else np.zeros(0, np.int64)
+    order = np.argsort(bb, kind="stable")
+    eb = eb[order]
+    bb = bb[order]
+    starts = np.searchsorted(bb, np.arange(nb))
+    ends = np.searchsorted(bb, np.arange(nb) + 1)
+    pb = np.clip(((py - y0) / h).astype(np.int64), 0, nb - 1)
+    inside = np.zeros(len(px), dtype=bool)
+    porder = np.argsort(pb, kind="stable")
+    ps = np.searchsorted(pb[porder], np.arange(nb))
+    pe = np.searchsorted(pb[porder], np.arange(nb) + 1)
+    counts = counts  # noqa: F841 (kept for clarity of the CSR layout)
+    for b in range(nb):
+        pidx = porder[ps[b]:pe[b]]
+        if not len(pidx):
+            continue
+        eidx = eb[starts[b]:ends[b]]
+        if not len(eidx):
+            continue
+        qx = px[pidx][:, None]
+        qy = py[pidx][:, None]
+        ex1, ey1 = rx[eidx][None, :], ry[eidx][None, :]
+        ex2, ey2 = x2r[eidx][None, :], y2r[eidx][None, :]
+        cond = (ey1 > qy) != (ey2 > qy)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xint = ex1 + (qy - ey1) * (ex2 - ex1) / (ey2 - ey1)
+        inside[pidx] = (cond & (qx < xint)).sum(axis=1) % 2 == 1
     return inside
 
 

@@ -17,7 +17,7 @@ import pyarrow.parquet as pq
 from ibray import oracle, synth
 from ibray.config import DEFAULT
 
-ORACLE_VERSION = 14
+ORACLE_VERSION = 15
 
 
 def golden_dir(sf: float, base: str = "/tmp/ibray_golden") -> str:
@@ -50,6 +50,28 @@ def ensure_golden(sf: float) -> str:
                        "area_m2": pa.array([], pa.float64())})
     )
     pq.write_table(st, os.path.join(tmp, "settlements.parquet"))
+    # smoothed boundaries: single-process recompute of the planar-offset
+    # closing (the cfg.exact_boundary_offset / smooth_boundaries surface)
+    import numpy as np
+
+    from ibray import hexgrid as hg
+    from ibray.ops.buffer import _ring_area, close_region
+
+    d_off = hg.edge_length_m(DEFAULT.res_fine)
+    sm_rows = []
+    for s in res["settlements"]:
+        rings = [np.array([[p["x"], p["y"]] for p in r], dtype=np.float64)
+                 for r in s["boundary"]]
+        sm = close_region(rings, d_off, quad_segs=4)
+        src = sm if sm else rings
+        sm_rows.append({
+            "settlement_id": s["settlement_id"],
+            "area_m2": float(sum(_ring_area(np.asarray(r)) for r in src)),
+        })
+    smt = (pa.Table.from_pylist(sm_rows) if sm_rows
+           else pa.table({"settlement_id": pa.array([], pa.string()),
+                          "area_m2": pa.array([], pa.float64())}))
+    pq.write_table(smt, os.path.join(tmp, "smoothed_settlements.parquet"))
     pq.write_table(res["assignments"], os.path.join(tmp, "assignments.parquet"))
     pq.write_table(res["tiles"], os.path.join(tmp, "tiles.parquet"))
     # density per r9 cell over ALL extracted footprints (T1 analog)

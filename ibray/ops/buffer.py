@@ -137,32 +137,58 @@ def _ring_area(ring: np.ndarray) -> float:
     return 0.5 * float(np.dot(x, np.roll(y, -1)) - np.dot(np.roll(x, -1), y))
 
 
-def _simplify_collinear(ring: np.ndarray) -> np.ndarray:
+def _simplify_collinear(ring: np.ndarray, tol: float = 0.0) -> np.ndarray:
     """Drop vertices interior to straight runs (relative-eps cross test).
     Hex-cell union boundaries have only 3 edge directions, so long
-    staircase-free runs collapse to single edges before buffering."""
+    staircase-free runs collapse to single edges before buffering.
+
+    ``tol`` additionally drops vertices whose perpendicular deviation
+    from the chord of their neighbors is below it — the closing passes
+    use the snap grid (~2 cm) to merge arrangement-split fragments whose
+    sub-edges would otherwise trigger guard disks at every corner."""
     r = np.asarray(ring, dtype=np.float64)
     if len(r) > 1 and r[0, 0] == r[-1, 0] and r[0, 1] == r[-1, 1]:
         r = r[:-1]
     if len(r) < 4:
         return r
-    prv = np.roll(r, 1, axis=0)
-    nxt = np.roll(r, -1, axis=0)
-    ax, ay = r[:, 0] - prv[:, 0], r[:, 1] - prv[:, 1]
-    bx, by = nxt[:, 0] - r[:, 0], nxt[:, 1] - r[:, 1]
-    cross = ax * by - ay * bx
-    keep = np.abs(cross) > 1e-6 * np.hypot(ax, ay) * np.hypot(bx, by)
-    return r[keep] if keep.sum() >= 3 else r
+    for _ in range(8 if tol > 0 else 1):
+        prv = np.roll(r, 1, axis=0)
+        nxt = np.roll(r, -1, axis=0)
+        ax, ay = r[:, 0] - prv[:, 0], r[:, 1] - prv[:, 1]
+        bx, by = nxt[:, 0] - r[:, 0], nxt[:, 1] - r[:, 1]
+        cross = ax * by - ay * bx
+        keep = np.abs(cross) > 1e-6 * np.hypot(ax, ay) * np.hypot(bx, by)
+        if tol > 0:
+            chord = np.hypot(nxt[:, 0] - prv[:, 0], nxt[:, 1] - prv[:, 1])
+            dev = np.abs(cross) / np.where(chord == 0, 1.0, chord)
+            # drop alternate low-deviation vertices per round so adjacent
+            # drops cannot compound beyond tol
+            low = ~keep | (dev <= tol)
+            drop = low & (np.arange(len(r)) % 2 == (_ % 2))
+            keep = ~drop
+        if keep.sum() < 3 or keep.all():
+            break
+        r = r[keep]
+    return r
 
 
 def _tube_pieces(rings: list[np.ndarray], d: float,
-                 quad_segs: int = DEFAULT_QUAD_SEGS) -> list[np.ndarray]:
+                 quad_segs: int = DEFAULT_QUAD_SEGS,
+                 fans: str = "both") -> list[np.ndarray]:
     """The sampled radius-``d`` tube of a ring set as CONVEX CCW pieces:
     one width-2d rectangle per edge plus one arc sector per vertex on the
     side where the adjacent offsets diverge (a full disk per vertex is
     redundant — the converging side is covered by the overlapping rects).
     The union of the pieces covers every point within d·cos(π/4q) of the
-    rings and nothing beyond distance d."""
+    rings and nothing beyond distance d.
+
+    ``fans``: "both" emits every diverging-side sector; "outer" keeps only
+    sectors on the polygon-EXTERIOR side of the ring, "inner" only the
+    polygon-INTERIOR side.  A dilation pass can drop interior-side fans
+    (their wedge is inside the region, classified kept regardless) and an
+    erosion pass exterior-side fans (wedge outside the region, dropped
+    regardless) — classification is unchanged while the arrangement loses
+    the per-arc-vertex fans that dominate its face count."""
     out: list[np.ndarray] = []
     for ring in rings:
         r = np.asarray(ring, dtype=np.float64)
@@ -170,6 +196,8 @@ def _tube_pieces(rings: list[np.ndarray], d: float,
             r = r[:-1]
         if not len(r):
             continue
+        # orientation: CCW (area>0) interior on the left of travel
+        orient = 1.0 if _ring_area(r) >= 0 else -1.0
         q = np.roll(r, -1, axis=0)
         e = q - r
         ln = np.hypot(e[:, 0], e[:, 1])
@@ -186,7 +214,14 @@ def _tube_pieces(rings: list[np.ndarray], d: float,
         e_in = np.roll(ee / ll[:, None], 1, axis=0)
         e_out = ee / ll[:, None]
         turn = e_in[:, 0] * e_out[:, 1] - e_in[:, 1] * e_out[:, 0]
-        for i in np.nonzero(np.abs(turn) > 1e-9)[0]:
+        want = np.abs(turn) > 1e-9
+        if fans == "outer":
+            # fan side: right of travel for turn>0, left for turn<0;
+            # exterior side: right for CCW, left for CW → keep orient*turn>0
+            want &= orient * turn > 0
+        elif fans == "inner":
+            want &= orient * turn < 0
+        for i in np.nonzero(want)[0]:
             v = rr[i]
             n_in = nrm[i - 1] if i else nrm[-1]
             n_out = nrm[i]
@@ -237,6 +272,108 @@ def _in_pieces(pts: np.ndarray, pieces: list[np.ndarray]) -> np.ndarray:
     return res
 
 
+def _offset_geometry(rings: list[np.ndarray], d: float,
+                     quad_segs: int = DEFAULT_QUAD_SEGS,
+                     erode: bool = False):
+    """Sampled offset machinery of a ring set on the WORKING side (polygon
+    exterior for dilation, interior for erosion).  Returns (segs, pieces):
+
+    - ``segs``: the offset CURVE as raw segments — one translate per edge,
+      miter-extended to the neighbor offset line where the corner
+      converges on the working side (cap 4d), sampled arc CHORDS where it
+      diverges, and a guard circle around converging corners whose
+      adjacent edges are too short to carry the miter feet.  Every point
+      of ∂(tube union) on the working side lies on one of these segments,
+      so arrangement faces built from [ring segs + these] never straddle
+      the union boundary.
+    - ``pieces``: the sampled tube as convex polygons for EXACT membership
+      classification (``_in_pieces``): full-width edge rectangles,
+      working-side vertex fans, and the guard disks.
+    """
+    out: list[np.ndarray] = []
+    pieces: list[np.ndarray] = []
+    t = np.arange(4 * quad_segs) * (np.pi / (2.0 * quad_segs))
+    for ring in rings:
+        r = np.asarray(ring, dtype=np.float64)
+        if len(r) > 1 and r[0, 0] == r[-1, 0] and r[0, 1] == r[-1, 1]:
+            r = r[:-1]
+        if len(r) < 3:
+            continue
+        orient = 1.0 if _ring_area(r) >= 0 else -1.0
+        w = orient if not erode else -orient  # +1: working side is RIGHT
+        q = np.roll(r, -1, axis=0)
+        e = q - r
+        ln = np.hypot(e[:, 0], e[:, 1])
+        ok = ln > 1e-12
+        rr, qq, ee, ll = r[ok], q[ok], e[ok], ln[ok]
+        u = ee / ll[:, None]
+        nrm = np.column_stack([u[:, 1], -u[:, 0]])  # right of travel
+        m = nrm * w
+        ta = rr + m * d   # translate endpoints, mutated by miters below
+        tb = qq + m * d
+        # vertex i sits between edge i-1 and edge i
+        u_in = np.roll(u, 1, axis=0)
+        turn = u_in[:, 0] * u[:, 1] - u_in[:, 1] * u[:, 0]
+        div = turn * w > 1e-9
+        conv = turn * w < -1e-9
+        for i in np.nonzero(conv)[0]:
+            p_in = tb[i - 1]          # end of previous edge's offset line
+            p_out = ta[i]             # start of this edge's offset line
+            ui, uo = u[i - 1], u[i]
+            den = ui[0] * uo[1] - ui[1] * uo[0]
+            if abs(den) < 1e-12:
+                continue
+            dp = p_out - p_in
+            cap = 4.0 * d
+            # X = p_in + s*u_in = p_out + t*u_out; converging corner =>
+            # s > 0 (extend incoming forward), t < 0 (extend outgoing back)
+            s = (dp[0] * uo[1] - dp[1] * uo[0]) / den
+            tb[i - 1] = p_in + ui * min(max(s, 0.0), cap)
+            t_par = (dp[0] * ui[1] - dp[1] * ui[0]) / den
+            ta[i] = p_out - uo * min(max(-t_par, 0.0), cap)
+            # short edges cannot carry the miter feet: the contour near the
+            # vertex is an arc around it — cover with a guard disk boundary
+            half = abs(np.arctan2(abs(turn[i]),
+                                  float(np.dot(u_in[i], u[i])))) / 2.0
+            need = d * np.tan(min(half, np.pi / 2 - 1e-6))
+            if ll[i - 1] < need or ll[i] < need:
+                dv = rr[i] + np.column_stack([np.cos(t), np.sin(t)]) * d
+                out.append(np.column_stack([dv, np.roll(dv, -1, axis=0)]))
+                pieces.append(dv)
+        for i in np.nonzero(div)[0]:
+            v = rr[i]
+            n_in = m[i - 1]
+            n_out = m[i]
+            # diverging side sweep: right normals rotate CCW at a left
+            # turn, left normals CCW at a right turn — in both cases the
+            # sweep from the incoming to the outgoing working normal is
+            # CCW by |turn angle|
+            if turn[i] > 0:
+                a0 = np.arctan2(n_in[1], n_in[0])
+                a1 = np.arctan2(n_out[1], n_out[0])
+            else:
+                a0 = np.arctan2(n_out[1], n_out[0])
+                a1 = np.arctan2(n_in[1], n_in[0])
+            arc = _arc_points(v[0], v[1], a0, a1, d, quad_segs)
+            if turn[i] > 0:
+                chain = np.concatenate([[v + n_in * d], arc,
+                                        [v + n_out * d]], axis=0)
+            else:
+                chain = np.concatenate([[v + n_out * d], arc,
+                                        [v + n_in * d]], axis=0)
+            out.append(np.column_stack([chain[:-1], chain[1:]]))
+            pieces.append(np.concatenate([[v], chain], axis=0))
+        out.append(np.column_stack([ta, tb]))
+        off_full = nrm * d
+        for i in range(len(rr)):
+            pieces.append(np.array([rr[i] + off_full[i], qq[i] + off_full[i],
+                                    qq[i] - off_full[i],
+                                    rr[i] - off_full[i]]))
+    segs = (np.concatenate(out, axis=0) if out
+            else np.zeros((0, 4), dtype=np.float64))
+    return segs, pieces
+
+
 def close_region(rings: list[np.ndarray], d: float,
                  quad_segs: int = DEFAULT_QUAD_SEGS) -> list[np.ndarray]:
     """Morphological closing (buffer +d, then -d; ROUND joins) of an
@@ -245,17 +382,21 @@ def close_region(rings: list[np.ndarray], d: float,
     than ~2d fill, hex staircases smooth to sampled arcs, convex shapes
     return unchanged.
 
-    Both passes overlay the region's rings with its sampled boundary tube
-    (``_tube_pieces``: edge rectangles + vertex arc sectors) and classify
-    each arrangement face EXACTLY against that sampled geometry:
-    ``inside ∪ in_tube`` dilates, ``inside ∩ ¬in_tube`` erodes.  Because
-    classification matches the tube polygons (convex-piece membership,
-    not a distance threshold), every face is consistently in or out and
-    the result's boundary is a clean offset curve.  The sampled tube lies
-    between the inscribed (d·cos(π/4q)) and true (d) disks, so each pass
-    carries a one-sided radial error ≤ d·(1−cos(π/4q)) (~0.5% of d at
-    q=8); in particular closing ⊇ input only up to that band.  Returns
-    the closed region's MERGED rings (outers CCW, holes CW; even-odd)."""
+    Each pass builds a SMALL arrangement — the region's rings plus their
+    sampled offset curve on the working side (``_offset_geometry``:
+    miter-extended edge translates, arc chords, guard circles) — and
+    classifies each face EXACTLY against the sampled tube union
+    (``_in_pieces`` over full edge rectangles + working-side fans + guard
+    disks): ``inside ∪ in_tube`` dilates, ``inside ∩ ¬in_tube`` erodes.
+    The curve segments cover the tube union's entire working-side
+    boundary, so no face straddles it and single-interior-point
+    classification is consistent; the arrangement stays linear in the
+    ring size (the tube's internal rectangle edges never enter it).
+    Sampled arcs bound the radial error by d·(1−cos(π/4q)) per pass
+    (~0.5% of d at q=8) — in particular closing ⊇ input only up to that
+    band.  Envelope self-intersections (swallowtails at narrow
+    concavities) resolve through tube membership, not curve orientation.
+    Returns the closed region's MERGED rings (outers CCW, holes CW)."""
     from ibray import arrange, geom
 
     rings = [x for x in (_simplify_collinear(r) for r in rings)
@@ -264,9 +405,16 @@ def close_region(rings: list[np.ndarray], d: float,
         return []
 
     def _pass(cur: list[np.ndarray], dilating: bool) -> list[np.ndarray]:
-        pieces = _tube_pieces(cur, d, quad_segs)
-        segs = np.concatenate([arrange._ring_segs(cur),
-                               _pieces_segs(pieces)], axis=0)
+        # snap-grid collinear runs (offset edges split at every crossing
+        # by the previous pass) collapse back to single edges; the 2 cm
+        # deviation tolerance merges snap fragments (2x the 1 cm grid)
+        cur = [x for x in (_simplify_collinear(r, tol=0.02) for r in cur)
+               if len(x) >= 3]
+        if not cur:
+            return []
+        curve, pieces = _offset_geometry(cur, d, quad_segs,
+                                         erode=not dilating)
+        segs = np.concatenate([arrange._ring_segs(cur), curve], axis=0)
         faces = arrange.polygonize_segments(segs)
         if not faces:
             return cur
@@ -310,3 +458,28 @@ def rect_buffers(fp: rd.Dataset, dist: float = 18.0,
     return fp.select_columns(["footprint_id", "xs", "ys"]).map_batches(
         lambda b: rect_buffer_batch(b, dist, quad_segs),
         batch_format="pyarrow")
+
+
+def smooth_boundary_batch(b: pa.Table, d: float,
+                          quad_segs: int = 4) -> pa.Table:
+    """Per-settlement planar-offset closing of stored boundary rings →
+    (settlement_id, area_m2).  The distributed surface of the
+    cfg.exact_boundary_offset fidelity option: one close_region per row,
+    embarrassingly parallel under map_batches (no shuffle, no driver
+    geometry); the conformance golden recomputes the identical kernel
+    single-process, so values match bit-for-bit.  quad_segs=4 (22.5°
+    arc steps, radial error ≤ 0.5 m on 25 m cells) keeps the per-row
+    arrangement small — this surface smooths staircases, it does not
+    chase sub-decimeter arc fidelity."""
+    from ibray.ops.overlay import settlement_rings
+
+    polys = settlement_rings(b)
+    areas = np.empty(len(polys), dtype=np.float64)
+    for i, rings in enumerate(polys):
+        sm = close_region(rings, d, quad_segs)
+        src = sm if sm else rings
+        areas[i] = float(sum(_ring_area(np.asarray(r)) for r in src))
+    return pa.table({
+        "settlement_id": b.column("settlement_id"),
+        "area_m2": pa.array(areas, type=pa.float64()),
+    })

@@ -51,6 +51,39 @@ def road_length_stats(world_dir: str) -> rd.Dataset:
     )
 
 
+def road_edge_table(world_dir: str) -> rd.Dataset:
+    """M9 Polyline2 edge-table construction as a STANDALONE op (the
+    reference materializes per-polyline vertex-pair edge tables before its
+    graph passes, IB-Tool2.py:1259-1400; here the same table also feeds
+    kNN/MST internally — this surfaces it as its own queryable stage):
+    one row per consecutive vertex pair — (road_id, seg_idx 1-based,
+    x1, y1, x2, y2, len_m).  Pure flat map_batches, no shuffle."""
+
+    def _edges(batch: pa.Table) -> pa.Table:
+        xs, ys, offs = _packed_lines(batch)
+        npts = offs[1:] - offs[:-1]
+        valid = np.ones(max(len(xs) - 1, 0), dtype=bool)
+        inner_ends = offs[1:-1] - 1
+        valid[inner_ends[inner_ends < len(valid)]] = False
+        v = np.nonzero(valid)[0] if len(valid) else np.empty(0, np.int64)
+        rid = np.asarray(batch.column("road_id"))
+        nseg = np.maximum(npts - 1, 0)
+        starts = np.concatenate([[0], np.cumsum(nseg)[:-1]])
+        seg_idx = np.arange(int(nseg.sum()), dtype=np.int64) - \
+            np.repeat(starts, nseg) + 1
+        return pa.table({
+            "road_id": pa.array(np.repeat(rid, nseg)),
+            "seg_idx": pa.array(seg_idx, type=pa.int64()),
+            "x1": pa.array(xs[v]),
+            "y1": pa.array(ys[v]),
+            "x2": pa.array(xs[v + 1]),
+            "y2": pa.array(ys[v + 1]),
+            "len_m": pa.array(np.hypot(xs[v + 1] - xs[v], ys[v + 1] - ys[v])),
+        })
+
+    return _roads(world_dir).map_batches(_edges, batch_format="pyarrow")
+
+
 def segment_shares(world_dir: str, min_share_pct: float = 30.0) -> rd.Dataset:
     """A7 grouped length stats — the GapSelect analog
     (IB-Tool2.py:1817-1824: Dissolve(Id, SUM(len), MEAN(len)) → LengPer,

@@ -68,3 +68,31 @@ def test_boundaries_exact(results):
     }
     for s in gold["settlements"]:
         assert eb[s["settlement_id"]] == s["boundary"]
+
+
+def test_conformance_exact_boundary_offset(ray_session):
+    """Engine == oracle under cfg.exact_boundary_offset: the smoothed
+    areas ride the same distributed reductions as the hex areas, and the
+    membership surfaces (assignments) must be unaffected by the flag."""
+    import dataclasses
+
+    from ibray.config import DEFAULT
+
+    world = synth.ensure_world(0.001)
+    cfg = dataclasses.replace(DEFAULT, exact_boundary_offset=True)
+    engine = pipeline.delineate(world, cfg=cfg)
+    gold = oracle.run_oracle(world, cfg=cfg)
+    es = (engine["settlements"].to_pandas()
+          [["settlement_id", "n_footprints", "area_m2"]]
+          .sort_values("settlement_id").reset_index(drop=True))
+    gs = (pd.DataFrame(gold["settlements"])
+          [["settlement_id", "n_footprints", "area_m2"]]
+          .sort_values("settlement_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(es, gs)
+    # assignments identical to the unflagged run (membership is cell-exact)
+    base = pipeline.delineate(world)
+    ea = engine["assignments"].to_pandas().sort_values(
+        "footprint_id").reset_index(drop=True)
+    ba = base["assignments"].to_pandas().sort_values(
+        "footprint_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(ea, ba)
