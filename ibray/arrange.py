@@ -241,9 +241,17 @@ def dissolve_faces(faces: list[list[np.ndarray]]) -> list[np.ndarray]:
     flip = (key[:, 0] > key[:, 2]) | ((key[:, 0] == key[:, 2]) &
                                       (key[:, 1] > key[:, 3]))
     key[flip] = key[flip][:, [2, 3, 0, 1]]
-    _, inv, cnt = np.unique(key, axis=0, return_inverse=True,
-                            return_counts=True)
-    e = e[cnt[inv] == 1]
+    uk, inv = np.unique(key, axis=0, return_inverse=True)
+    # NET direction per undirected edge: opposite traversals cancel in
+    # pairs; an edge can appear 3+ times when a face's hole ring coincides
+    # with other kept faces' boundaries (e.g. a region hole tiled by kept
+    # band faces around a dropped core), so plain count==1 is wrong
+    sign = np.where(flip, -1, 1)
+    net = np.zeros(len(uk), dtype=np.int64)
+    np.add.at(net, inv, sign)
+    fwd = uk[net > 0]
+    bwd = uk[net < 0][:, [2, 3, 0, 1]]
+    e = np.concatenate([fwd, bwd], axis=0)
     if not len(e):
         return []
     order = np.lexsort((e[:, 3], e[:, 2], e[:, 1], e[:, 0]))

@@ -172,80 +172,6 @@ def _simplify_collinear(ring: np.ndarray, tol: float = 0.0) -> np.ndarray:
     return r
 
 
-def _tube_pieces(rings: list[np.ndarray], d: float,
-                 quad_segs: int = DEFAULT_QUAD_SEGS,
-                 fans: str = "both") -> list[np.ndarray]:
-    """The sampled radius-``d`` tube of a ring set as CONVEX CCW pieces:
-    one width-2d rectangle per edge plus one arc sector per vertex on the
-    side where the adjacent offsets diverge (a full disk per vertex is
-    redundant — the converging side is covered by the overlapping rects).
-    The union of the pieces covers every point within d·cos(π/4q) of the
-    rings and nothing beyond distance d.
-
-    ``fans``: "both" emits every diverging-side sector; "outer" keeps only
-    sectors on the polygon-EXTERIOR side of the ring, "inner" only the
-    polygon-INTERIOR side.  A dilation pass can drop interior-side fans
-    (their wedge is inside the region, classified kept regardless) and an
-    erosion pass exterior-side fans (wedge outside the region, dropped
-    regardless) — classification is unchanged while the arrangement loses
-    the per-arc-vertex fans that dominate its face count."""
-    out: list[np.ndarray] = []
-    for ring in rings:
-        r = np.asarray(ring, dtype=np.float64)
-        if len(r) > 1 and r[0, 0] == r[-1, 0] and r[0, 1] == r[-1, 1]:
-            r = r[:-1]
-        if not len(r):
-            continue
-        # orientation: CCW (area>0) interior on the left of travel
-        orient = 1.0 if _ring_area(r) >= 0 else -1.0
-        q = np.roll(r, -1, axis=0)
-        e = q - r
-        ln = np.hypot(e[:, 0], e[:, 1])
-        ok = ln > 1e-12
-        rr, qq, ee, ll = r[ok], q[ok], e[ok], ln[ok]
-        nrm = np.column_stack([ee[:, 1] / ll, -ee[:, 0] / ll])  # right normal
-        off = nrm * d
-        for i in range(len(rr)):
-            out.append(np.array([rr[i] + off[i], qq[i] + off[i],
-                                 qq[i] - off[i], rr[i] - off[i]]))
-        # per-vertex sector between the incoming and outgoing edge normals,
-        # on the diverging side (right of travel at a left turn, left at a
-        # right turn); the sector closes through the vertex itself
-        e_in = np.roll(ee / ll[:, None], 1, axis=0)
-        e_out = ee / ll[:, None]
-        turn = e_in[:, 0] * e_out[:, 1] - e_in[:, 1] * e_out[:, 0]
-        want = np.abs(turn) > 1e-9
-        if fans == "outer":
-            # fan side: right of travel for turn>0, left for turn<0;
-            # exterior side: right for CCW, left for CW → keep orient*turn>0
-            want &= orient * turn > 0
-        elif fans == "inner":
-            want &= orient * turn < 0
-        for i in np.nonzero(want)[0]:
-            v = rr[i]
-            n_in = nrm[i - 1] if i else nrm[-1]
-            n_out = nrm[i]
-            if turn[i] > 0:      # left turn: right-side normals sweep CCW
-                a0 = np.arctan2(n_in[1], n_in[0])
-                a1 = np.arctan2(n_out[1], n_out[0])
-                p0, p1 = v + n_in * d, v + n_out * d
-            else:                # right turn: left-side normals sweep CCW
-                a0 = np.arctan2(-n_out[1], -n_out[0])
-                a1 = np.arctan2(-n_in[1], -n_in[0])
-                p0, p1 = v - n_out * d, v - n_in * d
-            arc = _arc_points(v[0], v[1], a0, a1, d, quad_segs)
-            out.append(np.concatenate([[v], [p0], arc, [p1]], axis=0))
-    return out
-
-
-def _pieces_segs(pieces: list[np.ndarray]) -> np.ndarray:
-    if not pieces:
-        return np.zeros((0, 4), dtype=np.float64)
-    return np.concatenate(
-        [np.column_stack([p, np.roll(p, -1, axis=0)]) for p in pieces],
-        axis=0)
-
-
 def _in_pieces(pts: np.ndarray, pieces: list[np.ndarray]) -> np.ndarray:
     """Membership of points in a union of convex CCW polygons, vectorized
     per piece with a bbox prefilter (boundary counts as inside)."""
@@ -299,8 +225,12 @@ def _offset_geometry(rings: list[np.ndarray], d: float,
             r = r[:-1]
         if len(r) < 3:
             continue
-        orient = 1.0 if _ring_area(r) >= 0 else -1.0
-        w = orient if not erode else -orient  # +1: working side is RIGHT
+        # standard orientation (outers CCW, holes CW) puts the polygon
+        # EXTERIOR on the RIGHT of travel for EVERY ring — dilation works
+        # right of travel, erosion left, independent of ring orientation
+        # (an orient factor here inverted hole handling: the offset curve
+        # of a CW hole landed on the material side and wide holes filled)
+        w = 1.0 if not erode else -1.0
         q = np.roll(r, -1, axis=0)
         e = q - r
         ln = np.hypot(e[:, 0], e[:, 1])

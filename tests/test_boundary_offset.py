@@ -112,3 +112,31 @@ def test_polygonize_exact_offset_flag():
     # one-ring dilation of the closed cell set
     assert a1 >= a0 - 1e-6
     assert a1 <= a0 + perim_cells * 3.0 * np.sqrt(3.0) / 2.0 * d * d
+
+
+def test_close_region_preserves_wide_hole():
+    # 40 m hole >> 2d = 10 m: survives the closing (corners round slightly)
+    outer = np.array([[0, 0], [100, 0], [100, 100], [0, 100]], float)
+    hole = np.array([[30, 30], [70, 30], [70, 70], [30, 70]], float)[::-1]
+    out = close_region([outer, hole], 5.0)
+    a = sum(_ring_area(r) for r in out)
+    assert len(out) == 2
+    assert a == pytest.approx(8400.0, rel=0.01)
+
+
+def test_close_region_fills_narrow_hole():
+    # 8 m hole < 2d: absorbed
+    outer = np.array([[0, 0], [100, 0], [100, 100], [0, 100]], float)
+    hole = np.array([[46, 30], [54, 30], [54, 70], [46, 70]], float)[::-1]
+    out = close_region([outer, hole], 5.0)
+    assert len(out) == 1
+    assert sum(_ring_area(r) for r in out) == pytest.approx(10000.0, rel=1e-3)
+
+
+def test_close_region_bridges_close_components():
+    # two squares 15 m apart with d = 10: 2d = 20 > 15 -> one bridged region
+    a = np.array([[0, 0], [50, 0], [50, 50], [0, 50]], float)
+    b = np.array([[65, 0], [115, 0], [115, 50], [65, 50]], float)
+    out = close_region([a, b], 10.0)
+    assert len(out) == 1
+    assert sum(_ring_area(r) for r in out) > 5000.0 + 100.0

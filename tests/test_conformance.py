@@ -96,3 +96,31 @@ def test_conformance_exact_boundary_offset(ray_session):
     ba = base["assignments"].to_pandas().sort_values(
         "footprint_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(ea, ba)
+
+
+@pytest.mark.skipif("not __import__('os').environ.get('IBRAY_SOAK_SF')",
+                    reason="scale soak: set IBRAY_SOAK_SF=0.1 to enable")
+def test_conformance_soak(ray_session):
+    """Multi-scale soak (SURVEY §9 item 3): full engine==oracle conformance
+    at an arbitrary scale (IBRAY_SOAK_SF), e.g. sf0.1 = ~100x the default
+    conformance world.  The oracle is single-process, so this runs ~tens of
+    minutes — gated behind the env flag and run once per round."""
+    import os
+
+    sf = float(os.environ["IBRAY_SOAK_SF"])
+    world = synth.ensure_world(sf)
+    engine = pipeline.delineate(world)
+    gold = oracle.run_oracle(world)
+    assert engine["settlements"].num_rows == len(gold["settlements"])
+    es = (engine["settlements"].to_pandas()
+          [["settlement_id", "n_footprints", "area_m2"]]
+          .sort_values("settlement_id").reset_index(drop=True))
+    gs = (pd.DataFrame(gold["settlements"])
+          [["settlement_id", "n_footprints", "area_m2"]]
+          .sort_values("settlement_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(es, gs)
+    ea = engine["assignments"].to_pandas().sort_values(
+        "footprint_id").reset_index(drop=True)
+    ga = gold["assignments"].to_pandas().sort_values(
+        "footprint_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(ea, ga)
