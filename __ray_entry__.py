@@ -125,10 +125,13 @@ def _q_smoothed_settlements(sf_dir: str):
     golden.ensure_golden(sf)
     st = _delineate_cached(sf)["settlements"]
     d = hg.edge_length_m(DEFAULT.res_fine)
-    # batch_size=1: one close_region per task — the cost is skewed by
-    # settlement size, so row-level tasks load-balance where a 16-row
-    # batch would serialize the heavy rows behind one worker
-    return rd.from_arrow(st.select(["settlement_id", "boundary"])) \
+    # one row per BLOCK (repartition), not just per batch: from_arrow
+    # yields a single block and map_batches parallelism is per block, so
+    # without the repartition all 108 close_regions ran in ONE task
+    # (measured 169 s at 8 CPUs for ~180 s of single-core work); row-level
+    # blocks also load-balance the settlement-size skew
+    tbl = st.select(["settlement_id", "boundary"])
+    return rd.from_arrow(tbl).repartition(max(tbl.num_rows, 1)) \
         .map_batches(lambda b: B.smooth_boundary_batch(b, d),
                      batch_format="pyarrow", batch_size=1)
 

@@ -35,6 +35,22 @@ def _snap(a: np.ndarray) -> np.ndarray:
     return np.round(a * SNAP) / SNAP
 
 
+def _next1(a: np.ndarray) -> np.ndarray:
+    """``np.roll(a, -1, axis=0)`` via slicing: np.roll's axis bookkeeping
+    dominates on the small per-ring arrays these kernels process by the
+    tens of thousands (profiled ~30% of close_region wall time)."""
+    out = np.empty_like(a)
+    out[:-1] = a[1:]
+    out[-1] = a[0]
+    return out
+
+
+def _shoelace(x: np.ndarray, y: np.ndarray) -> float:
+    """Signed ring area, allocation-free (open ring, implicit closure)."""
+    return 0.5 * (float(np.dot(x[:-1], y[1:]) - np.dot(x[1:], y[:-1]))
+                  + float(x[-1] * y[0] - x[0] * y[-1]))
+
+
 def _seg_pairs(segs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Candidate intersecting pairs via bbox bucketing on a coarse grid —
     fully vectorized (grid registration, ragged per-bucket pair expansion
@@ -178,34 +194,45 @@ def polygonize_segments(segs: np.ndarray) -> list[list[np.ndarray]]:
     # containing this cycle's interior point
     from ibray import geom
 
-    areas = np.array([0.5 * float(np.dot(c[:, 0], np.roll(c[:, 1], -1))
-                                  - np.dot(np.roll(c[:, 0], -1), c[:, 1]))
-                      for c in cycles])
-    order = np.argsort(areas, kind="stable")
+    n = len(cycles)
+    areas = np.array([_shoelace(c[:, 0], c[:, 1]) for c in cycles])
     pts = np.array([_interior_point(c) for c in cycles])
-    parent = np.full(len(cycles), -1, dtype=np.int64)
-    # ascending-area scan: when cycle j comes up, every strictly-smaller
-    # cycle without a parent yet gets j if j contains its interior point —
-    # the FIRST containing cycle in ascending order is the smallest, so
-    # this is the same forest as the naive per-pair scan but with one
-    # vectorized bbox-filtered ring test per cycle instead of O(n^2) calls
-    for pos, j in enumerate(order):
-        prior = order[:pos]
-        cand = prior[(parent[prior] == -1) & (areas[prior] < areas[j])]
-        if not len(cand):
-            continue
-        cj = cycles[j]
-        x0, y0 = cj.min(axis=0)
-        x1, y1 = cj.max(axis=0)
-        p = pts[cand]
-        box = ((p[:, 0] >= x0) & (p[:, 0] <= x1) &
-               (p[:, 1] >= y0) & (p[:, 1] <= y1))
-        cand = cand[box]
-        if not len(cand):
-            continue
-        inside = geom.points_in_ring(pts[cand, 0], pts[cand, 1],
-                                     cj[:, 0], cj[:, 1])
-        parent[cand[inside]] = j
+    parent = np.full(n, -1, dtype=np.int64)
+    # candidate (child i, container j) pairs by bbox + strict-area test,
+    # built in column chunks (bounded memory); then one ascending-area
+    # scan over containers j, each doing a single vectorized ring test on
+    # its still-unparented candidates — the FIRST containing cycle in
+    # ascending area order is the smallest, i.e. the immediate parent
+    bb = np.array([[c[:, 0].min(), c[:, 1].min(),
+                    c[:, 0].max(), c[:, 1].max()] for c in cycles])
+    ii_parts, jj_parts = [], []
+    step = max(1, int(4e6) // max(n, 1))
+    for lo in range(0, n, step):
+        hi = min(lo + step, n)
+        m = ((pts[:, 0][:, None] >= bb[None, lo:hi, 0])
+             & (pts[:, 0][:, None] <= bb[None, lo:hi, 2])
+             & (pts[:, 1][:, None] >= bb[None, lo:hi, 1])
+             & (pts[:, 1][:, None] <= bb[None, lo:hi, 3])
+             & (areas[:, None] < areas[None, lo:hi]))
+        i_c, j_c = np.nonzero(m)
+        ii_parts.append(i_c)
+        jj_parts.append(j_c + lo)
+    ii = np.concatenate(ii_parts) if ii_parts else np.empty(0, np.int64)
+    jj = np.concatenate(jj_parts) if jj_parts else np.empty(0, np.int64)
+    if len(jj):
+        ord2 = np.lexsort((jj, areas[jj]))  # area asc, index-stable ties
+        ii, jj = ii[ord2], jj[ord2]
+        starts = np.nonzero(np.concatenate([[True], jj[1:] != jj[:-1]]))[0]
+        ends = np.concatenate([starts[1:], [len(jj)]])
+        for s, e in zip(starts, ends):
+            cand = ii[s:e]
+            cand = cand[parent[cand] == -1]
+            if not len(cand):
+                continue
+            cj = cycles[jj[s]]
+            inside = geom.points_in_ring(pts[cand, 0], pts[cand, 1],
+                                         cj[:, 0], cj[:, 1])
+            parent[cand[inside]] = jj[s]
     regions: list[list[np.ndarray]] = []
     for i in range(len(cycles)):
         rings = [cycles[i]]
@@ -232,7 +259,7 @@ def dissolve_faces(faces: list[list[np.ndarray]]) -> list[np.ndarray]:
                 rr = rr[:-1]
             if len(rr) < 2:
                 continue
-            nxt = np.roll(rr, -1, axis=0)
+            nxt = _next1(rr)
             segs.append(np.column_stack([rr, nxt]))
     if not segs:
         return []
@@ -330,7 +357,7 @@ def _ccw_cycles(segs: np.ndarray) -> list[np.ndarray]:
         # shoelace (ring is closed implicitly)
         x = ring_pts[:, 0]
         y = ring_pts[:, 1]
-        area = 0.5 * float(np.dot(x, np.roll(y, -1)) - np.dot(np.roll(x, -1), y))
+        area = _shoelace(x, y)
         if area > 1e-9:
             faces.append(ring_pts)
     return faces
@@ -350,7 +377,7 @@ def _ring_segs(rings: list[np.ndarray]) -> np.ndarray:
         rr = np.asarray(r, dtype=np.float64)
         if len(rr) > 1 and rr[0, 0] == rr[-1, 0] and rr[0, 1] == rr[-1, 1]:
             rr = rr[:-1]
-        nxt = np.roll(rr, -1, axis=0)
+        nxt = _next1(rr)
         segs.append(np.column_stack([rr, nxt]))
     return np.concatenate(segs, axis=0) if segs else np.zeros((0, 4))
 
@@ -369,11 +396,11 @@ def _pip_one(px: float, py: float, edges) -> bool:
 def _ring_edges(ring: np.ndarray):
     """Precompute the edge arrays consumed by _pip_one."""
     x1, y1 = ring[:, 0], ring[:, 1]
-    x2 = np.roll(x1, -1)
-    y2 = np.roll(y1, -1)
+    x2 = _next1(x1)
+    y2 = _next1(y1)
     dy = y2 - y1
-    with np.errstate(divide="ignore", invalid="ignore"):
-        inv_dy = np.where(dy == 0, 0.0, 1.0 / np.where(dy == 0, 1.0, dy))
+    inv_dy = np.zeros_like(dy)
+    np.divide(1.0, dy, out=inv_dy, where=dy != 0)
     return x1, y1, x2, y2, inv_dy
 
 
@@ -387,7 +414,7 @@ def _interior_point(ring: np.ndarray) -> np.ndarray:
     all-midpoints scan remains as the rare-degenerate fallback."""
     from ibray import geom
 
-    nxt = np.roll(ring, -1, axis=0)
+    nxt = _next1(ring)
     mids = (ring + nxt) / 2.0
     ex = nxt[:, 0] - ring[:, 0]
     ey = nxt[:, 1] - ring[:, 1]
@@ -424,7 +451,7 @@ def region_interior_point(region: list[np.ndarray]) -> np.ndarray:
     from ibray import geom
 
     ring = region[0]
-    nxt = np.roll(ring, -1, axis=0)
+    nxt = _next1(ring)
     mids = (ring + nxt) / 2.0
     ex = nxt[:, 0] - ring[:, 0]
     ey = nxt[:, 1] - ring[:, 1]
@@ -457,8 +484,7 @@ def region_area(region: list[np.ndarray]) -> float:
     """Signed ring-area sum (holes are CW → negative)."""
     a = 0.0
     for r in region:
-        x, y = r[:, 0], r[:, 1]
-        a += 0.5 * float(np.dot(x, np.roll(y, -1)) - np.dot(np.roll(x, -1), y))
+        a += _shoelace(r[:, 0], r[:, 1])
     return a
 
 

@@ -17,7 +17,7 @@ import pyarrow.parquet as pq
 from ibray import oracle, synth
 from ibray.config import DEFAULT
 
-ORACLE_VERSION = 16
+ORACLE_VERSION = 17  # o17: allocation-free shoelace changes float sum order
 
 
 def golden_dir(sf: float, base: str = "/tmp/ibray_golden") -> str:

@@ -133,8 +133,9 @@ def buffer_polyline_flat(pts: np.ndarray, d: float,
 
 
 def _ring_area(ring: np.ndarray) -> float:
-    x, y = ring[:, 0], ring[:, 1]
-    return 0.5 * float(np.dot(x, np.roll(y, -1)) - np.dot(np.roll(x, -1), y))
+    from ibray.arrange import _shoelace
+
+    return _shoelace(ring[:, 0], ring[:, 1])
 
 
 def _simplify_collinear(ring: np.ndarray, tol: float = 0.0) -> np.ndarray:
@@ -151,9 +152,13 @@ def _simplify_collinear(ring: np.ndarray, tol: float = 0.0) -> np.ndarray:
         r = r[:-1]
     if len(r) < 4:
         return r
+    from ibray.arrange import _next1
+
     for _ in range(8 if tol > 0 else 1):
-        prv = np.roll(r, 1, axis=0)
-        nxt = np.roll(r, -1, axis=0)
+        nxt = _next1(r)
+        prv = np.empty_like(r)
+        prv[1:] = r[:-1]
+        prv[0] = r[-1]
         ax, ay = r[:, 0] - prv[:, 0], r[:, 1] - prv[:, 1]
         bx, by = nxt[:, 0] - r[:, 0], nxt[:, 1] - r[:, 1]
         cross = ax * by - ay * bx
@@ -175,6 +180,8 @@ def _simplify_collinear(ring: np.ndarray, tol: float = 0.0) -> np.ndarray:
 def _in_pieces(pts: np.ndarray, pieces: list[np.ndarray]) -> np.ndarray:
     """Membership of points in a union of convex CCW polygons, vectorized
     per piece with a bbox prefilter (boundary counts as inside)."""
+    from ibray.arrange import _next1
+
     res = np.zeros(len(pts), dtype=bool)
     for poly in pieces:
         todo = np.nonzero(~res)[0]
@@ -188,7 +195,7 @@ def _in_pieces(pts: np.ndarray, pieces: list[np.ndarray]) -> np.ndarray:
         todo = todo[box]
         if not len(todo):
             continue
-        q = np.roll(poly, -1, axis=0)
+        q = _next1(poly)
         ex, ey = q[:, 0] - poly[:, 0], q[:, 1] - poly[:, 1]
         px = pts[todo, 0][:, None]
         py = pts[todo, 1][:, None]
