@@ -496,12 +496,14 @@ def overlay_many(ring_sets: list[list[np.ndarray]]):
     segs = np.concatenate([_ring_segs(rs) for rs in ring_sets], axis=0)
     regions = polygonize_segments(segs)
     member = np.zeros((len(regions), len(ring_sets)), dtype=bool)
-    for i, reg in enumerate(regions):
-        p = region_interior_point(reg)
-        for k, rs in enumerate(ring_sets):
-            if rs:
-                member[i, k] = bool(geom.points_in_polygon(
-                    np.array([p[0]]), np.array([p[1]]), rs)[0])
+    if not regions:
+        return regions, member
+    # one batched PIP call per input ring set (identical crossing kernel,
+    # engages the bucketed fast path) instead of a per-region Python loop
+    pts = np.array([region_interior_point(reg) for reg in regions])
+    for k, rs in enumerate(ring_sets):
+        if rs:
+            member[:, k] = geom.points_in_polygon(pts[:, 0], pts[:, 1], rs)
     return regions, member
 
 
