@@ -31,6 +31,66 @@ _M61 = (1 << 61) - 1
 LSH_BUCKET_CAP = 32
 
 
+_PAIR_SHARDS = 256
+_BROADCAST_FEATS_MAX = 100_000  # candidate docs; above this, join features
+_SMALL_PAIRS_MAX = 2_000_000    # exact driver pair-dedup below this
+
+
+def _pair_shard(*key_cols: np.ndarray) -> np.ndarray:
+    """Coarse shard id of each row's bucket key — the pair-generation
+    groupby runs over ``_PAIR_SHARDS`` shards (one vectorized group call
+    each) instead of one map_groups call per distinct bucket, whose
+    per-group framework overhead dominated with millions of tiny buckets."""
+    h = np.zeros(len(key_cols[0]), dtype=np.uint64)
+    for c in key_cols:
+        h = h * np.uint64(0x9E3779B97F4A7C15) + c.astype(np.uint64)
+    return (h % np.uint64(_PAIR_SHARDS)).astype(np.int64)
+
+
+def _run_pairs(key_cols: list[np.ndarray], ids: np.ndarray, cap: int,
+               star_beyond_cap: bool) -> tuple[np.ndarray, np.ndarray]:
+    """Candidate pairs for EVERY bucket in one shard at once: sort by
+    (bucket key, id), dedupe (key, id), detect key runs, and expand each
+    run of unique sorted ids exactly as the per-bucket rules do —
+    all-pairs for runs of 2..cap (ragged vectorized triu), and (when
+    ``star_beyond_cap``) the star(min)+chain shape beyond cap, else drop.
+    Buckets are identified by the FULL key columns (no combined-hash
+    collisions can merge two buckets)."""
+    if not len(ids):
+        return ids[:0], ids[:0]
+    order = np.lexsort((ids, *reversed(key_cols)))
+    cols = [c[order] for c in key_cols]
+    i = ids[order]
+    newkey = np.zeros(len(i), dtype=bool)
+    newkey[0] = True
+    for c in cols:
+        newkey[1:] |= c[1:] != c[:-1]
+    keep = newkey.copy()
+    keep[1:] |= i[1:] != i[:-1]  # dedupe same (key, id)
+    i = i[keep]
+    newkey = newkey[keep]
+    starts = np.nonzero(newkey)[0]
+    sizes = np.diff(np.concatenate([starts, [len(i)]]))
+    pos = np.arange(len(i))
+    grp_start = np.repeat(starts, sizes)
+    k2 = pos - grp_start
+    run_sz = np.repeat(sizes, sizes)
+    k2t = np.where(run_sz <= cap, k2, 0)
+    total = int(k2t.sum())
+    b_pos = np.repeat(pos, k2t)
+    cum = np.cumsum(k2t) - k2t
+    a_pos = np.arange(total) - np.repeat(cum, k2t) + np.repeat(grp_start, k2t)
+    out_a = [i[a_pos]]
+    out_b = [i[b_pos]]
+    if star_beyond_cap:
+        for r in np.nonzero(sizes > cap)[0]:  # rare over-cap buckets
+            mem = i[starts[r]:starts[r] + sizes[r]]
+            out_a.append(np.concatenate([
+                np.full(len(mem) - 1, mem[0], dtype=mem.dtype), mem[1:-1]]))
+            out_b.append(np.concatenate([mem[1:], mem[2:]]))
+    return np.concatenate(out_a), np.concatenate(out_b)
+
+
 def capped_bucket_pairs(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Candidate pairs for one LSH bucket (ids sorted unique): all pairs up
     to LSH_BUCKET_CAP, star(min)+chain beyond it."""
@@ -165,14 +225,35 @@ def _verified_dup_table(ds: rd.Dataset, pairs: rd.Dataset, feat_of,
         return pa.table({"a": t.column("a").cast(pa.int64()),
                          "b": t.column("b").cast(pa.int64())})
 
-    # repartition (not a conform map) scrubs the hash-shuffle groupby's
-    # zero-column empty blocks: map_batches never calls its UDF on empty
-    # blocks, so only a physical block merge removes them before the joins
-    pairs = pairs.groupby(["a", "b"]).aggregate(
-        Count(alias_name="_n")).map_batches(
-        _ab, batch_format="pyarrow").repartition(8).materialize()
-    if pairs.count() == 0:
+    def _dedup_batch(t: pa.Table) -> pa.Table:
+        u = np.unique(np.column_stack([
+            np.asarray(t.column("a"), dtype=np.int64),
+            np.asarray(t.column("b"), dtype=np.int64)]), axis=0)
+        return pa.table({"a": pa.array(u[:, 0], type=pa.int64()),
+                         "b": pa.array(u[:, 1], type=pa.int64())})
+
+    # pair dedup is BEST-EFFORT by design: duplicate candidate pairs only
+    # repeat an idempotent verify and emit parallel edges that the
+    # component labeling absorbs, so a global groupby(['a','b']) (measured
+    # 37 s of multi-key hash-shuffle overhead for a 14k-row pair table) is
+    # not worth its cost.  Per-batch vectorized dedup removes the bulk;
+    # small pair sets (the common case — candidates are rare-key buckets)
+    # get an exact driver dedup.  repartition (not a conform map) scrubs
+    # the shard groupby's zero-column empty blocks before the joins.
+    pairs = pairs.map_batches(_ab, batch_format="pyarrow").map_batches(
+        _dedup_batch, batch_format="pyarrow").repartition(8).materialize()
+    n_pairs = pairs.count()
+    if n_pairs == 0:
         return empty
+    if n_pairs <= _SMALL_PAIRS_MAX:
+        tbl = pa.concat_tables([t for t in ray.get(pairs.to_arrow_refs())
+                                if t.num_rows])
+        u = np.unique(np.column_stack([
+            np.asarray(tbl.column("a"), dtype=np.int64),
+            np.asarray(tbl.column("b"), dtype=np.int64)]), axis=0)
+        pairs = rd.from_arrow(pa.table({
+            "a": pa.array(u[:, 0], type=pa.int64()),
+            "b": pa.array(u[:, 1], type=pa.int64())})).materialize()
     need = sorted(set(pairs.unique("a")) | set(pairs.unique("b")))
     need_ref = ray.put(pa.array(need, type=pa.int64()))
 
@@ -187,6 +268,40 @@ def _verified_dup_table(ds: rd.Dataset, pairs: rd.Dataset, feat_of,
         })
 
     feats = ds.map_batches(_feats, batch_format="pyarrow").materialize()
+    if len(need) <= _BROADCAST_FEATS_MAX:
+        # small candidate set: ship the feature map once through the object
+        # store and verify inside one map_batches over the pairs — no joins.
+        # The join path below remains the scale route (candidate features
+        # too large to broadcast per node).
+        fmap: dict[int, bytes] = {}
+        for t in ray.get(feats.to_arrow_refs()):
+            if t.num_rows:
+                fmap.update(zip(t.column("doc_id").to_pylist(),
+                                t.column("feat").to_pylist()))
+        fref = ray.put(fmap)
+
+        def _verify_bcast(t: pa.Table) -> pa.Table:
+            fm = ray.get(fref)
+            av = t.column("a").to_pylist()
+            bv = t.column("b").to_pylist()
+            keep = np.zeros(len(t), dtype=bool)
+            for i, (x, y) in enumerate(zip(av, bv)):
+                keep[i] = _jaccard(
+                    np.frombuffer(fm[x], dtype=np.uint64),
+                    np.frombuffer(fm[y], dtype=np.uint64)) >= threshold
+            return t.filter(pa.array(keep)).select(["a", "b"])
+
+        verified = pairs.map_batches(_verify_bcast, batch_format="pyarrow")
+        labels = components_from_edges(verified)
+        out = pa.concat_tables(
+            [t for t in ray.get(labels.to_arrow_refs()) if t.num_rows]) \
+            if labels.count() else None
+        if out is None:
+            return empty
+        order = pc.sort_indices(out, sort_keys=[("node", "ascending")])
+        out = out.take(order)
+        return pa.table({"doc_id": out.column("node"),
+                         "dup_group": out.column("label")})
     fa = feats.map_batches(
         lambda t: t.rename_columns(["a", "feat_a"]), batch_format="pyarrow")
     fb = feats.map_batches(
@@ -233,13 +348,20 @@ def minhash_dup_groups(sf_dir: str, threshold: float = 0.7,
     bands = ds.map_batches(MinHasher, batch_format="pandas", batch_size=2048,
                            concurrency=_pool(4))
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.array(sorted(g["doc_id"].unique()))
-        a, b = capped_bucket_pairs(ids)
+    def add_shard(df: pd.DataFrame) -> pd.DataFrame:
+        df["pshard"] = _pair_shard(df["band"].to_numpy(np.int64),
+                                   df["band_sig"].to_numpy(np.int64))
+        return df
+
+    def shard_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        a, b = _run_pairs([g["band"].to_numpy(np.int64),
+                           g["band_sig"].to_numpy(np.int64)],
+                          g["doc_id"].to_numpy(np.int64),
+                          LSH_BUCKET_CAP, star_beyond_cap=True)
         return pd.DataFrame({"a": a, "b": b})
 
-    pairs = bands.groupby(["band", "band_sig"]).map_groups(
-        bucket_pairs, batch_format="pandas")
+    pairs = bands.map_batches(add_shard, batch_format="pandas") \
+        .groupby("pshard").map_groups(shard_pairs, batch_format="pandas")
     return _verified_dup_table(ds, pairs, _shingle_hashes, threshold)
 
 
@@ -288,15 +410,18 @@ def ngram_jaccard_dups(sf_dir: str, threshold: float = NGRAM_THRESHOLD) -> pa.Ta
     grams = ds.map_batches(NGramEmitter(), batch_format="pandas",
                            batch_size=2048)
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.array(sorted(g["doc_id"].unique()))
-        if len(ids) < 2 or len(ids) > NGRAM_RARE_MAX:
-            return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
-                                 "b": pd.Series([], dtype=np.int64)})
-        ai, bi = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"a": ids[ai], "b": ids[bi]})
+    def add_shard(df: pd.DataFrame) -> pd.DataFrame:
+        df["pshard"] = _pair_shard(df["gram"].to_numpy(np.int64))
+        return df
 
-    pairs = grams.groupby("gram").map_groups(bucket_pairs, batch_format="pandas")
+    def shard_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        a, b = _run_pairs([g["gram"].to_numpy(np.int64)],
+                          g["doc_id"].to_numpy(np.int64),
+                          NGRAM_RARE_MAX, star_beyond_cap=False)
+        return pd.DataFrame({"a": a, "b": b})
+
+    pairs = grams.map_batches(add_shard, batch_format="pandas") \
+        .groupby("pshard").map_groups(shard_pairs, batch_format="pandas")
     return _verified_dup_table(ds, pairs, _word_ngrams, threshold)
 
 

@@ -220,3 +220,40 @@ def test_segment_shares_basic(ray_session, world):
     assert len(out) > 0
     assert (out["max_share_pct"] >= 30.0).all()
     assert (out["max_len_m"] <= out["total_len_m"] + 1e-9).all()
+
+
+def test_run_pairs_matches_per_bucket_rules():
+    from ibray.ops import dedup as D
+
+    # sharded vectorized pair expansion == per-bucket reference rules,
+    # across triu (<=cap), dropped (>cap, no star) and star+chain (>cap)
+    rng = np.random.default_rng(3)
+    keys = rng.integers(0, 40, size=500).astype(np.int64)
+    ids = rng.integers(0, 60, size=500).astype(np.int64)
+    for cap, star in ((5, False), (5, True), (32, True)):
+        a, b = D._run_pairs([keys], ids, cap, star_beyond_cap=star)
+        got = set(zip(a.tolist(), b.tolist()))
+        want = set()
+        for k in np.unique(keys):
+            uids = np.unique(ids[keys == k])
+            if len(uids) < 2:
+                continue
+            if len(uids) <= cap:
+                ai, bi = np.triu_indices(len(uids), k=1)
+                want |= set(zip(uids[ai].tolist(), uids[bi].tolist()))
+            elif star:  # star(min) + chain, the over-cap bucket shape
+                want |= {(int(uids[0]), int(u)) for u in uids[1:]}
+                want |= set(zip(uids[1:-1].tolist(), uids[2:].tolist()))
+        assert got == want, (cap, star)
+
+
+def test_run_pairs_two_key_columns_no_bucket_merge():
+    from ibray.ops import dedup as D
+
+    # buckets are identified by the FULL key tuple: (0,1) and (1,0) must
+    # not merge even though a combined hash could collide
+    band = np.array([0, 0, 1, 1], dtype=np.int64)
+    sig = np.array([1, 1, 0, 0], dtype=np.int64)
+    ids = np.array([10, 11, 20, 21], dtype=np.int64)
+    a, b = D._run_pairs([band, sig], ids, 32, star_beyond_cap=True)
+    assert set(zip(a.tolist(), b.tolist())) == {(10, 11), (20, 21)}
