@@ -425,6 +425,18 @@ def _q_spatial_join(sf_dir: str):
     return SJ.spatial_join(res["settlements"], _blocks_cached(sf))
 
 
+def _q_spatial_join_pairs(sf_dir: str):
+    """J4 SpatialJoin ONE_TO_MANY: every verified intersecting
+    (settlement, block) pair (IB-Tool2.py:1410-1411,1525-1526)."""
+    from ibray.ops import spatialjoin as SJ
+
+    sf = synth.sf_of_dir(sf_dir)
+    golden.ensure_golden(sf)
+    res = _delineate_cached(sf)
+    return SJ.spatial_join(res["settlements"], _blocks_cached(sf),
+                           one_to_one=False)
+
+
 def _q_spatial_anti_join(sf_dir: str):
     """J6 spatial ANTI-join: settlements intersecting NO road block
     (SelectLayerByLocation INVERT, IB-Tool2.py:670,1371-1372)."""
@@ -609,6 +621,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_symdiff": _q_exact_symdiff,    # golden oracle (U2-U5 overlay)
         "edge_catch_refined": _q_edge_catch,  # golden oracle (EdgeCatch analog)
         "spatial_join_blocks": _q_spatial_join,   # golden oracle (J3 generic)
+        "spatial_join_pairs": _q_spatial_join_pairs,  # golden oracle (J4 1:N)
         "spatial_anti_join": _q_spatial_anti_join,  # golden oracle (J6 INVERT)
         "settlement_parts": _q_settlement_parts,  # golden oracle (M13 explode)
         "gap_fix_merges": _q_gap_fix,         # golden oracle (GapFix analog)
@@ -868,6 +881,10 @@ def oracle_sql() -> dict[str, str]:
         "spatial_join_blocks": f"""
             SELECT settlement_id, join_count, first_block_id
             FROM read_parquet('{gold}/spatial_join.parquet')
+        """,
+        "spatial_join_pairs": f"""
+            SELECT settlement_id, block_id
+            FROM read_parquet('{gold}/spatial_join_pairs.parquet')
         """,
         "spatial_anti_join": f"""
             SELECT s.settlement_id, s.n_footprints

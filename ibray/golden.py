@@ -17,7 +17,7 @@ import pyarrow.parquet as pq
 from ibray import oracle, synth
 from ibray.config import DEFAULT
 
-ORACLE_VERSION = 17  # o17: allocation-free shoelace changes float sum order
+ORACLE_VERSION = 18  # o18: + spatial_join_pairs.parquet (J4 ONE_TO_MANY)
 
 
 def golden_dir(sf: float, base: str = "/tmp/ibray_golden") -> str:
@@ -119,8 +119,9 @@ def ensure_golden(sf: float) -> str:
     ec_refined, ec_merges, _ec_snap = GX.golden_edge_catch(world, DEFAULT, res_a=res)
     pq.write_table(ec_refined, os.path.join(tmp, "edge_catch.parquet"))
     pq.write_table(ec_merges, os.path.join(tmp, "gap_fix.parquet"))
-    pq.write_table(GX.golden_spatial_join(world, DEFAULT, res_a=res),
-                   os.path.join(tmp, "spatial_join.parquet"))
+    sj_one, sj_pairs = GX.golden_spatial_join(world, DEFAULT, res_a=res)
+    pq.write_table(sj_one, os.path.join(tmp, "spatial_join.parquet"))
+    pq.write_table(sj_pairs, os.path.join(tmp, "spatial_join_pairs.parquet"))
     r_rs, r_ra = GX.golden_refined_assignments(world, DEFAULT, res_a=res)
     pq.write_table(r_rs.select(["settlement_id", "area_m2"]),
                    os.path.join(tmp, "refined_settlements.parquet"))

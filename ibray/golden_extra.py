@@ -808,6 +808,7 @@ def golden_spatial_join(world_dir: str, cfg: DelineationConfig = DEFAULT,
         b_cover[bid] = set(block_cover(region, cfg).tolist())
         b_rings[bid] = region
     out_sid, out_cnt, out_first = [], [], []
+    pair_sid, pair_bid = [], []
     for s in res_a["settlements"]:
         sid = s["settlement_id"]
         cover = set(s["cover_cells"])
@@ -820,11 +821,21 @@ def golden_spatial_join(world_dir: str, cfg: DelineationConfig = DEFAULT,
         out_sid.append(sid)
         out_cnt.append(len(hits))
         out_first.append(hits[0] if hits else "")
-    return pa.table({
+        pair_sid.extend([sid] * len(hits))
+        pair_bid.extend(hits)
+    one_to_one = pa.table({
         "settlement_id": pa.array(out_sid, type=pa.string()),
         "join_count": pa.array(out_cnt, type=pa.int64()),
         "first_block_id": pa.array(out_first, type=pa.string()),
     })
+    # J4 ONE_TO_MANY oracle (SpatialJoin JOIN_ONE_TO_MANY,
+    # /root/reference/IB-Tool2.py:1410-1411,1525-1526): the verified
+    # (settlement, block) pair list itself, no per-left reduce.
+    pairs = pa.table({
+        "settlement_id": pa.array(pair_sid, type=pa.string()),
+        "block_id": pa.array(pair_bid, type=pa.string()),
+    })
+    return one_to_one, pairs
 
 
 def golden_single_bdg(world_dir: str, cfg: DelineationConfig = DEFAULT,

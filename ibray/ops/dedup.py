@@ -111,13 +111,13 @@ def _docs(sf_dir: str, columns: list[str]) -> rd.Dataset:
 
 def exact_dedup(sf_dir: str) -> rd.Dataset:
     """One representative (min doc_id) per distinct text content."""
-    import hashlib
+    from ibray.util import md5_hex_column
 
-    def _h(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["h"] = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in batch["text"]]
-        return batch[["doc_id", "h"]]
+    def _h(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "h": md5_hex_column(batch.column("text"))})
 
-    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(_h, batch_format="pandas")
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(_h, batch_format="pyarrow")
     return ds.groupby("h").aggregate(Min("doc_id", alias_name="doc_id"))
 
 

@@ -93,14 +93,12 @@ def lang_source_counts(sf_dir: str) -> rd.Dataset:
 def doc_fingerprints(sf_dir: str) -> rd.Dataset:
     """Deterministic content fingerprint (md5) per document — the exact-dedup
     key (U8 analog at corpus scale)."""
-    import hashlib
+    from ibray.util import md5_hex_column
 
-    def _fp(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["fp"] = [
-            hashlib.md5(t.encode("utf-8")).hexdigest() for t in batch["text"]
-        ]
-        return batch[["doc_id", "fp"]]
+    def _fp(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "fp": md5_hex_column(batch.column("text"))})
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        _fp, batch_format="pandas", batch_size=8192
+        _fp, batch_format="pyarrow", batch_size=8192
     )

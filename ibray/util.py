@@ -3,6 +3,32 @@
 from __future__ import annotations
 
 
+def md5_hex_column(col) -> "pa.Array":
+    """md5 hexdigest per row of an Arrow string column, hashing the
+    utf-8 buffer slices directly (zero-copy memoryviews) — no pandas
+    boxing and no Python-str re-encode.  Matches DuckDB ``md5(text)``
+    bit-for-bit (Arrow strings are already utf-8)."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
+    out: list[str] = []
+    for arr in chunks:
+        if arr.null_count:
+            arr = arr.fill_null("")
+        bufs = arr.buffers()
+        odt = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+        offs = np.frombuffer(bufs[1], dtype=odt)[
+            arr.offset: arr.offset + len(arr) + 1]
+        data = memoryview(bufs[2])
+        md5 = hashlib.md5
+        out.extend(md5(data[offs[i]: offs[i + 1]]).hexdigest()
+                   for i in range(len(arr)))
+    return pa.array(out, type=pa.string())
+
+
 def pool_size(requested: int) -> int:
     """Clamp an actor-pool size so the pool can never starve the upstream
     read/map tasks (a pool reserving every CPU deadlocks a small cluster)."""

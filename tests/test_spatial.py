@@ -70,12 +70,18 @@ def test_spatial_join_matches_golden(ray_session, world):
     blocks = pipeline._concat_refs(B.blocks_dataset(world),
                                    B._empty_blocks().schema)
     e = SJ.spatial_join(settlements, blocks).to_pandas().reset_index(drop=True)
-    g = GX.golden_spatial_join(world).to_pandas().reset_index(drop=True)
+    g_one, g_pairs = GX.golden_spatial_join(world)
+    g = g_one.to_pandas().reset_index(drop=True)
     assert e.equals(g)
     assert (e["join_count"] > 0).any()
-    # ONE_TO_MANY emits every intersecting pair
+    # ONE_TO_MANY emits every intersecting pair (J4), golden-exact
     pairs = SJ.spatial_join(settlements, blocks, one_to_one=False).to_pandas()
     assert len(pairs) == e["join_count"].sum()
+    gp = g_pairs.to_pandas().sort_values(
+        ["settlement_id", "block_id"]).reset_index(drop=True)
+    ep = pairs.sort_values(
+        ["settlement_id", "block_id"]).reset_index(drop=True)
+    assert ep.equals(gp)
 
 
 def test_spatial_anti_join(ray_session, world):
