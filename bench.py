@@ -44,6 +44,9 @@ def run_bench() -> dict:
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    from ibray.util import apply_shuffle_strategy
+
+    apply_shuffle_strategy(ctx)
 
     from ibray import pipeline, synth
 

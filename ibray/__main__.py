@@ -48,6 +48,9 @@ def main(argv: list[str] | None = None) -> int:
         ray.init(address="local", include_dashboard=False,
                  logging_level="ERROR")
         started = True
+    from ibray.util import apply_shuffle_strategy
+
+    apply_shuffle_strategy()
     try:
         if args.cmd == "bench":
             import bench

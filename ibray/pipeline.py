@@ -99,12 +99,22 @@ def cluster_cells(fp: rd.Dataset, cfg: DelineationConfig = DEFAULT) -> rd.Datase
     """
     import ray
 
+    import os as _os
+
     stats = fp.select_columns(["cell_fine"]).map_batches(
         C.cell_stats_batch, batch_format="pyarrow"
     )
     replicated = stats.map_batches(
         lambda b: C.replicate_to_parts(b, cfg), batch_format="pyarrow"
     )
+    # coalesce the shuffle INPUT to ~1 block per core: the sort exchange
+    # moves O(map_blocks x reduce_blocks) objects, and with the read's ~200
+    # blocks that coordination dominates the exchange (ds.stats(): 9.6 s
+    # wall for <5 s of remote work at 32 CPUs).  shuffle=False is a local
+    # coalesce, no key exchange.  IBRAY_NO_COALESCE=1 restores the raw plan.
+    nb = max(8, _num_cpus())
+    if not _os.environ.get("IBRAY_NO_COALESCE"):
+        replicated = replicated.repartition(nb, shuffle=False)
     local = replicated.groupby("part").map_groups(
         lambda g: C.local_components(g, cfg), batch_format="pyarrow"
     ).materialize()  # consumed twice: border branch + interior branch
@@ -136,9 +146,11 @@ def cluster_cells(fp: rd.Dataset, cfg: DelineationConfig = DEFAULT) -> rd.Datase
     # labels are adjacent in the label sort, so fusing polygonize into this
     # groupby serializes them into the same blocks (measured 1.8x slower at
     # 10M footprints than repartition + batch_size=4 downstream).
-    border_work = border.map_batches(_apply, batch_format="pyarrow") \
-        .groupby("label").map_groups(
-            lambda g: C.work_row_group(g, cfg), batch_format="pyarrow")
+    border_work = border.map_batches(_apply, batch_format="pyarrow")
+    if not _os.environ.get("IBRAY_NO_COALESCE"):
+        border_work = border_work.repartition(nb, shuffle=False)
+    border_work = border_work.groupby("label").map_groups(
+        lambda g: C.work_row_group(g, cfg), batch_format="pyarrow")
     interior_work = local.map_batches(
         lambda b: _interior_rows(b), batch_format="pyarrow")
     return interior_work.union(border_work)

@@ -29,6 +29,27 @@ def md5_hex_column(col) -> "pa.Array":
     return pa.array(out, type=pa.string())
 
 
+def apply_shuffle_strategy(ctx=None) -> None:
+    """Default the Ray Data session to push-based sort shuffle: measured
+    A/B on the sf0.1 bench world puts the cluster phase at 81 vs 105 s
+    (8 CPUs) and 20 vs 21 s (32 CPUs) against the pull-based default — the
+    all-to-all exchanges are coordination-bound, not bandwidth-bound, and
+    push-based pipelining hides most of it (BENCH/SCALING_r03.md).
+    Called by the session owners (bench.py, the CLI); the library never
+    mutates the context itself.  Override with IBRAY_SHUFFLE=pull|hash."""
+    import os
+
+    from ray.data.context import DataContext, ShuffleStrategy
+
+    if ctx is None:
+        ctx = DataContext.get_current()
+    strat = os.environ.get("IBRAY_SHUFFLE", "push")
+    if strat == "push":
+        ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
+    elif strat == "hash":
+        ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+
+
 def pool_size(requested: int) -> int:
     """Clamp an actor-pool size so the pool can never starve the upstream
     read/map tasks (a pool reserving every CPU deadlocks a small cluster)."""

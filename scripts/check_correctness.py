@@ -55,6 +55,9 @@ def main() -> int:
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+    from ibray.util import apply_shuffle_strategy
+
+    apply_shuffle_strategy()  # sweep runs under the bench/CLI default
     import __ray_entry__ as E
 
     qs = E.queries()

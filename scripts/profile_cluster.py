@@ -27,8 +27,9 @@ def main() -> None:
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
-    if os.environ.get("IBRAY_PUSH_SHUFFLE"):
-        DataContext.get_current().use_push_based_shuffle = True
+    from ibray.util import apply_shuffle_strategy
+
+    apply_shuffle_strategy()  # IBRAY_SHUFFLE=pull|push|hash (default push)
 
     from ibray import pipeline, synth
     from ibray.config import DEFAULT
@@ -50,13 +51,14 @@ def main() -> None:
     fp = fp_all.map_batches(
         lambda b: F.filter_footprints(b, DEFAULT, positive),
         batch_format="pyarrow")
-    work = pipeline.cluster_cells(fp, DEFAULT)
+    work = pipeline.cluster_cells(fp, DEFAULT).materialize()
     n = work.count()
     t2 = time.time()
     print(f"cluster_cells -> work rows: {t2 - t1:.1f}s  n_work={n}",
           flush=True)
     print(f"TOTAL {t2 - t0:.1f}s  cpus={ncpu} "
-          f"push={bool(os.environ.get('IBRAY_PUSH_SHUFFLE'))}")
+          f"shuffle={os.environ.get('IBRAY_SHUFFLE', 'push')} "
+          f"coalesce={not os.environ.get('IBRAY_NO_COALESCE')}")
     stats = work.stats()
     print("---- work.stats() ----")
     print(stats)
