@@ -124,13 +124,22 @@ def k_ring_offsets(k: int) -> np.ndarray:
     return np.array(offs, dtype=np.int64)
 
 
+def packed_offsets(offs: np.ndarray) -> np.ndarray:
+    """Axial (dq, dr) offsets -> int64 deltas ON THE PACKED cell id.
+
+    ``_pack`` is linear in (q, r) for fixed res, so
+    ``pack(res, q+dq, r+dr) == cell + (dq << 28) + dr`` — neighbor ids are
+    plain int64 adds, no unpack/re-pack.  Sound while q±dq / r±dr stay
+    inside their 28-bit fields (world extents are ~10^4 cells; fields hold
+    ±2^27)."""
+    return (offs[:, 0] << np.int64(28)) + offs[:, 1]
+
+
 def k_ring(cell: np.ndarray, k: int) -> np.ndarray:
     """All cells within hex distance k of each cell -> shape (n, m) int64."""
-    res, q, r = unpack(np.atleast_1d(cell))
-    offs = k_ring_offsets(k)
-    nq = q[:, None] + offs[None, :, 0]
-    nr = r[:, None] + offs[None, :, 1]
-    return _pack(int(res[0]), nq, nr)
+    cell = np.atleast_1d(np.asarray(cell, dtype=np.int64))
+    d = packed_offsets(k_ring_offsets(k))
+    return cell[:, None] + d[None, :]
 
 
 def hex_distance(a: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -176,7 +185,10 @@ def erode(cells: np.ndarray, k: int) -> np.ndarray:
     if len(cells) == 0 or k == 0:
         return cells
     ring = k_ring(cells, k)  # (n, m)
-    inside = np.isin(ring, cells).all(axis=1)
+    # sorted-membership probe (cells is sorted unique) — np.isin re-sorts
+    # both sides on every call, which dominated small-settlement polygonize
+    idx = np.clip(np.searchsorted(cells, ring), 0, len(cells) - 1)
+    inside = (cells[idx] == ring).all(axis=1)
     return cells[inside]
 
 
@@ -191,17 +203,15 @@ def closing(cells: np.ndarray, k: int) -> np.ndarray:
 def _ring1_nbr_table(sc: np.ndarray) -> np.ndarray:
     """(n, 6) neighbor-INDEX table over a sorted unique cell array (self
     index where the neighbor is absent)."""
-    res, q, r = unpack(sc)
     n = len(sc)
-    ring1 = k_ring_offsets(1)
-    ring1 = ring1[~((ring1[:, 0] == 0) & (ring1[:, 1] == 0))]
+    deltas = packed_offsets(_AX_NEIGHBORS)
+    self_idx = np.arange(n)
     cols = []
-    for dq, dr in ring1:
-        nb = _pack(int(res[0]), q + dq, r + dr)
-        idx = np.searchsorted(sc, nb)
-        idx_c = np.clip(idx, 0, n - 1)
+    for d in deltas:
+        nb = sc + d
+        idx_c = np.clip(np.searchsorted(sc, nb), 0, n - 1)
         hit = sc[idx_c] == nb
-        cols.append(np.where(hit, idx_c, np.arange(n)))
+        cols.append(np.where(hit, idx_c, self_idx))
     return np.stack(cols, axis=1)
 
 
@@ -323,29 +333,29 @@ def boundary_rings(cells: np.ndarray) -> list[np.ndarray]:
     cells = np.unique(np.asarray(cells, dtype=np.int64))
     if len(cells) == 0:
         return []
-    res, q, r = unpack(cells)
-    s = EDGE_M[res[0]]
+    res = cells[0] >> np.int64(56)
+    s = EDGE_M[res]
     sset = cells  # sorted unique
     # For each cell and each of its 6 neighbor directions, boundary edge if
     # the neighbor is not in the set.  Hex vertex k (CCW from top) pairs:
     # edge between vertex i and i+1 faces a particular neighbor.
     bnd = cell_boundary(cells)  # (n, 6, 2)
-    # neighbor in direction of edge (v[i], v[i+1]):
-    # pointy-top CCW vertices: 90,150,210,270,330,30 deg. Edge (90..150) faces
-    # up-left neighbor (-1 in q? ). Compute neighbor centers geometrically.
+    # neighbor facing edge (v[i], v[i+1]): pointy-top CCW vertices sit at
+    # 90,150,210,270,330,30 deg, so edge i's outward normal points at
+    # 120,180,240,300,0,60 deg — the fixed axial directions below.  The
+    # neighbor id is a packed-delta int64 add (see packed_offsets);
+    # identical to the old mirror-through-midpoint + re-encode, without
+    # the trig/cube-rounding per direction.
+    edge_dirs = np.array([(-1, 1), (-1, 0), (0, -1),
+                          (1, -1), (1, 0), (0, 1)], dtype=np.int64)
+    deltas = packed_offsets(edge_dirs)
     edges_a = []
     edges_b = []
     for i in range(6):
         va = bnd[:, i, :]
         vb = bnd[:, (i + 1) % 6, :]
-        mid = (va + vb) / 2.0
-        cx, cy = cell_center(cells)
-        # neighbor center = cell center mirrored through edge midpoint
-        nx = 2 * mid[:, 0] - cx
-        ny = 2 * mid[:, 1] - cy
-        ncell = encode(nx, ny, int(res[0]))
-        idx = np.searchsorted(sset, ncell)
-        idx_c = np.clip(idx, 0, len(sset) - 1)
+        ncell = cells + deltas[i]
+        idx_c = np.clip(np.searchsorted(sset, ncell), 0, len(sset) - 1)
         absent = sset[idx_c] != ncell
         # CCW orientation around the cell: keep edge (va -> vb)
         edges_a.append(va[absent])
@@ -367,28 +377,39 @@ def boundary_rings(cells: np.ndarray) -> list[np.ndarray]:
     # outgoing CCW edge in a valid hex union)
     order = np.argsort(ka, kind="stable")
     ka_s = ka[order]
+    # successor resolution vectorized: one searchsorted pair for ALL edges
+    # (the per-step scalar searchsorted dominated small-settlement
+    # polygonize).  Vertices with a unique outgoing edge (the norm) get a
+    # direct successor; pinch vertices (out-degree 2) keep the original
+    # first-unused-in-ka-order scan, byte-identical ring output.
+    pos0 = np.searchsorted(ka_s, kb)
+    pos1 = np.searchsorted(ka_s, kb, side="right")
+    uniq_succ = np.where(
+        pos1 - pos0 == 1, order[np.clip(pos0, 0, len(order) - 1)], -1)
     rings: list[np.ndarray] = []
     used = np.zeros(len(ea), dtype=bool)
     for start in range(len(ea)):
         if used[start]:
             continue
-        ring_pts = [ea[start]]
+        ring_idx = [start]
         cur = start
         while True:
             used[cur] = True
-            nxt_key = kb[cur]
-            pos = np.searchsorted(ka_s, nxt_key)
-            nxt = -1
-            while pos < len(ka_s) and ka_s[pos] == nxt_key:
-                cand = order[pos]
-                if not used[cand]:
-                    nxt = cand
-                    break
-                pos += 1
+            nxt = int(uniq_succ[cur])
+            if nxt >= 0:
+                if used[nxt]:
+                    nxt = -1
+            else:
+                nxt = -1
+                for pos in range(pos0[cur], pos1[cur]):
+                    cand = order[pos]
+                    if not used[cand]:
+                        nxt = int(cand)
+                        break
             if nxt == -1:
                 break
-            ring_pts.append(ea[nxt])
+            ring_idx.append(nxt)
             cur = nxt
-        if len(ring_pts) >= 3:
-            rings.append(np.array(ring_pts))
+        if len(ring_idx) >= 3:
+            rings.append(ea[ring_idx])
     return rings
