@@ -94,6 +94,12 @@ def run_bench() -> dict:
         t0 = time.time()
         _ = D.exact_dedup(_sf_dir()).count()
         queries["exact_dedup"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        _ = D.minhash_dup_groups(_sf_dir()).num_rows
+        queries["minhash_dedup"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        _ = A.ivf_topk(_sf_dir()).num_rows
+        queries["ann_ivf_topk"] = round(time.time() - t0, 3)
     except Exception:
         pass
 
