@@ -37,10 +37,29 @@ from ray.data.aggregate import Count
 from ibray import arrange
 from ibray import hexgrid as hg
 from ibray.config import DEFAULT, DelineationConfig
-from ibray.ops.pip import PIPAssigner, pack_settlement_shards
+from ibray.ops.pip import PIPAssigner, shard_refs_from_dataset
 from ibray.util import pool_size as _pool
 
 SNAP_AREA_FACTOR = 3.0  # IB-Tool2.py:2096 'Shape_Area < shapeareagroup*3'
+
+
+def _as_dataset(polys) -> rd.Dataset:
+    """Accept the polygon side as a Dataset (the 100-TB shape) or a
+    driver-held pa.Table (tests, small worlds)."""
+    return polys if isinstance(polys, rd.Dataset) else rd.from_arrow(polys)
+
+
+def _narrow_table(polys, columns: list[str]) -> pa.Table:
+    """Driver-held NARROW projection (ids + scalars only — never geometry)
+    of a polygon side that may be a Dataset or a table."""
+    from ibray import pipeline
+
+    if isinstance(polys, rd.Dataset):
+        ds = polys.select_columns(columns)
+        schema = pa.schema([(c, pa.string() if c.endswith("_id")
+                             else pa.float64()) for c in columns])
+        return pipeline._concat_refs(ds, schema)
+    return polys.select(columns)
 
 
 class DualAssigner:
@@ -81,17 +100,18 @@ class DualAssigner:
         })
 
 
-def snap_pairs(fp: rd.Dataset, settlements: pa.Table, blocks: pa.Table,
+def snap_pairs(fp: rd.Dataset, settlements: pa.Table, blocks,
                cfg: DelineationConfig = DEFAULT) -> pa.Table:
-    """(settlement_id, block_id, n_fp) for footprints inside both."""
-    import ray
+    """(settlement_id, block_id, n_fp) for footprints inside both.
 
+    Both polygon indexes are packed WORKER-SIDE (ops/pip
+    shard_refs_from_dataset): the driver holds {part: (block_ref, row)}
+    handles, never a shard payload; ``blocks`` may be a Dataset."""
     from ibray import pipeline
 
-    s_refs = {p: ray.put(v) for p, v in
-              pack_settlement_shards(settlements, cfg).items()}
-    b_refs = {p: ray.put(v) for p, v in
-              pack_settlement_shards(blocks, cfg, id_col="block_id").items()}
+    s_refs = shard_refs_from_dataset(settlements, cfg)
+    b_refs = shard_refs_from_dataset(_as_dataset(blocks), cfg,
+                                     id_col="block_id")
     both = fp.select_columns(["footprint_id", "cx", "cy"]).map_batches(
         DualAssigner, fn_constructor_args=(s_refs, b_refs, cfg),
         batch_format="pyarrow", batch_size=cfg.batch_size,
@@ -124,13 +144,17 @@ def edge_catch(fp: rd.Dataset, settlements: pa.Table, blocks: pa.Table,
     return refined, merges
 
 
-def edge_catch_full(fp: rd.Dataset, settlements: pa.Table, blocks: pa.Table,
+def edge_catch_full(fp: rd.Dataset, settlements: pa.Table, blocks,
                     cfg: DelineationConfig = DEFAULT):
     """Returns (refined, merges, snapped_pairs):
 
     refined: (settlement_id, area_m2, refined_area_m2, n_blocks_snapped)
     merges:  (settlement_id, merged_id) — GapFix union over shared blocks
     snapped_pairs: (settlement_id, block_id) rows that passed the area gate
+
+    ``blocks`` may be a Dataset (the 100-TB shape): the driver touches
+    only the narrow (block_id, area_m2) projection; block geometry flows
+    through Dataset joins and worker-side shard packing.
     """
     from ibray import pipeline
 
@@ -140,8 +164,9 @@ def edge_catch_full(fp: rd.Dataset, settlements: pa.Table, blocks: pa.Table,
     sid_arr = np.asarray(settlements.column("settlement_id"))
     sarea = np.asarray(settlements.column("area_m2"))
     area_of_s = dict(zip(sid_arr.tolist(), sarea.tolist()))
-    bid_arr = np.asarray(blocks.column("block_id"))
-    barea = np.asarray(blocks.column("area_m2"))
+    blocks_narrow = _narrow_table(blocks, ["block_id", "area_m2"])
+    bid_arr = np.asarray(blocks_narrow.column("block_id"))
+    barea = np.asarray(blocks_narrow.column("area_m2"))
     p_sid = np.asarray(pairs.column("settlement_id"))
     p_bid = np.asarray(pairs.column("block_id"))
     # vectorized area gate (ids-only on the driver — the pair id table is
@@ -166,7 +191,7 @@ def edge_catch_full(fp: rd.Dataset, settlements: pa.Table, blocks: pa.Table,
         sgeom = rd.from_arrow(settlements).map_batches(
             lambda b: boundary_to_binary(b, "settlement_id", geom_col="geom_s"),
             batch_format="pyarrow")
-        bgeom = rd.from_arrow(blocks).map_batches(
+        bgeom = _as_dataset(blocks).map_batches(
             lambda b: boundary_to_binary(b, "block_id", geom_col="geom_b"),
             batch_format="pyarrow")
         joined = rd.from_arrow(snapped) \
@@ -237,7 +262,7 @@ def edge_catch_full(fp: rd.Dataset, settlements: pa.Table, blocks: pa.Table,
     return refined, merges, snapped
 
 
-def refined_settlements(settlements: pa.Table, blocks: pa.Table,
+def refined_settlements(settlements: pa.Table, blocks,
                         merges: pa.Table, snapped: pa.Table,
                         cfg: DelineationConfig = DEFAULT) -> pa.Table:
     """Road-refined settlement polygons: per GapFix-merged group, the exact
@@ -312,8 +337,8 @@ def refined_settlements(settlements: pa.Table, blocks: pa.Table,
             "geom": t.column("geom"), "cov": t.column("cov")}),
             batch_format="pyarrow")
     bd = rd.from_arrow(blk_route) \
-        .join(rd.from_arrow(blocks).map_batches(_b_rows,
-                                                batch_format="pyarrow"),
+        .join(_as_dataset(blocks).map_batches(_b_rows,
+                                              batch_format="pyarrow"),
               join_type="inner", num_partitions=8, on=("block_id",)) \
         .map_batches(lambda t: t.select(["gid", "kind", "geom", "cov"]),
                      batch_format="pyarrow")
@@ -368,13 +393,8 @@ def refined_assignments(fp: rd.Dataset, refined: pa.Table,
     EdgeCatch delineation result).  Polygons are packed in ascending-id
     order so overlap ties resolve deterministically (last id wins — the
     refined_settlements contract)."""
-    import ray
-
-    from ibray.ops.pip import PIPAssigner, pack_settlement_shards
-
     refined = refined.sort_by("settlement_id")
-    shard_refs = {p: ray.put(v) for p, v in
-                  pack_settlement_shards(refined, cfg).items()}
+    shard_refs = shard_refs_from_dataset(refined, cfg)
     return fp.select_columns(
         ["footprint_id", "doc_id", "span_idx", "cx", "cy", "part_cell"]
     ).sort("part_cell").drop_columns(["part_cell"]).map_batches(

@@ -55,31 +55,79 @@ def pack_settlements(settlements: pa.Table, id_col: str = "settlement_id") -> di
     }
 
 
-def pack_settlement_shards(settlements: pa.Table,
-                           cfg: DelineationConfig,
-                           id_col: str = "settlement_id") -> dict[int, dict]:
-    """Shard the settlements table by coarse partition cell: each settlement
-    is packed into every shard whose part appears among the parents of its
-    cover cells, so a probe routed by parent(mid_cell(point)) always finds
-    every settlement that could contain the point.  This replaces the
-    whole-world settlement broadcast — each PIP actor fetches only the
-    shards its batches touch (SURVEY §7.3's tile routing)."""
-    cover = settlements.column("cover_cells")
-    cover = cover.combine_chunks() if isinstance(cover, pa.ChunkedArray) else cover
-    offs = np.asarray(cover.offsets, dtype=np.int64)
-    flat = np.asarray(cover.values, dtype=np.int64)
-    n = len(settlements)
-    srow = np.repeat(np.arange(n, dtype=np.int64), np.diff(offs))
-    parts = hg.parent(flat, cfg.res_part)
-    pairs = np.unique(np.column_stack([parts, srow]), axis=0)
-    shards: dict[int, dict] = {}
-    starts = np.nonzero(np.concatenate([[True], pairs[1:, 0] != pairs[:-1, 0]]))[0]
-    ends = np.concatenate([starts[1:], [len(pairs)]])
-    for s, e in zip(starts, ends):
-        part = int(pairs[s, 0])
-        rows = pairs[s:e, 1]
-        shards[part] = pack_settlements(settlements.take(pa.array(rows)), id_col)
-    return shards
+def shard_refs_from_dataset(poly_ds, cfg: DelineationConfig,
+                            id_col: str = "settlement_id") -> dict:
+    """Worker-side shard packing: {part_cell: ObjectRef(packed payload)}
+    with NO polygon geometry ever landing on the driver.
+
+    A driver-side pack (one payload + ray.put per shard) is O(world)
+    driver memory when the polygon set is itself distributed (city blocks
+    at 100 TB).  Here the routing explode + per-part packing run inside
+    the Dataset
+    (groupby(part).map_groups emits one pickled-payload blob row per
+    part, living in the object store), and a tiny raw-Ray task per output
+    block re-puts each shard payload and returns ONLY the {part: ref}
+    dict — ObjectRefs can't ride in Arrow rows, which is the one step the
+    Dataset API can't express.  The driver holds refs, never payloads.
+    Shard content is byte-equal to pack_settlement_shards: same
+    cover-parent routing rule, rows packed in ascending ``id_col`` order
+    (the tables this packs are id-sorted, so driver packing's row order is
+    the same; the refined-overlap tie contract needs exactly this order).
+    """
+    import pickle
+
+    import ray
+    import ray.data as rd
+
+    if isinstance(poly_ds, pa.Table):
+        poly_ds = rd.from_arrow(poly_ds)
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        cover = batch.column("cover_cells")
+        cover = cover.combine_chunks() if isinstance(cover, pa.ChunkedArray) else cover
+        offs = np.asarray(cover.offsets, dtype=np.int64)
+        flat = np.asarray(cover.values, dtype=np.int64)
+        n = len(batch)
+        row = np.repeat(np.arange(n, dtype=np.int64), np.diff(offs))
+        parts = hg.parent(flat, cfg.res_part)
+        pairs = np.unique(np.column_stack([parts, row]), axis=0)
+        out = batch.take(pa.array(pairs[:, 1]))
+        return out.append_column("part", pa.array(pairs[:, 0], type=pa.int64()))
+
+    def _pack_group(g: pa.Table) -> pa.Table:
+        part = int(g.column("part")[0].as_py())
+        order = pa.compute.sort_indices(g.column(id_col))
+        payload = pack_settlements(g.take(order), id_col)
+        return pa.table({
+            "part": pa.array([part], type=pa.int64()),
+            "blob": pa.array([pickle.dumps(payload, protocol=5)],
+                             type=pa.large_binary()),
+        })
+
+    packed = poly_ds.map_batches(_explode, batch_format="pyarrow") \
+        .groupby("part").map_groups(_pack_group, batch_format="pyarrow") \
+        .materialize()
+
+    @ray.remote(num_cpus=0.25)
+    def _parts_of_block(block: pa.Table) -> list[int]:
+        # groupby can emit zero-column empty blocks (see ops/cc.py)
+        if block.num_rows == 0 or "part" not in block.column_names:
+            return []
+        return np.asarray(block.column("part"), dtype=np.int64).tolist()
+
+    # the payload blobs stay in the materialized dataset's (driver-owned)
+    # blocks; actors resolve {part: (block_ref, row)} lazily and unpickle
+    # only the rows they touch.  Only the tiny parts lists reach the driver.
+    refs: dict[int, tuple] = {}
+    block_refs = packed.to_arrow_refs()
+    parts_lists = ray.get([_parts_of_block.remote(b) for b in block_refs])
+    for bref, parts in zip(block_refs, parts_lists):
+        for row, part in enumerate(parts):
+            refs[int(part)] = (bref, row)
+    # keep the materialized dataset alive for as long as the refs dict is —
+    # its blocks own the payloads
+    refs["__owner__"] = packed  # type: ignore[assignment]
+    return refs
 
 
 def build_settlement_index(payload: dict, cfg: DelineationConfig):
@@ -168,12 +216,13 @@ class PIPAssigner:
         import ray
 
         self.cfg = cfg
-        if isinstance(shard_refs, dict) and shard_refs and not isinstance(
-                next(iter(shard_refs.values())), dict):
-            self.refs = shard_refs          # {part: ObjectRef}
-            self.single = None
-        elif isinstance(shard_refs, dict):
-            self.refs = {p: v for p, v in shard_refs.items()}  # payloads
+        self._blocks: dict = {}
+        if isinstance(shard_refs, dict):
+            # {part: ObjectRef} | {part: payload dict} | {part: (block_ref,
+            # row)} from shard_refs_from_dataset (whose "__owner__" entry
+            # pins the packed dataset driver-side and is dropped here)
+            self.refs = {p: v for p, v in shard_refs.items()
+                         if isinstance(p, int)}
             self.single = None
         else:
             payload = ray.get(shard_refs) if isinstance(
@@ -183,6 +232,8 @@ class PIPAssigner:
         self._cache: dict[int, _Shard] = {}
 
     def _shard(self, part: int) -> _Shard | None:
+        import pickle
+
         import ray
 
         if part in self._cache:
@@ -191,7 +242,17 @@ class PIPAssigner:
         if ref is None:
             self._cache[part] = None
             return None
-        payload = ray.get(ref) if not isinstance(ref, dict) else ref
+        if isinstance(ref, tuple):  # (block_ref, row) from shard_refs_from_dataset
+            bref, row = ref
+            block = self._blocks.get(bref)
+            if block is None:
+                block = ray.get(bref)
+                self._blocks[bref] = block
+            payload = pickle.loads(block.column("blob")[row].as_py())
+        elif isinstance(ref, dict):
+            payload = ref
+        else:
+            payload = ray.get(ref)
         sh = _Shard(payload, self.cfg)
         self._cache[part] = sh
         return sh

@@ -374,8 +374,11 @@ def delineate(world_dir: str, cfg: DelineationConfig = DEFAULT,
         if ck and ck.has("refined_settlements"):
             settlements = ck.read_table("refined_settlements")
         else:
-            blocks = _concat_refs(B.blocks_dataset(world_dir, cfg),
-                                  B._empty_blocks().schema)
+            # blocks stay a DATASET end-to-end: the driver sees only the
+            # narrow (block_id, area_m2) projection; geometry flows through
+            # Dataset joins and worker-side shard packing (ops/pip
+            # shard_refs_from_dataset)
+            blocks = B.blocks_dataset(world_dir, cfg).materialize()
             _r, merges, snapped = EC.edge_catch_full(
                 fp_all, settlements, blocks, cfg)
             settlements = EC.refined_settlements(
