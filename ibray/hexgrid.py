@@ -215,6 +215,57 @@ def _ring1_nbr_table(sc: np.ndarray) -> np.ndarray:
     return np.stack(cols, axis=1)
 
 
+def _cc_ring1_segments(sc: np.ndarray) -> np.ndarray:
+    """Ring-1 connected components over a SORTED UNIQUE cell array via
+    run-length segments — returns the per-cell smallest-member INDEX
+    (same contract as ``_cc_rounds(_ring1_nbr_table(sc))``).
+
+    The packed id is (res<<56)|(q+OFF)<<28|(r+OFF), so cells in one axial
+    column with consecutive r are consecutive int64 values: maximal runs
+    of consecutive ids ARE the vertical segments of the set.  A cell
+    (q, r) touches (q+1, r-1) and (q+1, r), i.e. segment [lo, hi] touches
+    every next-column segment overlapping [lo + 2^28 - 1, hi + 2^28] —
+    found for ALL segments with two searchsorteds (segments are sorted
+    and disjoint, so their lo and hi arrays are both ascending).  The
+    remaining union-find runs on the tiny segment graph.
+    """
+    n = len(sc)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    starts = np.nonzero(np.concatenate([[True], sc[1:] != sc[:-1] + 1]))[0]
+    ends = np.concatenate([starts[1:], [n]])  # exclusive
+    los = sc[starts]
+    his = sc[ends - 1]
+    step = np.int64(1) << np.int64(28)
+    # next-column neighbor window of each segment: [lo+step-1, hi+step]
+    j0 = np.searchsorted(his, los + step - 1)
+    j1 = np.searchsorted(los, his + step, side="right")
+    cnt = np.maximum(j1 - j0, 0)
+    src = np.repeat(np.arange(len(starts), dtype=np.int64), cnt)
+    csum = np.cumsum(cnt) - cnt
+    dst = (np.arange(int(cnt.sum()), dtype=np.int64)
+           - np.repeat(csum, cnt) + np.repeat(j0, cnt))
+    # min-label propagation over the segment edge list (tiny graph)
+    labels = np.arange(len(starts), dtype=np.int64)
+    while True:
+        pulled = labels.copy()
+        np.minimum.at(pulled, src, labels[dst])
+        np.minimum.at(pulled, dst, labels[src])
+        changed = (pulled != labels).any()
+        labels = pulled
+        while True:
+            nl = labels[labels]
+            if (nl == labels).all():
+                break
+            labels = nl
+        if not changed:
+            break
+    # per-root smallest member index = start index of its first segment
+    root_min = np.full(len(starts), n, dtype=np.int64)
+    np.minimum.at(root_min, labels, starts)
+    return np.repeat(root_min[labels], ends - starts)
+
+
 def _cc_rounds(nbrs: np.ndarray) -> np.ndarray:
     """Min-label propagation with pointer jumping (Shiloach-Vishkin style):
     hook = pull the min neighbor label, jump = labels[labels] composition.
@@ -258,11 +309,11 @@ def connected_components(cells: np.ndarray, gap: int = 1) -> np.ndarray:
     order = np.argsort(cells)
     sc = cells[order]
     if gap == 1:
-        labels = _cc_rounds(_ring1_nbr_table(sc))
+        labels = _cc_ring1_segments(sc)
     elif gap % 2 == 1:
         k = gap // 2
         dil = dilate(sc, k)
-        lab_d = _cc_rounds(_ring1_nbr_table(dil))
+        lab_d = _cc_ring1_segments(dil)
         comp = lab_d[np.searchsorted(dil, sc)]
         # per-cell smallest ORIGINAL member index (dilated min is not a
         # valid canonical root: dilation can reorder near-ties)
