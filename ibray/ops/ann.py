@@ -108,7 +108,7 @@ def ivf_assign(sf_dir: str, n_cent: int | None = None) -> rd.Dataset:
 
 def _ivf_index_dir(sf_dir: str, n_cent: int) -> str:
     tag = sf_dir.strip("/").replace("/", "_")
-    return f"/tmp/ibray_ivf/{tag}_c{n_cent}"
+    return f"/tmp/ibray_ivf/{tag}_c{n_cent}_v2"  # v2: + plain "cent" column
 
 
 def ivf_build(sf_dir: str, n_cent: int | None = None) -> str:
@@ -132,7 +132,16 @@ def ivf_build(sf_dir: str, n_cent: int | None = None) -> str:
         return batch.append_column(
             "centroid", pa.array(d.argmin(axis=1).astype(np.int64)))
 
-    ds = _emb(sf_dir).map_batches(_assign, batch_format="pyarrow", batch_size=4096)
+    def _dup_cent(batch: pa.Table) -> pa.Table:
+        # carry the bucket id ALSO as a plain data column ("cent"): the
+        # probe then needs ONE read_parquet over its pruned file list
+        # instead of one Dataset plan per bucket (plan/sampling overhead
+        # measured ~1 s per read_parquet call on this driver)
+        return batch.append_column("cent", batch.column("centroid"))
+
+    ds = _emb(sf_dir).map_batches(_assign, batch_format="pyarrow",
+                                  batch_size=4096) \
+        .map_batches(_dup_cent, batch_format="pyarrow")
     os.makedirs(out, exist_ok=True)
     ds.write_parquet(os.path.join(out, "data"), partition_cols=["centroid"])
     np.save(os.path.join(out, "centroids.npy"), cent)
@@ -159,19 +168,17 @@ def ivf_topk(sf_dir: str, n_cent: int | None = None,
     # hive partition columns, so the pruning is done at path level)
     import glob
 
-    per_bucket = []
-    for c in needed:
-        files = sorted(glob.glob(os.path.join(idx_dir, "data",
-                                              f"centroid={c}", "*.parquet")))
-        if not files:
-            continue
-        dsc = rd.read_parquet(files, columns=["vec_id", "embedding"])
-        per_bucket.append(dsc.map_batches(
-            lambda b, cc=c: b.append_column(
-                "centroid", pa.array(np.full(len(b), cc), type=pa.int64())),
-            batch_format="pyarrow"))
-    buckets = (per_bucket[0].union(*per_bucket[1:])
-               if len(per_bucket) > 1 else per_bucket[0])
+    files = sorted(f for c in needed
+                   for f in glob.glob(os.path.join(
+                       idx_dir, "data", f"centroid={c}", "*.parquet")))
+    # ONE pruned read over all probed buckets' files; the bucket id rides
+    # in the plain "cent" data column written at build time (one
+    # read_parquet plan instead of one per bucket — plan/sampling overhead
+    # measured ~1 s per call on this driver)
+    buckets = rd.read_parquet(files, columns=["vec_id", "embedding", "cent"]) \
+        .map_batches(lambda b: b.append_column(
+            "centroid", b.column("cent").cast(pa.int64())).drop_columns(
+                ["cent"]), batch_format="pyarrow")
     import ray
 
     probe_ref = ray.put((qids, qn, probe))
