@@ -129,10 +129,13 @@ def local_components(group: pa.Table, cfg: DelineationConfig) -> pa.Table:
     INTERIOR labels (no shared cell in this partition's view — i.e. no
     other partition saw any of the component's cells) are final here: they
     emit a finished work row (kind=0: label, n_tot, deduped cell list) and
-    never enter the cross-partition label shuffle.  BORDER labels emit
-    their per-cell rows (kind=1) for the equivalence resolution + the small
-    border groupby(label) — at scale the border band is a few % of cells,
-    so the second shuffle's volume collapses.
+    never enter the cross-partition label shuffle.  BORDER labels emit ONE
+    packed PARTIAL row each (kind=1: local label, partial n, this
+    partition's cell list, plus the shared subset for the equivalence
+    resolution) — the border groupby(label) then moves per-(partition,
+    label) rows with list payloads instead of one row per border CELL
+    (most cells of a cross-border component are not themselves shared, so
+    the per-cell form was ~100x more rows for the same bytes).
     """
     raw = np.asarray(group.column("cell_fine"), dtype=np.int64)
     raw_shared = np.asarray(group.column("shared"))
@@ -153,39 +156,49 @@ def local_components(group: pa.Table, cfg: DelineationConfig) -> pa.Table:
     np.logical_or.at(border_lab, labels_idx, shared)
     n_tot = np.bincount(labels_idx, weights=n_cell, minlength=k).astype(np.int64)
     interior = ~border_lab & (n_tot >= cfg.min_footprints)
-    # interior work rows: cells grouped per label (cells are label-sorted
-    # after a stable argsort on labels_idx)
+    # one row per emitted label: cells grouped per label (cells are
+    # label-sorted after a stable argsort on labels_idx)
     order = np.argsort(labels_idx, kind="stable")
     ls = labels_idx[order]
     cs = cells[order]
+    ss = shared[order]
     starts = np.nonzero(np.concatenate([[True], ls[1:] != ls[:-1]]))[0]
     ends = np.concatenate([starts[1:], [len(ls)]])
-    w_lab, w_n, w_offs, w_cells = [], [], [0], []
-    for li in np.nonzero(interior)[0]:
+    w_kind, w_lab, w_n = [], [], []
+    w_offs, w_cells = [0], []
+    s_offs, s_cells = [0], []
+    for li in range(k):
         s, e = starts[li], ends[li]
-        w_lab.append(int(label_cell[first_idx[li]]))
-        w_n.append(int(n_tot[li]))
-        w_cells.append(cs[s:e])
-        w_offs.append(w_offs[-1] + (e - s))
-    bmask = border_lab[labels_idx]
-    nb = int(bmask.sum())
-    nw = len(w_lab)
+        if border_lab[li]:
+            w_kind.append(1)
+            w_lab.append(int(label_cell[first_idx[li]]))
+            w_n.append(int(n_tot[li]))
+            w_cells.append(cs[s:e])
+            w_offs.append(w_offs[-1] + (e - s))
+            sh = cs[s:e][ss[s:e]]
+            s_cells.append(sh)
+            s_offs.append(s_offs[-1] + len(sh))
+        elif interior[li]:
+            w_kind.append(0)
+            w_lab.append(int(label_cell[first_idx[li]]))
+            w_n.append(int(n_tot[li]))
+            w_cells.append(cs[s:e])
+            w_offs.append(w_offs[-1] + (e - s))
+            s_offs.append(s_offs[-1])
     cells_list = pa.ListArray.from_arrays(
-        pa.array(w_offs + [w_offs[-1]] * nb, type=pa.int32()),
+        pa.array(w_offs, type=pa.int32()),
         pa.array(np.concatenate(w_cells) if w_cells else np.zeros(0, np.int64),
                  type=pa.int64()))
+    shared_list = pa.ListArray.from_arrays(
+        pa.array(s_offs, type=pa.int32()),
+        pa.array(np.concatenate(s_cells) if s_cells else np.zeros(0, np.int64),
+                 type=pa.int64()))
     return pa.table({
-        "kind": pa.array(np.concatenate([np.zeros(nw, np.int8),
-                                         np.ones(nb, np.int8)])),
-        "label": pa.array(np.concatenate([
-            np.array(w_lab, dtype=np.int64), label_cell[bmask]]), type=pa.int64()),
-        "n": pa.array(np.concatenate([
-            np.array(w_n, dtype=np.int64), n_cell[bmask]]), type=pa.int64()),
+        "kind": pa.array(np.array(w_kind, dtype=np.int8)),
+        "label": pa.array(np.array(w_lab, dtype=np.int64), type=pa.int64()),
+        "n": pa.array(np.array(w_n, dtype=np.int64), type=pa.int64()),
         "cells": cells_list,
-        "cell_fine": pa.array(np.concatenate([
-            np.zeros(nw, np.int64), cells[bmask]]), type=pa.int64()),
-        "shared": pa.array(np.concatenate([
-            np.zeros(nw, bool), shared[bmask]])),
+        "shared_cells": shared_list,
     })
 
 
@@ -290,12 +303,12 @@ def apply_root_arrays(batch: pa.Table, keys: np.ndarray,
 
 def work_row_group(group: pa.Table, cfg: DelineationConfig) -> pa.Table:
     """Reduce side of the groupby(label) shuffle: one settlement work row
-    per label — (label, settlement_id, n_footprints, cells).  Halo copies
-    carry n=0, so the plain sum is exact; the cells list dedupes the
-    shared-band copies with one np.unique."""
-    labels = np.asarray(group.column("label"), dtype=np.int64)
+    per label — (label, settlement_id, n_footprints, cells).  Input rows
+    are the per-(partition, label) PARTIALS: halo cells carry n only on
+    their own partition's row, so the plain sum of partial n is exact; the
+    concatenated cell lists dedupe with one np.unique."""
     n = np.asarray(group.column("n"), dtype=np.int64)
-    label = int(labels[0])
+    label = int(group.column("label")[0].as_py())
     n_tot = int(n.sum())
     empty = pa.table({
         "label": pa.array([], type=pa.int64()),
@@ -305,7 +318,10 @@ def work_row_group(group: pa.Table, cfg: DelineationConfig) -> pa.Table:
     })
     if n_tot < cfg.min_footprints:
         return empty
-    cells = np.unique(np.asarray(group.column("cell_fine"), dtype=np.int64))
+    col = group.column("cells")
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    # flatten() respects slice offsets (map_groups hands out table slices)
+    cells = np.unique(np.asarray(col.flatten(), dtype=np.int64))
     cells_list = pa.ListArray.from_arrays(
         pa.array([0, len(cells)], type=pa.int32()),
         pa.array(cells, type=pa.int64()))

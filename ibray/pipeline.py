@@ -120,14 +120,25 @@ def cluster_cells(fp: rd.Dataset, cfg: DelineationConfig = DEFAULT) -> rd.Datase
     ).materialize()  # consumed twice: border branch + interior branch
     border = local.map_batches(
         lambda b: b.filter(pa.compute.equal(b.column("kind"), 1)).select(
-            ["cell_fine", "label", "shared", "n"]),
+            ["label", "n", "cells", "shared_cells"]),
         batch_format="pyarrow")
+
+    def _explode_shared(b: pa.Table) -> pa.Table:
+        col = b.column("shared_cells")
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        counts = np.asarray(pa.compute.list_value_length(col), dtype=np.int64)
+        labels = np.repeat(np.asarray(b.column("label"), dtype=np.int64),
+                           counts)
+        return pa.table({
+            "cell_fine": pa.array(np.asarray(col.flatten(), dtype=np.int64)),
+            "label": pa.array(labels, type=pa.int64()),
+        })
+
+    # only the SHARED cells (the thin geometric band) reach the driver for
+    # the equivalence union-find — identical pairs to the per-cell form
     shared_tbl = _concat_refs(
-        border.map_batches(
-            lambda b: b.filter(pa.array(np.asarray(b.column("shared")))),
-            batch_format="pyarrow"),
-        pa.schema([("cell_fine", pa.int64()), ("label", pa.int64()),
-                   ("shared", pa.bool_()), ("n", pa.int64())]),
+        border.map_batches(_explode_shared, batch_format="pyarrow"),
+        pa.schema([("cell_fine", pa.int64()), ("label", pa.int64())]),
     )
     root_map, _ = C.resolve_shared(
         np.asarray(shared_tbl.column("cell_fine"), dtype=np.int64),

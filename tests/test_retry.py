@@ -46,9 +46,10 @@ def _work_table(fp, flag_path=None):
         "kind": [r["kind"] for r in rows],
         "label": [r["label"] for r in rows],
         "n": [r["n"] for r in rows],
-        "cell_fine": [r["cell_fine"] for r in rows],
+        "cells": [tuple(r["cells"]) for r in rows],
+        "shared_cells": [tuple(r["shared_cells"]) for r in rows],
     })
-    return df.sort_values(["kind", "label", "cell_fine", "n"]).reset_index(
+    return df.sort_values(["kind", "label", "n", "cells"]).reset_index(
         drop=True)
 
 
