@@ -29,6 +29,10 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--exact-boundary", action="store_true",
                    help="smooth settlement boundaries with the true planar "
                         "offset closing (cfg.exact_boundary_offset)")
+    d.add_argument("--parts", default=None,
+                   help="debug subsetting: comma-separated coarse partition "
+                        "cells (res_part hex ids); only these partitions run "
+                        "(reference config keys 08-10)")
     sub.add_parser("bench")
     ing = sub.add_parser(
         "ingest",
@@ -97,6 +101,9 @@ def main(argv: list[str] | None = None) -> int:
             overrides["min_footprints"] = args.min_footprints
         if args.exact_boundary:
             overrides["exact_boundary_offset"] = True
+        if args.parts:
+            overrides["partition_list"] = tuple(
+                int(p) for p in args.parts.split(",") if p.strip())
         cfg = DelineationConfig(**overrides) if overrides else DEFAULT
         res = pipeline.delineate(args.world, cfg=cfg, out_dir=args.out)
         print(json.dumps({

@@ -32,6 +32,12 @@ class DelineationConfig:
                                    # (MaxHole, IB-Tool2_Config.txt:5 + HoleClose)
 
     # --- execution ---
+    # debug subsetting (reference config keys 08-10, IB-Tool2.py:2331-2358:
+    # run a single partition or an explicit list): when set, delineate()
+    # keeps only footprints whose coarse partition cell (res_part) is in
+    # this tuple — settlements/assignments/tiles all restrict accordingly.
+    # None = whole world.
+    partition_list: tuple[int, ...] | None = None
     batch_size: int = 32768
     pip_concurrency: int = 4   # actor pool size for the PIP stage
     # PIP back-assignment strategy: "broadcast" probes a sorted int64 cell

@@ -1050,8 +1050,13 @@ def golden_embedding_dups(emb: pd.DataFrame, n_cent: int | None = None) -> pa.Ta
 
 
 def _ivf_centroids_single(emb: pd.DataFrame, n_cent: int = 16,
-                          iters: int = 5, target: int = 4096) -> np.ndarray:
-    """The deterministic sampling + Lloyd spec, one process."""
+                          iters: int = 5,
+                          target: int | None = None) -> np.ndarray:
+    """The deterministic sampling + Lloyd spec, one process.  The sample
+    target follows the engine's rule (ops/ann.sample_target): >=8 rows per
+    centroid, floor 4096 — keep the two in lockstep."""
+    if target is None:
+        target = max(4096, 8 * n_cent)
     vid = emb["vec_id"].to_numpy(dtype=np.uint64)
     h = (vid * np.uint64(2654435761)) & np.uint64(0xFFFFFFFF)
     frac = min(1.0, 2.0 * target / max(len(emb), 1))

@@ -67,14 +67,38 @@ def _sample_matrix(sf_dir: str, target: int = _SAMPLE_TARGET) -> np.ndarray:
     return np.stack(df["embedding"].to_numpy()).astype(np.float64)
 
 
+def sample_target(n_cent: int) -> int:
+    """Training-sample size rule: at least 8 rows per requested centroid,
+    never below the base target — so the sqrt-N centroid rule
+    (scaled_n_cent) can't outrun the training set and silently yield
+    fewer/worse centroids (golden_extra._ivf_centroids_single mirrors
+    this exactly)."""
+    return max(_SAMPLE_TARGET, 8 * n_cent)
+
+
+def _assign_nearest(X: np.ndarray, cent: np.ndarray) -> np.ndarray:
+    """argmin_c ||x - cent_c||^2, evaluated in row chunks so the
+    (rows, n_cent, dim) broadcast temp stays bounded (~128 MB) at large
+    centroid counts.  Per-element math is IDENTICAL to the full-broadcast
+    expression — chunking only splits rows, so results are bit-equal to
+    the single-process oracle's computation."""
+    n_cent, dim = cent.shape
+    chunk = max(16, (1 << 24) // max(1, n_cent * dim))
+    out = np.empty(len(X), np.int64)
+    for s in range(0, len(X), chunk):
+        d = ((X[s:s + chunk, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        out[s:s + chunk] = d.argmin(axis=1)
+    return out
+
+
 def _train_centroids(sf_dir: str, n_cent: int = 16, iters: int = 5) -> np.ndarray:
     """Lloyd iterations over the distributed sample (deterministic: init =
-    first n_cent sample rows in vec_id order)."""
-    sample = _sample_matrix(sf_dir)
+    first n_cent sample rows in vec_id order).  Sample size scales with
+    n_cent (sample_target) so centroid quality holds past ~16M vectors."""
+    sample = _sample_matrix(sf_dir, target=sample_target(n_cent))
     cent = sample[:n_cent].copy()
     for _ in range(iters):
-        d = ((sample[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-        a = d.argmin(axis=1)
+        a = _assign_nearest(sample, cent)
         for c in range(n_cent):
             m = a == c
             if m.any():
@@ -97,18 +121,25 @@ def ivf_assign(sf_dir: str, n_cent: int | None = None) -> rd.Dataset:
     def _assign(batch: pa.Table) -> pa.Table:
         c = ray.get(ref)
         vecs = np.stack(batch.column("embedding").to_pandas().to_numpy()).astype(np.float64)
-        d = ((vecs[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
         return pa.table({
             "vec_id": batch.column("vec_id"),
-            "centroid": pa.array(d.argmin(axis=1).astype(np.int64)),
+            "centroid": pa.array(_assign_nearest(vecs, c)),
         })
 
     return _emb(sf_dir).map_batches(_assign, batch_format="pyarrow", batch_size=4096)
 
 
+def _index_root() -> str:
+    """Root of the IVF bucket-partitioned layout.  Node-local /tmp is
+    correct single-node; a multi-node cluster MUST point IBRAY_INDEX_ROOT
+    at a shared URI (NFS mount / object store) so build tasks and probe
+    tasks — which land on different nodes — see the same layout."""
+    return os.environ.get("IBRAY_INDEX_ROOT", "/tmp/ibray_ivf")
+
+
 def _ivf_index_dir(sf_dir: str, n_cent: int) -> str:
     tag = sf_dir.strip("/").replace("/", "_")
-    return f"/tmp/ibray_ivf/{tag}_c{n_cent}_v2"  # v2: + plain "cent" column
+    return f"{_index_root()}/{tag}_c{n_cent}_v2"  # v2: + plain "cent" column
 
 
 def ivf_build(sf_dir: str, n_cent: int | None = None) -> str:
@@ -128,9 +159,8 @@ def ivf_build(sf_dir: str, n_cent: int | None = None) -> str:
     def _assign(batch: pa.Table) -> pa.Table:
         c = ray.get(ref)
         vecs = np.stack(batch.column("embedding").to_pandas().to_numpy()).astype(np.float64)
-        d = ((vecs[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
         return batch.append_column(
-            "centroid", pa.array(d.argmin(axis=1).astype(np.int64)))
+            "centroid", pa.array(_assign_nearest(vecs, c)))
 
     def _dup_cent(batch: pa.Table) -> pa.Table:
         # carry the bucket id ALSO as a plain data column ("cent"): the
@@ -171,6 +201,10 @@ def ivf_topk(sf_dir: str, n_cent: int | None = None,
     files = sorted(f for c in needed
                    for f in glob.glob(os.path.join(
                        idx_dir, "data", f"centroid={c}", "*.parquet")))
+    if not files:
+        # every probed bucket is empty (degenerate centroid layout)
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         "vec_id": pa.array([], pa.int64())})
     # ONE pruned read over all probed buckets' files; the bucket id rides
     # in the plain "cent" data column written at build time (one
     # read_parquet plan instead of one per bucket — plan/sampling overhead
@@ -262,9 +296,8 @@ def embedding_dups(sf_dir: str, n_cent: int | None = None,
         # groupby is the shuffle key
         c = ray.get(ref)
         vecs = np.stack(batch.column("embedding").to_pandas().to_numpy()).astype(np.float64)
-        d = ((vecs[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
         return batch.append_column(
-            "centroid", pa.array(d.argmin(axis=1).astype(np.int64)))
+            "centroid", pa.array(_assign_nearest(vecs, c)))
 
     bucketed = _emb(sf_dir).map_batches(_pairs, batch_format="pyarrow",
                                         batch_size=4096)

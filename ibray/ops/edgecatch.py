@@ -24,7 +24,9 @@ the mechanism is blocks + exact polygon ops rather than near-tables):
 Distributed shape: ONE composed actor-pool pass assigns every footprint to
 its settlement AND its block (both sharded PIP indexes, no broadcast of
 either whole table), a groupby((settlement, block)) counts the pairs, and
-the per-pair erase runs as from_items → flat_map.
+the per-pair erase joins each side's packed-ring binary (ops/ringpack)
+through Dataset hash joins and runs inside map_batches — only the
+per-settlement gain aggregate ever reaches the driver.
 """
 
 from __future__ import annotations

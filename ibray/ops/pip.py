@@ -55,8 +55,30 @@ def pack_settlements(settlements: pa.Table, id_col: str = "settlement_id") -> di
     }
 
 
+class ShardRefs:
+    """Driver-side handle for worker-packed PIP shards.
+
+    ``refs`` maps int part_cell -> (block_ref, row); ``owner`` pins the
+    materialized packed dataset (whose Arrow blocks hold the payload
+    bytes) for as long as the driver keeps this handle alive.  Pickling
+    (e.g. into ``fn_constructor_args`` of an actor pool) ships ONLY the
+    refs dict — the Dataset plan/stats never ride to workers.
+    """
+
+    def __init__(self, refs: dict[int, tuple], owner=None):
+        self.refs = refs
+        self._owner = owner
+
+    def __getstate__(self):
+        return {"refs": self.refs}
+
+    def __setstate__(self, state):
+        self.refs = state["refs"]
+        self._owner = None
+
+
 def shard_refs_from_dataset(poly_ds, cfg: DelineationConfig,
-                            id_col: str = "settlement_id") -> dict:
+                            id_col: str = "settlement_id") -> "ShardRefs":
     """Worker-side shard packing: {part_cell: ObjectRef(packed payload)}
     with NO polygon geometry ever landing on the driver.
 
@@ -124,10 +146,9 @@ def shard_refs_from_dataset(poly_ds, cfg: DelineationConfig,
     for bref, parts in zip(block_refs, parts_lists):
         for row, part in enumerate(parts):
             refs[int(part)] = (bref, row)
-    # keep the materialized dataset alive for as long as the refs dict is —
-    # its blocks own the payloads
-    refs["__owner__"] = packed  # type: ignore[assignment]
-    return refs
+    # the ShardRefs handle pins the materialized dataset driver-side
+    # (its blocks own the payloads); pickled copies carry only the refs
+    return ShardRefs(refs, owner=packed)
 
 
 def build_settlement_index(payload: dict, cfg: DelineationConfig):
@@ -217,12 +238,20 @@ class PIPAssigner:
 
         self.cfg = cfg
         self._blocks: dict = {}
-        if isinstance(shard_refs, dict):
+        if isinstance(shard_refs, ShardRefs):
+            # worker-packed shards; the handle's pickled form carries
+            # only {int part: (block_ref, row)}
+            self.refs = {int(p): v for p, v in shard_refs.refs.items()}
+            self.single = None
+        elif isinstance(shard_refs, dict):
             # {part: ObjectRef} | {part: payload dict} | {part: (block_ref,
-            # row)} from shard_refs_from_dataset (whose "__owner__" entry
-            # pins the packed dataset driver-side and is dropped here)
-            self.refs = {p: v for p, v in shard_refs.items()
-                         if isinstance(p, int)}
+            # row)}; keys normalized so np.int64 parts from a caller's
+            # vectorized loop can't silently miss every probe
+            self.refs = {int(p): v for p, v in shard_refs.items()
+                         if isinstance(p, (int, np.integer))}
+            if shard_refs and not self.refs:
+                raise ValueError(
+                    "PIPAssigner: shard_refs dict had no int-like keys")
             self.single = None
         else:
             payload = ray.get(shard_refs) if isinstance(

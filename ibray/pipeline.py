@@ -238,6 +238,20 @@ def delineate(world_dir: str, cfg: DelineationConfig = DEFAULT,
                                       partition_col="part_cell",
                                       wall_sec=_time.time() - t0).materialize()
     _mark("footprints_materialized")
+    if cfg.partition_list:
+        # debug subsetting (reference config keys 08-10): restrict the
+        # whole run to an explicit list of coarse partition cells
+        import pyarrow.compute as _pc
+
+        _keep = pa.array(sorted({int(p) for p in cfg.partition_list}),
+                         type=pa.int64())
+        fp_all = fp_all.map_batches(
+            lambda b: b.filter(_pc.is_in(b.column("part_cell"),
+                                         value_set=_keep)),
+            batch_format="pyarrow").materialize()
+        run_log.info("partition_filter",
+                     f"kept {fp_all.count()} footprints in "
+                     f"{len(_keep)} partitions")
     positive = set(synth.POSITIVE_FKT)
     fp = fp_all.map_batches(
         lambda b: F.filter_footprints(b, cfg, positive), batch_format="pyarrow"

