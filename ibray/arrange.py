@@ -537,6 +537,56 @@ def polygon_erase(a: list[np.ndarray], b: list[np.ndarray]):
     return [f for f, x, y in zip(regions, in_a, in_b) if x and not y]
 
 
+def polygon_erase_local(a: list[np.ndarray], b: list[np.ndarray],
+                        pad: float = 1.0):
+    """``polygon_erase(a, b)`` with b's segments pre-filtered to a's padded
+    bbox — BIT-IDENTICAL output, ~|b|/|b∩bbox(a)| faster when a is small
+    relative to b (the EdgeCatch per-(settlement, block) erase, where b is
+    a settlement boundary of thousands of vertices and a is one city block).
+
+    Why identical: removing segments that never enter a's bbox cannot
+    change any face inside a — every bounding edge of such a face (a-ring
+    pieces and b-ring pieces) intersects a's bbox and is retained, the
+    intersection CUT POINTS come from the same full-segment pairs (the
+    bucket grid in _seg_pairs is a conservative superset at any cell
+    size), and snap rounding is per-vertex.  Chains of b truncated by the
+    filter dangle strictly OUTSIDE a (a dropped segment's bbox misses a's
+    padded bbox entirely, so filter-created endpoints lie off a) and
+    dangles cancel in face areas (module docstring).  Faces dropped or
+    reshaped by the filter are all outside a, i.e. in_a=False in the full
+    arrangement too.  Membership tests run against the FULL b rings, so a
+    block strictly inside b with no nearby b boundary still reports
+    in_b=True.
+    """
+    from ibray import geom
+
+    segs_a = _ring_segs(a)
+    segs_b = _ring_segs(b)
+    if len(segs_a) and len(segs_b):
+        ax_lo = min(segs_a[:, 0].min(), segs_a[:, 2].min()) - pad
+        ax_hi = max(segs_a[:, 0].max(), segs_a[:, 2].max()) + pad
+        ay_lo = min(segs_a[:, 1].min(), segs_a[:, 3].min()) - pad
+        ay_hi = max(segs_a[:, 1].max(), segs_a[:, 3].max()) + pad
+        keep = (np.minimum(segs_b[:, 0], segs_b[:, 2]) <= ax_hi) & \
+               (np.maximum(segs_b[:, 0], segs_b[:, 2]) >= ax_lo) & \
+               (np.minimum(segs_b[:, 1], segs_b[:, 3]) <= ay_hi) & \
+               (np.maximum(segs_b[:, 1], segs_b[:, 3]) >= ay_lo)
+        segs_b = segs_b[keep]
+    segs = np.concatenate([segs_a, segs_b], axis=0)
+    regions = polygonize_segments(segs)
+    out = []
+    for reg in regions:
+        p = region_interior_point(reg)
+        if not (bool(geom.points_in_polygon(
+                np.array([p[0]]), np.array([p[1]]), a)[0]) if a else False):
+            continue
+        if (bool(geom.points_in_polygon(
+                np.array([p[0]]), np.array([p[1]]), b)[0]) if b else False):
+            continue
+        out.append(reg)
+    return out
+
+
 def polygon_symdiff(a: list[np.ndarray], b: list[np.ndarray]):
     """U3 SymDiff: regions in exactly one input; returns (regions, side)
     with side True for a-only (the POS/NEG labeling of

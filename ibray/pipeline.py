@@ -404,10 +404,13 @@ def delineate(world_dir: str, cfg: DelineationConfig = DEFAULT,
             # Dataset joins and worker-side shard packing (ops/pip
             # shard_refs_from_dataset)
             blocks = B.blocks_dataset(world_dir, cfg).materialize()
+            _mark("refine_blocks")
             _r, merges, snapped = EC.edge_catch_full(
                 fp_all, settlements, blocks, cfg)
+            _mark("refine_edgecatch")
             settlements = EC.refined_settlements(
                 base_settlements, blocks, merges, snapped, cfg)
+            _mark("refine_settlements")
             # dense veg-block pre-extraction (Blocks_red,
             # IB-Tool2.py:2464-2482): dense blocks of the aux+road
             # Blocker join the settlement set as their own polygons
@@ -416,6 +419,7 @@ def delineate(world_dir: str, cfg: DelineationConfig = DEFAULT,
             # lands in the block, matching the reference's pre-delete of
             # Blocks_red footprints from the MST path)
             veg = B.dense_block_polygons(world_dir, fp_all, cfg)
+            _mark("refine_veg_blocks")
             if veg.num_rows:
                 import pyarrow.compute as _pc
 

@@ -58,6 +58,12 @@ def apply_shuffle_strategy(ctx=None) -> None:
         ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
 
 
+def full_pool() -> int:
+    """Actor-pool size for a CPU-bound stage that should own the node:
+    all cluster CPUs minus the two reserved for upstream tasks."""
+    return pool_size(1 << 20)
+
+
 def pool_size(requested: int) -> int:
     """Clamp an actor-pool size so the pool can never starve the upstream
     read/map tasks (a pool reserving every CPU deadlocks a small cluster)."""
