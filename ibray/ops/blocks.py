@@ -25,7 +25,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import ray.data as rd
-from ray.data.aggregate import Count, Sum
+from ray.data.aggregate import Sum
 
 from ibray import arrange, geom
 from ibray import hexgrid as hg
@@ -351,6 +351,33 @@ def block_assignments(world_dir: str, fp: rd.Dataset,
         lambda g: _assign_group(g, cfg), batch_format="pyarrow")
 
 
+def _overlap_group(g: pa.Table, cfg: DelineationConfig) -> pa.Table:
+    """One coarse partition: run the co-grouped probe, then reduce to
+    per-block INTEGER partials (n hits, Σ footprint cm²) INSIDE the group —
+    the downstream all-to-all only ever sees ~#blocks rows, not
+    #footprints."""
+    asg = _assign_group(g, cfg)
+    bid = np.asarray(asg.column("block_id"))
+    hit = bid != ""
+    if not hit.any():
+        return pa.table({
+            "block_id": pa.array([], type=pa.string()),
+            "n_part": pa.array([], type=pa.int64()),
+            "cm2_part": pa.array([], type=pa.int64()),
+        })
+    bid = bid[hit]
+    cm2 = np.asarray(asg.column("area_cm2"), dtype=np.int64)[hit]
+    order = np.argsort(bid, kind="stable")
+    bid, cm2 = bid[order], cm2[order]
+    starts = np.nonzero(np.concatenate([[True], bid[1:] != bid[:-1]]))[0]
+    return pa.table({
+        "block_id": pa.array(bid[starts], type=pa.string()),
+        "n_part": pa.array(np.diff(np.concatenate([starts, [len(bid)]])),
+                           type=pa.int64()),
+        "cm2_part": pa.array(np.add.reduceat(cm2, starts), type=pa.int64()),
+    })
+
+
 def block_overlap(world_dir: str, fp: rd.Dataset,
                   cfg: DelineationConfig = DEFAULT,
                   blocks_ds: rd.Dataset | None = None) -> pa.Table:
@@ -358,42 +385,50 @@ def block_overlap(world_dir: str, fp: rd.Dataset,
     Returns blocks with ≥1 footprint: (block_id, n_footprints, area_m2,
     overlap_pct).
 
-    Fully distributed: the co-grouped probe assigns footprints, a groupby
-    reduces INTEGER cm² partials, and block areas attach through a Dataset
-    hash join — only the output contract (hit blocks) reaches the driver."""
+    Scale shape: the co-grouped probe aggregates per-block INTEGER cm²
+    partials inside each partition group, the global groupby reduces
+    ~#blocks partial rows (not #footprints), and block areas attach via a
+    driver-side searchsorted against the narrow (block_id, area_m2)
+    projection — the same O(#hit blocks) driver footprint as the output
+    contract itself.  Integer partial sums commute, so distributed order
+    cannot perturb overlap_pct."""
     from ibray import pipeline
 
     if blocks_ds is None:
         blocks_ds = blocks_dataset(world_dir, cfg).materialize()
-    assigned = block_assignments(world_dir, fp, cfg, blocks_ds=blocks_ds)
-    hit = assigned.map_batches(
-        lambda b: b.filter(pa.compute.not_equal(b.column("block_id"), "")),
-        batch_format="pyarrow")
-    agg = hit.groupby("block_id").aggregate(
-        Count(alias_name="n_footprints"),
-        Sum("area_cm2", alias_name="fp_area_cm2"),
-    ).map_batches(lambda t: t, batch_format="pyarrow").repartition(8)
-    areas = blocks_ds.map_batches(
-        lambda b: b.select(["block_id", "area_m2"]), batch_format="pyarrow")
-    joined = agg.join(areas, join_type="inner", num_partitions=8,
-                      on=("block_id",))
-
-    def _finish(b: pa.Table) -> pa.Table:
-        fp_cm2 = np.asarray(b.column("fp_area_cm2"), dtype=np.int64)
-        blk_area = np.asarray(b.column("area_m2"), dtype=np.float64)
-        return pa.table({
-            "block_id": b.column("block_id"),
-            "n_footprints": b.column("n_footprints"),
-            "area_m2": b.column("area_m2"),
-            "overlap_pct": pa.array((fp_cm2 / 1e4) / blk_area * 100.0),
-        })
-
-    out = pipeline._concat_refs(
-        joined.map_batches(_finish, batch_format="pyarrow"),
-        pa.schema([("block_id", pa.string()), ("n_footprints", pa.int64()),
-                   ("area_m2", pa.float64()),
-                   ("overlap_pct", pa.float64())]))
-    return out.sort_by("block_id")
+    bp = blocks_ds.map_batches(lambda b: _pack_block_rows(b, cfg),
+                               batch_format="pyarrow")
+    pp = fp.select_columns(
+        ["footprint_id", "cx", "cy", "area_m2"]).map_batches(
+        lambda b: _pack_probe_rows(b, cfg), batch_format="pyarrow")
+    partials = bp.union(pp).groupby("probe_part").map_groups(
+        lambda g: _overlap_group(g, cfg), batch_format="pyarrow")
+    agg = partials.groupby("block_id").aggregate(
+        Sum("n_part", alias_name="n_footprints"),
+        Sum("cm2_part", alias_name="fp_area_cm2"),
+    )
+    tbl = pipeline._concat_refs(
+        agg, pa.schema([("block_id", pa.string()),
+                        ("n_footprints", pa.int64()),
+                        ("fp_area_cm2", pa.int64())])).sort_by("block_id")
+    areas = pipeline._concat_refs(
+        blocks_ds.map_batches(
+            lambda b: b.select(["block_id", "area_m2"]),
+            batch_format="pyarrow"),
+        pa.schema([("block_id", pa.string()), ("area_m2", pa.float64())]))
+    a_id = np.asarray(areas.column("block_id"))
+    a_val = np.asarray(areas.column("area_m2"), dtype=np.float64)
+    a_ord = np.argsort(a_id, kind="stable")
+    bid = np.asarray(tbl.column("block_id"))
+    pos = a_ord[np.searchsorted(a_id[a_ord], bid)]
+    blk_area = a_val[pos]
+    fp_cm2 = np.asarray(tbl.column("fp_area_cm2"), dtype=np.int64)
+    return pa.table({
+        "block_id": tbl.column("block_id"),
+        "n_footprints": tbl.column("n_footprints"),
+        "area_m2": pa.array(blk_area, type=pa.float64()),
+        "overlap_pct": pa.array((fp_cm2 / 1e4) / blk_area * 100.0),
+    })
 
 
 def dense_blocks(world_dir: str, fp: rd.Dataset,

@@ -59,7 +59,8 @@ def _narrow_table(polys, columns: list[str]) -> pa.Table:
     if isinstance(polys, rd.Dataset):
         ds = polys.select_columns(columns)
         schema = pa.schema([(c, pa.string() if c.endswith("_id")
-                             else pa.float64()) for c in columns])
+                             else (pa.int64() if c.endswith("_cell")
+                                   else pa.float64())) for c in columns])
         return pipeline._concat_refs(ds, schema)
     return polys.select(columns)
 
@@ -178,9 +179,12 @@ def edge_catch_full(fp: rd.Dataset, settlements: pa.Table, blocks,
     sid_arr = np.asarray(settlements.column("settlement_id"))
     sarea = np.asarray(settlements.column("area_m2"))
     area_of_s = dict(zip(sid_arr.tolist(), sarea.tolist()))
-    blocks_narrow = _narrow_table(blocks, ["block_id", "area_m2"])
+    blocks_narrow = _narrow_table(blocks,
+                                  ["block_id", "area_m2", "part_cell"])
     bid_arr = np.asarray(blocks_narrow.column("block_id"))
     barea = np.asarray(blocks_narrow.column("area_m2"))
+    bpart_arr = np.asarray(blocks_narrow.column("part_cell"),
+                           dtype=np.int64)
     p_sid = np.asarray(pairs.column("settlement_id"))
     p_bid = np.asarray(pairs.column("block_id"))
     # vectorized area gate (ids-only on the driver — the pair id table is
@@ -202,37 +206,110 @@ def edge_catch_full(fp: rd.Dataset, settlements: pa.Table, blocks,
         "block_id": pa.array(list(p_bid[snap]), type=pa.string()),
     })
     if snapped.num_rows:
-        sgeom = rd.from_arrow(settlements).map_batches(
-            lambda b: boundary_to_binary(b, "settlement_id", geom_col="geom_s"),
-            batch_format="pyarrow")
-        bgeom = _as_dataset(blocks).map_batches(
-            lambda b: boundary_to_binary(b, "block_id", geom_col="geom_b"),
-            batch_format="pyarrow")
-        npart = max(8, full_pool())
-        joined = rd.from_arrow(snapped) \
-            .join(sgeom, join_type="inner", num_partitions=npart,
-                  on=("settlement_id",)) \
-            .join(bgeom, join_type="inner", num_partitions=npart,
-                  on=("block_id",))
+        # per-pair exact erase WITHOUT hash joins: pairs, the gated blocks'
+        # packed geometry (keyed by the block's own partition) and one
+        # settlement-geometry copy per distinct partner partition co-shuffle
+        # through a single groupby(epart); each group erases its pairs
+        # locally (the co-grouped probe pattern of ops/blocks).  Routing
+        # tables are ids-only; geometry rides the exchange as packed binary.
+        b_sort2 = np.argsort(bid_arr)
+        p2 = bpart_arr[b_sort2[np.searchsorted(bid_arr[b_sort2],
+                                               p_bid[snap])]]
+        pair_part = pa.array(p2, type=pa.int64())
+        sid_routes = {}
+        for s, ep in zip(p_sid[snap].tolist(), p2.tolist()):
+            sid_routes.setdefault(s, set()).add(ep)
+        gated_bids = set(p_bid[snap].tolist())
 
-        def _erase_batch(t: pa.Table) -> pa.Table:
-            gains_ = np.empty(len(t), dtype=np.int64)
-            gs = t.column("geom_s").to_pylist()
-            gb = t.column("geom_b").to_pylist()
-            for i in range(len(t)):
-                regions = arrange.polygon_erase_local(unpack_rings(gb[i]),
-                                                      unpack_rings(gs[i]))
+        import ray as _ray
+
+        routes_ref = _ray.put(sid_routes)
+        gated_ref = _ray.put(gated_bids)
+
+        def _s_geo_rows(b: pa.Table) -> pa.Table:
+            routes = _ray.get(routes_ref)
+            g = boundary_to_binary(b, "settlement_id", geom_col="geom")
+            sids = g.column("settlement_id").to_pylist()
+            blobs = g.column("geom").to_pylist()
+            eparts, keys, geoms = [], [], []
+            for s, blob in zip(sids, blobs):
+                for ep in sorted(routes.get(s, ())):
+                    eparts.append(ep)
+                    keys.append(s)
+                    geoms.append(blob)
+            n = len(keys)
+            return pa.table({
+                "epart": pa.array(eparts, type=pa.int64()),
+                "kind": pa.array(np.ones(n, dtype=np.int8)),
+                "sid": pa.array(keys, type=pa.string()),
+                "bid": pa.array([""] * n, type=pa.string()),
+                "geom": pa.array(geoms, type=pa.large_binary()),
+            })
+
+        def _b_geo_rows(b: pa.Table) -> pa.Table:
+            keep_ids = _ray.get(gated_ref)
+            bid = b.column("block_id").to_pylist()
+            mask = pa.array([x in keep_ids for x in bid])
+            sub = b.filter(mask)
+            g = boundary_to_binary(sub, "block_id", geom_col="geom")
+            n = len(g)
+            return pa.table({
+                "epart": pa.compute.cast(sub.column("part_cell"), pa.int64()),
+                "kind": pa.array(np.zeros(n, dtype=np.int8)),
+                "sid": pa.array([""] * n, type=pa.string()),
+                "bid": g.column("block_id"),
+                "geom": g.column("geom"),
+            })
+
+        pair_rows = pa.table({
+            "epart": pair_part,
+            "kind": pa.array(np.full(snapped.num_rows, 2, dtype=np.int8)),
+            "sid": snapped.column("settlement_id"),
+            "bid": snapped.column("block_id"),
+            "geom": pa.array([b""] * snapped.num_rows,
+                             type=pa.large_binary()),
+        })
+
+        def _erase_group(g: pa.Table) -> pa.Table:
+            kinds = np.asarray(g.column("kind"))
+            psel = np.nonzero(kinds == 2)[0]
+            if not len(psel):
+                return pa.table({
+                    "settlement_id": pa.array([], type=pa.string()),
+                    "block_id": pa.array([], type=pa.string()),
+                    "gain_cm2": pa.array([], type=pa.int64()),
+                })
+            blobs = g.column("geom").to_pylist()
+            sids_g = g.column("sid").to_pylist()
+            bids_g = g.column("bid").to_pylist()
+            rings_s = {sids_g[i]: unpack_rings(blobs[i])
+                       for i in np.nonzero(kinds == 1)[0]}
+            rings_b = {bids_g[i]: unpack_rings(blobs[i])
+                       for i in np.nonzero(kinds == 0)[0]}
+            gains_ = np.empty(len(psel), dtype=np.int64)
+            out_s, out_b = [], []
+            for k, i in enumerate(psel):
+                s, b = sids_g[i], bids_g[i]
+                regions = arrange.polygon_erase_local(rings_b[b], rings_s[s])
                 gain = sum(arrange.region_area(r) for r in regions)
                 # integer cm² so sum order cannot perturb the total
-                gains_[i] = int(round(gain * 1e4))
+                gains_[k] = int(round(gain * 1e4))
+                out_s.append(s)
+                out_b.append(b)
             return pa.table({
-                "settlement_id": t.column("settlement_id"),
-                "block_id": t.column("block_id"),
+                "settlement_id": pa.array(out_s, type=pa.string()),
+                "block_id": pa.array(out_b, type=pa.string()),
                 "gain_cm2": pa.array(gains_, type=pa.int64()),
             })
 
+        src = rd.from_arrow(pair_rows) \
+            .union(rd.from_arrow(settlements).map_batches(
+                _s_geo_rows, batch_format="pyarrow")) \
+            .union(_as_dataset(blocks).map_batches(
+                _b_geo_rows, batch_format="pyarrow"))
         gains = pipeline._concat_refs(
-            joined.map_batches(_erase_batch, batch_format="pyarrow"),
+            src.groupby("epart").map_groups(
+                _erase_group, batch_format="pyarrow"),
             pa.schema([("settlement_id", pa.string()),
                        ("block_id", pa.string()),
                        ("gain_cm2", pa.int64())])).to_pandas()
@@ -299,20 +376,25 @@ def refined_settlements(settlements: pa.Table, blocks,
     from ibray.ops.cluster import rings_to_arrow
     from ibray.ops.ringpack import boundary_to_binary, unpack_rings
 
-    # gid routing tables (ids only — geometry joins below are distributed):
+    # gid routing (ids only, broadcast as SORTED arrays — workers attach
+    # gids with a searchsorted inside map_batches; no hash join, no
+    # per-worker Python dict of the whole settlement set):
     # every settlement row -> its merged id; every snapped block -> the
     # merged id of any snapper (all snappers share one gid by construction)
-    merged_of = dict(zip(np.asarray(merges.column("settlement_id")).tolist(),
-                         np.asarray(merges.column("merged_id")).tolist()))
+    import ray as _ray
+
+    m_sid = np.asarray(merges.column("settlement_id"))
+    m_gid = np.asarray(merges.column("merged_id"))
+    m_ord = np.argsort(m_sid, kind="stable")
+    s_route_ref = _ray.put((m_sid[m_ord], m_gid[m_ord]))
+    merged_of = dict(zip(m_sid.tolist(), m_gid.tolist()))
     blk_gid: dict[str, str] = {}
     for s, b in zip(np.asarray(snapped.column("settlement_id")).tolist(),
                     np.asarray(snapped.column("block_id")).tolist()):
         blk_gid[b] = merged_of[s]
-    blk_route = pa.table({
-        "block_id": pa.array(sorted(blk_gid), type=pa.string()),
-        "gid": pa.array([blk_gid[b] for b in sorted(blk_gid)],
-                        type=pa.string()),
-    })
+    b_keys = np.array(sorted(blk_gid), dtype=object)
+    b_route_ref = _ray.put(
+        (b_keys, np.array([blk_gid[b] for b in b_keys], dtype=object)))
 
     def _cov_blob(batch: pa.Table) -> list[bytes]:
         cov = batch.column("cover_cells")
@@ -322,41 +404,51 @@ def refined_settlements(settlements: pa.Table, blocks,
         return [flat[offs[i]:offs[i + 1]].tobytes()
                 for i in range(len(batch))]
 
+    def _lookup(keys: np.ndarray, route_ref):
+        """gid of each key via the broadcast sorted routing arrays; ''
+        marks a miss (key outside the routing table)."""
+        rk, rv = _ray.get(route_ref)
+        if not len(rk) or not len(keys):
+            return np.full(len(keys), "", dtype=object), \
+                np.zeros(len(keys), dtype=bool)
+        pos = np.clip(np.searchsorted(rk, keys), 0, len(rk) - 1)
+        hit = rk[pos] == keys
+        out = np.where(hit, rv[pos], "")
+        return out, hit
+
     def _s_rows(batch: pa.Table) -> pa.Table:
         g = boundary_to_binary(batch, "settlement_id", geom_col="geom")
+        gid, _ = _lookup(np.asarray(batch.column("settlement_id")),
+                         s_route_ref)
         return pa.table({
-            "sid": g.column("settlement_id"),
+            "gid": pa.array(list(gid), type=pa.string()),
             "kind": pa.array(np.zeros(len(batch), dtype=np.int8)),
             "geom": g.column("geom"),
             "cov": pa.array(_cov_blob(batch), type=pa.large_binary()),
         })
 
     def _b_rows(batch: pa.Table) -> pa.Table:
-        g = boundary_to_binary(batch, "block_id", geom_col="geom")
+        gid, hit = _lookup(np.asarray(batch.column("block_id")),
+                           b_route_ref)
+        sub = batch.filter(pa.array(hit))
+        if not sub.num_rows:
+            return pa.table({
+                "gid": pa.array([], type=pa.string()),
+                "kind": pa.array([], type=pa.int8()),
+                "geom": pa.array([], type=pa.large_binary()),
+                "cov": pa.array([], type=pa.large_binary()),
+            })
+        g = boundary_to_binary(sub, "block_id", geom_col="geom")
         return pa.table({
-            "block_id": g.column("block_id"),
-            "kind": pa.array(np.ones(len(batch), dtype=np.int8)),
+            "gid": pa.array(list(gid[hit]), type=pa.string()),
+            "kind": pa.array(np.ones(sub.num_rows, dtype=np.int8)),
             "geom": g.column("geom"),
-            "cov": pa.array(_cov_blob(batch), type=pa.large_binary()),
+            "cov": pa.array(_cov_blob(sub), type=pa.large_binary()),
         })
 
-    merges_ds = rd.from_arrow(merges).map_batches(
-        lambda t: t.rename_columns(["sid", "merged_id"]),
-        batch_format="pyarrow")
     sd = rd.from_arrow(settlements).map_batches(
-        _s_rows, batch_format="pyarrow") \
-        .join(merges_ds, join_type="inner", num_partitions=8,
-              on=("sid",), right_suffix="_m") \
-        .map_batches(lambda t: pa.table({
-            "gid": t.column("merged_id"), "kind": t.column("kind"),
-            "geom": t.column("geom"), "cov": t.column("cov")}),
-            batch_format="pyarrow")
-    bd = rd.from_arrow(blk_route) \
-        .join(_as_dataset(blocks).map_batches(_b_rows,
-                                              batch_format="pyarrow"),
-              join_type="inner", num_partitions=8, on=("block_id",)) \
-        .map_batches(lambda t: t.select(["gid", "kind", "geom", "cov"]),
-                     batch_format="pyarrow")
+        _s_rows, batch_format="pyarrow")
+    bd = _as_dataset(blocks).map_batches(_b_rows, batch_format="pyarrow")
 
     def _union_group(g: pa.Table) -> pa.Table:
         gid = g.column("gid")[0].as_py()
