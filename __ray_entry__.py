@@ -43,9 +43,12 @@ def _delineate_cached(sf: float) -> dict:
 
         world = synth.ensure_world(sf)
         res = pipeline.delineate(world)
+        # materialize() first: to_arrow_refs() on a lazy plan executes it
+        # AND a second limit-1 schema plan (2x the PIP stage)
+        asg = res["assignments"].materialize()
         _CACHE[key] = {
             "settlements": res["settlements"],
-            "assignments": res["assignments"].to_arrow_refs(),
+            "assignments": asg.to_arrow_refs(),
             "assignments_tbl": None,
             "tiles_tbl": None,
             "raw": res,
@@ -56,7 +59,7 @@ def _delineate_cached(sf: float) -> dict:
         refs = _CACHE[key]["assignments"]
         _CACHE[key]["assignments_tbl"] = pa.concat_tables(ray.get(refs))
         _CACHE[key]["tiles_tbl"] = pa.concat_tables(
-            ray.get(res["tiles"].to_arrow_refs())
+            ray.get(res["tiles"].materialize().to_arrow_refs())
         )
     return _CACHE[key]
 

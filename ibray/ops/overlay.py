@@ -168,8 +168,7 @@ def exact_symdiff(settlements_a: pa.Table, settlements_b: pa.Table,
     Scale shape: each side explodes to (part, side, packed-ring blob) rows
     in map_batches, ONE groupby(part) shuffle co-locates every partition's
     geometry, and the three-way overlay runs inside map_groups — the driver
-    never holds ring coordinates (round 2 packed every part's rings into
-    from_items Python lists)."""
+    never holds ring coordinates."""
     from ibray.ops.ringpack import unpack_rings
 
     def _explode(side: int):

@@ -161,7 +161,8 @@ def dead_end_roads(world_dir: str, max_len: float = 60.0) -> pa.Table:
         lambda b: b.filter(pa.compute.equal(b.column("deg"), 1)),
         batch_format="pyarrow",
     )
-    deg1_parts = [t for t in ray.get(deg1.to_arrow_refs()) if t.num_rows > 0]
+    deg1_parts = [t for t in ray.get(deg1.materialize().to_arrow_refs())
+                  if t.num_rows > 0]
     deg1_arr = (pa.concat_tables(deg1_parts).column("node_key").combine_chunks()
                 if deg1_parts else pa.array([], type=pa.string()))
     ref = ray.put(deg1_arr)
@@ -178,7 +179,8 @@ def dead_end_roads(world_dir: str, max_len: float = 60.0) -> pa.Table:
         return batch.filter(pa.array(m)).select(["road_id", "klass", "len_m"])
 
     out = ds.map_batches(_mark, batch_format="pyarrow")
-    parts = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows > 0]
+    parts = [t for t in ray.get(out.materialize().to_arrow_refs())
+             if t.num_rows > 0]
     if not parts:
         return pa.table({"road_id": pa.array([], pa.string()),
                          "klass": pa.array([], pa.string()),

@@ -48,10 +48,16 @@ _FP_COLUMNS = [
 
 def _concat_refs(ds: rd.Dataset, schema: pa.Schema) -> pa.Table:
     """Materialize a small Dataset to one Arrow table, tolerating Ray's
-    zero-column empty blocks."""
+    zero-column empty blocks.
+
+    Materializes FIRST: ``to_arrow_refs()`` on a lazy plan executes it and
+    then runs a second limit-1 plan for the schema — on an
+    Aggregate/Sort upstream that re-runs the whole exchange (measured 2x
+    on snap_pairs).  ``materialize()`` executes exactly once."""
     import ray
 
-    parts = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows > 0]
+    parts = [t for t in ray.get(ds.materialize().to_arrow_refs())
+             if t.num_rows > 0]
     return pa.concat_tables(parts) if parts else schema.empty_table()
 
 
