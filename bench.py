@@ -134,7 +134,10 @@ def run_scaling() -> dict:
     """Same input, fresh process per parallelism level (8 vs 32 CPUs)."""
 
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        # the efficiency metric is computed from delineate_e2e only; the
+        # refined path would add minutes of unrelated wall per leg
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   IBRAY_BENCH_REFINED="0")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,

@@ -437,6 +437,47 @@ def boundary_rings(cells: np.ndarray) -> list[np.ndarray]:
     pos1 = np.searchsorted(ka_s, kb, side="right")
     uniq_succ = np.where(
         pos1 - pos0 == 1, order[np.clip(pos0, 0, len(order) - 1)], -1)
+    if (uniq_succ >= 0).all():
+        # the norm: every vertex has out-degree 1, so uniq_succ is a
+        # permutation and rings are exactly its cycles.  Extract them with
+        # O(E log E) pointer doubling instead of a per-edge Python walk
+        # (the walk dominated small-settlement polygonize):
+        #   rep  = min edge index in each cycle (== the scalar loop's ring
+        #          start, so ring order and start vertex are identical)
+        #   rank = steps from rep to each edge (Wyllie list ranking after
+        #          cutting the cycle at the edge that re-enters rep)
+        E = len(ea)
+        lab = np.arange(E, dtype=np.int64)
+        j = uniq_succ.astype(np.int64)
+        while True:
+            nl = np.minimum(lab, lab[j])
+            j = j[j]
+            if (nl == lab).all():
+                break
+            lab = nl
+        # cut each cycle: the edge whose successor is its cycle's rep is
+        # the ring's last edge
+        succ = uniq_succ.astype(np.int64)
+        last = succ == lab
+        dist = np.where(last, 0, 1).astype(np.int64)
+        jump = np.where(last, np.arange(E, dtype=np.int64), succ)
+        while True:
+            nd = dist + dist[jump]
+            nj = jump[jump]
+            if (nj == jump).all():
+                break
+            dist, jump = nd, nj
+        # dist = steps from edge to its ring's last edge; rank from rep =
+        # (cycle_len - 1) - dist, with cycle_len = dist[rep] + 1
+        cyc_len = dist[lab] + 1
+        rank = cyc_len - 1 - dist
+        # group by rep, order by rank: one argsort over (lab, rank)
+        order_ring = np.lexsort((rank, lab))
+        reps, starts = np.unique(lab[order_ring], return_index=True)
+        bounds = np.append(starts, E)
+        return [ea[order_ring[bounds[i]:bounds[i + 1]]]
+                for i in range(len(reps))
+                if bounds[i + 1] - bounds[i] >= 3]
     rings: list[np.ndarray] = []
     used = np.zeros(len(ea), dtype=bool)
     for start in range(len(ea)):

@@ -135,3 +135,94 @@ def test_boundary_rings_with_hole():
         off = np.array([0, len(ring)])
         areas.append(geom.ring_area(ring[:, 0], ring[:, 1], off)[0])
     assert max(areas) > 0 and min(areas) < 0  # hole is CW
+
+
+def test_boundary_rings_vectorized_matches_scalar_walk():
+    """The permutation-cycle fast path must be byte-identical to the
+    scalar first-unused walk (same ring order, same start vertex, same
+    vertex sequence) on random multi-blob cell sets with holes."""
+    rng = np.random.default_rng(123)
+    for _ in range(40):
+        cx = rng.integers(-200, 200, 5)
+        cy = rng.integers(-200, 200, 5)
+        pts = []
+        for x, y in zip(cx, cy):
+            m = int(rng.integers(20, 400))
+            pts.append(np.stack([x + rng.integers(-10, 10, m),
+                                 y + rng.integers(-10, 10, m)], 1))
+        qr = np.concatenate(pts)
+        cells = hg._pack(10, qr[:, 0].astype(np.int64),
+                         qr[:, 1].astype(np.int64))
+        fast = hg.boundary_rings(cells)
+        slow = _scalar_rings(cells)
+        assert len(fast) == len(slow)
+        for ra, rb in zip(fast, slow):
+            assert ra.shape == rb.shape and (ra == rb).all()
+
+
+def _scalar_rings(cells):
+    """The pre-vectorization tracer (first-unused walk over uniq_succ),
+    kept verbatim as the property-test oracle."""
+    cells = np.unique(np.asarray(cells, dtype=np.int64))
+    if len(cells) == 0:
+        return []
+    res = cells[0] >> np.int64(56)
+    s = hg.EDGE_M[res]
+    sset = cells
+    bnd = hg.cell_boundary(cells)
+    edge_dirs = np.array([(-1, 1), (-1, 0), (0, -1),
+                          (1, -1), (1, 0), (0, 1)], dtype=np.int64)
+    deltas = hg.packed_offsets(edge_dirs)
+    edges_a, edges_b = [], []
+    for i in range(6):
+        va = bnd[:, i, :]
+        vb = bnd[:, (i + 1) % 6, :]
+        ncell = cells + deltas[i]
+        idx_c = np.clip(np.searchsorted(sset, ncell), 0, len(sset) - 1)
+        absent = sset[idx_c] != ncell
+        edges_a.append(va[absent])
+        edges_b.append(vb[absent])
+    ea = np.concatenate(edges_a)
+    eb = np.concatenate(edges_b)
+    if len(ea) == 0:
+        return []
+    scale = 1.0 / (s * 1e-6)
+
+    def key(pts):
+        k = np.round(pts * scale).astype(np.int64)
+        return k[:, 0] * np.int64(1 << 31) + k[:, 1]
+
+    ka, kb = key(ea), key(eb)
+    order = np.argsort(ka, kind="stable")
+    ka_s = ka[order]
+    pos0 = np.searchsorted(ka_s, kb)
+    pos1 = np.searchsorted(ka_s, kb, side="right")
+    uniq_succ = np.where(
+        pos1 - pos0 == 1, order[np.clip(pos0, 0, len(order) - 1)], -1)
+    rings = []
+    used = np.zeros(len(ea), dtype=bool)
+    for start in range(len(ea)):
+        if used[start]:
+            continue
+        ring_idx = [start]
+        cur = start
+        while True:
+            used[cur] = True
+            nxt = int(uniq_succ[cur])
+            if nxt >= 0:
+                if used[nxt]:
+                    nxt = -1
+            else:
+                nxt = -1
+                for pos in range(pos0[cur], pos1[cur]):
+                    cand = order[pos]
+                    if not used[cand]:
+                        nxt = int(cand)
+                        break
+            if nxt == -1:
+                break
+            ring_idx.append(nxt)
+            cur = nxt
+        if len(ring_idx) >= 3:
+            rings.append(ea[ring_idx])
+    return rings
