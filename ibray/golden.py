@@ -17,7 +17,8 @@ import pyarrow.parquet as pq
 from ibray import oracle, synth
 from ibray.config import DEFAULT
 
-ORACLE_VERSION = 18  # o18: + spatial_join_pairs.parquet (J4 ONE_TO_MANY)
+ORACLE_VERSION = 19  # o19: refined_assignments by member membership (raw
+# geometry, no arrange.SNAP boundary noise) — see golden_refined_assignments
 
 
 def golden_dir(sf: float, base: str = "/tmp/ibray_golden") -> str:

@@ -765,23 +765,58 @@ def golden_refined_assignments(world_dir: str,
         "boundary": rings_to_arrow([r[2] for r in out_rows]),
         "cover_cells": cover_col,
     })
-    # brute-force PIP of every footprint against the refined polygons
+    # member-membership assignment: group g's refined polygon is the exact
+    # union of its member settlements and snapped blocks, so containment is
+    # fully determined by the members THEMSELVES — and the raw member
+    # geometry carries no arrangement-snap noise (arrange.SNAP quantizes
+    # union boundaries to 1 cm; points within that band of an edge would
+    # flip under a union-ring ray cast).  Tie contract: lexicographically
+    # LAST containing member's group id wins (identical to the ascending-id
+    # overwrite this replaces).  The engine's RefinedRouter routes by the
+    # same spec.
     fp = _fp_table_single(world_dir, cfg)
     px = fp["cx"].to_numpy()
     py = fp["cy"].to_numpy()
-    assigned = np.full(len(px), "", dtype=object)
-    for gid, _area, rings, _cov in out_rows:
-        if not rings:
-            continue
-        allpts = np.concatenate(rings)
-        mn = allpts.min(axis=0)
-        mx = allpts.max(axis=0)
+    # settlement side: the oracle's own cell-membership assignments
+    s_assigned2 = np.asarray(res_a["assignments"].column("settlement_id"))
+    gid_s = np.array([merged_of.get(s, "") if s else ""
+                      for s in s_assigned2.tolist()], dtype=object)
+    # block side: last containing block (ascending overwrite — the block
+    # overlap-tie contract), then its snapping group ('' if unsnapped)
+    all_blocks = _blocks_single(world_dir, cfg)
+    b_assigned2 = np.full(len(px), "", dtype=object)
+    for bid, _part, _area, region in sorted(all_blocks, key=lambda r: r[0]):
+        ring = region[0]
+        mn = ring.min(axis=0)
+        mx = ring.max(axis=0)
         cand = np.nonzero((px >= mn[0]) & (px <= mx[0]) &
                           (py >= mn[1]) & (py <= mx[1]))[0]
         if not len(cand):
             continue
-        inside = geom.points_in_polygon(px[cand], py[cand], rings)
-        assigned[cand[inside]] = gid
+        inside = geom.points_in_polygon(px[cand], py[cand], region)
+        b_assigned2[cand[inside]] = bid
+    blk_gid = {}
+    for s, b in snap_rows:
+        blk_gid[b] = merged_of[s]
+    gid_b = np.array([blk_gid.get(b, "") for b in b_assigned2.tolist()],
+                     dtype=object)
+    assigned = np.maximum(gid_s, gid_b)
+    if include_veg:
+        v_assigned = np.full(len(px), "", dtype=object)
+        for bid, _part, _va, region in sorted(veg_blocks,
+                                              key=lambda r: r[0]):
+            if bid not in dense_ids:
+                continue
+            allpts = np.concatenate(region)
+            mn = allpts.min(axis=0)
+            mx = allpts.max(axis=0)
+            cand = np.nonzero((px >= mn[0]) & (px <= mx[0]) &
+                              (py >= mn[1]) & (py <= mx[1]))[0]
+            if not len(cand):
+                continue
+            inside = geom.points_in_polygon(px[cand], py[cand], region)
+            v_assigned[cand[inside]] = "v" + bid
+        assigned = np.maximum(assigned, v_assigned)
     assign_tbl = pa.table({
         "footprint_id": pa.array(fp["footprint_id"], type=pa.string()),
         "doc_id": pa.array(fp["doc_id"], type=pa.string()),

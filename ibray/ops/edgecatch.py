@@ -67,11 +67,26 @@ def _narrow_table(polys, columns: list[str]) -> pa.Table:
 
 class DualAssigner:
     """footprint → (settlement_id, block_id) in one pass over two sharded
-    polygon indexes."""
+    polygon indexes.
 
-    def __init__(self, settle_refs, block_refs, cfg: DelineationConfig):
-        self._s = PIPAssigner(settle_refs, cfg)
+    When ``cell_index_ref`` (a broadcast sorted (cell_fine, label) pair) is
+    given the settlement half skips the ray-cast entirely: settlements are
+    unions of whole fine cells, so membership is an int64 searchsorted —
+    exactly the headline PIP contract, and exactly how the golden oracle
+    derives its settlement side (golden_edge_catch uses the oracle's own
+    cell-membership assignments)."""
+
+    def __init__(self, settle_refs, block_refs, cfg: DelineationConfig,
+                 cell_index_ref=None):
+        import ray
+
+        self._s = (PIPAssigner(settle_refs, cfg)
+                   if settle_refs is not None else None)
         self._b = PIPAssigner(block_refs, cfg)
+        self._cells = self._labs = None
+        if cell_index_ref is not None:
+            # zero-copy numpy views onto the broadcast object-store buffer
+            self._cells, self._labs = ray.get(cell_index_ref)
         self.cfg = cfg
 
     def _probe(self, inner: PIPAssigner, cx, cy, mid) -> np.ndarray:
@@ -91,34 +106,77 @@ class DualAssigner:
         return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         cx = np.asarray(batch.column("cx"))
         cy = np.asarray(batch.column("cy"))
         mid = hg.encode(cx, cy, self.cfg.res_mid)
-        sid = self._probe(self._s, cx, cy, mid)
+        if self._cells is not None:
+            cf = np.asarray(batch.column("cell_fine"), dtype=np.int64)
+            if len(self._cells):
+                pos = np.clip(np.searchsorted(self._cells, cf),
+                              0, len(self._cells) - 1)
+                hit = self._cells[pos] == cf
+                lab = self._labs[pos]
+            else:
+                hit = np.zeros(len(cf), dtype=bool)
+                lab = np.zeros(len(cf), dtype=np.int64)
+            sid_col = pc.binary_join_element_wise(
+                pa.array(np.where(hit, "s", "")),
+                pc.if_else(pa.array(hit),
+                           pc.cast(pa.array(lab), pa.string()),
+                           pa.scalar("")), "")
+        else:
+            sid = self._probe(self._s, cx, cy, mid)
+            sid_col = pa.array(list(sid), type=pa.string())
         bid = self._probe(self._b, cx, cy, mid)
-        return pa.table({
-            "footprint_id": batch.column("footprint_id"),
-            "settlement_id": pa.array(list(sid), type=pa.string()),
-            "block_id": pa.array(list(bid), type=pa.string()),
-        })
+        out = {"footprint_id": batch.column("footprint_id")}
+        # routing consumers (route_refined_assignments) need the id/geometry
+        # columns downstream; pure pair-counting callers select them away
+        # at the input, so pass through whatever the caller kept
+        for extra in ("doc_id", "span_idx", "cx", "cy"):
+            if extra in batch.column_names:
+                out[extra] = batch.column(extra)
+        out["settlement_id"] = sid_col
+        out["block_id"] = pa.array(list(bid), type=pa.string())
+        return pa.table(out)
 
 
-def snap_pairs(fp: rd.Dataset, settlements: pa.Table, blocks,
-               cfg: DelineationConfig = DEFAULT) -> pa.Table:
-    """(settlement_id, block_id, n_fp) for footprints inside both.
+def dual_assignments(fp: rd.Dataset, settlements, blocks,
+                     cfg: DelineationConfig = DEFAULT,
+                     cell_index_ref=None,
+                     keep_cols: tuple[str, ...] = ()) -> rd.Dataset:
+    """ONE probe pass: per-footprint (settlement_id, block_id), MATERIALIZED
+    so both consumers (snap-pair counting and refined-assignment routing)
+    read it without re-executing the probe.
 
-    Both polygon indexes are packed WORKER-SIDE (ops/pip
-    shard_refs_from_dataset): the driver holds {part: (block_ref, row)}
-    handles, never a shard payload; ``blocks`` may be a Dataset."""
-    from ibray import pipeline
-
-    s_refs = shard_refs_from_dataset(settlements, cfg)
+    Settlement side: the broadcast sorted (cell_fine, label) index when
+    ``cell_index_ref`` is given (settlements are unions of whole fine cells,
+    so membership is an int64 searchsorted — no ray cast), else the sharded
+    ray-cast PIP over ``settlements``.  Block side: always the sharded PIP
+    (blocks are arrangement faces, not cell unions).  Both polygon indexes
+    pack WORKER-SIDE (ops/pip shard_refs_from_dataset): the driver holds
+    {part: (block_ref, row)} handles, never a shard payload; ``blocks`` may
+    be a Dataset."""
+    s_refs = (None if cell_index_ref is not None
+              else shard_refs_from_dataset(settlements, cfg))
     b_refs = shard_refs_from_dataset(_as_dataset(blocks), cfg,
                                      id_col="block_id")
-    both = fp.select_columns(["footprint_id", "cx", "cy"]).map_batches(
-        DualAssigner, fn_constructor_args=(s_refs, b_refs, cfg),
+    cols = ["footprint_id", *keep_cols, "cx", "cy"]
+    if cell_index_ref is not None and "cell_fine" not in cols:
+        cols.append("cell_fine")
+    return fp.select_columns(cols).map_batches(
+        DualAssigner,
+        fn_constructor_args=(s_refs, b_refs, cfg, cell_index_ref),
         batch_format="pyarrow", batch_size=min(cfg.batch_size, 8192),
-        concurrency=full_pool())
+        concurrency=full_pool()).materialize()
+
+
+def snap_pairs_from_dual(dual: rd.Dataset,
+                         cfg: DelineationConfig = DEFAULT) -> pa.Table:
+    """(settlement_id, block_id, n_fp) for footprints inside both, from a
+    dual_assignments dataset."""
+    from ibray import pipeline
 
     def _partial_pairs(b: pa.Table) -> pa.Table:
         # combiner: per-batch (settlement, block) partial counts BEFORE the
@@ -135,7 +193,7 @@ def snap_pairs(fp: rd.Dataset, settlements: pa.Table, blocks,
             "n_part": g.column("settlement_id_count"),
         })
 
-    agg = both.map_batches(_partial_pairs, batch_format="pyarrow") \
+    agg = dual.map_batches(_partial_pairs, batch_format="pyarrow") \
         .groupby(["settlement_id", "block_id"]).aggregate(
         SumAgg("n_part", alias_name="n_fp"))
     return pipeline._concat_refs(
@@ -144,6 +202,14 @@ def snap_pairs(fp: rd.Dataset, settlements: pa.Table, blocks,
                         ("n_fp", pa.int64())])).sort_by([
                             ("settlement_id", "ascending"),
                             ("block_id", "ascending")])
+
+
+def snap_pairs(fp: rd.Dataset, settlements: pa.Table, blocks,
+               cfg: DelineationConfig = DEFAULT) -> pa.Table:
+    """(settlement_id, block_id, n_fp) for footprints inside both — the
+    compatibility surface over dual_assignments + snap_pairs_from_dual."""
+    return snap_pairs_from_dual(
+        dual_assignments(fp, settlements, blocks, cfg), cfg)
 
 
 def _rings_of_table(tbl: pa.Table) -> list[list[np.ndarray]]:
@@ -160,7 +226,7 @@ def edge_catch(fp: rd.Dataset, settlements: pa.Table, blocks: pa.Table,
 
 
 def edge_catch_full(fp: rd.Dataset, settlements: pa.Table, blocks,
-                    cfg: DelineationConfig = DEFAULT):
+                    cfg: DelineationConfig = DEFAULT, dual=None):
     """Returns (refined, merges, snapped_pairs):
 
     refined: (settlement_id, area_m2, refined_area_m2, n_blocks_snapped)
@@ -169,13 +235,17 @@ def edge_catch_full(fp: rd.Dataset, settlements: pa.Table, blocks,
 
     ``blocks`` may be a Dataset (the 100-TB shape): the driver touches
     only the narrow (block_id, area_m2) projection; block geometry flows
-    through Dataset joins and worker-side shard packing.
+    through Dataset joins and worker-side shard packing.  ``dual`` — a
+    precomputed dual_assignments dataset — skips the probe pass (the
+    flagship pipeline shares one dual between pair counting and
+    refined-assignment routing).
     """
     from ibray import pipeline
 
     from ibray.ops.ringpack import boundary_to_binary, unpack_rings
 
-    pairs = snap_pairs(fp, settlements, blocks, cfg)
+    pairs = (snap_pairs_from_dual(dual, cfg) if dual is not None
+             else snap_pairs(fp, settlements, blocks, cfg))
     sid_arr = np.asarray(settlements.column("settlement_id"))
     sarea = np.asarray(settlements.column("area_m2"))
     area_of_s = dict(zip(sid_arr.tolist(), sarea.tolist()))
@@ -506,5 +576,104 @@ def refined_assignments(fp: rd.Dataset, refined: pa.Table,
         ["footprint_id", "doc_id", "span_idx", "cx", "cy", "part_cell"]
     ).sort("part_cell").drop_columns(["part_cell"]).map_batches(
         PIPAssigner, fn_constructor_args=(shard_refs, cfg),
+        batch_format="pyarrow", batch_size=cfg.batch_size,
+        concurrency=full_pool())
+
+
+class RefinedRouter:
+    """Actor-pool callable: dual-assignment rows -> refined settlement id by
+    BROADCAST ROUTING, no second PIP pass.
+
+    A footprint is inside refined group polygon g (= exact union of g's
+    member settlements and snapped blocks) iff it is inside some member —
+    so its containing refined polygons are fully determined by its dual
+    (settlement_id, block_id) plus the veg polygons, and the engine's
+    overlap-tie contract (lexicographically LAST id wins — the golden's
+    ascending-id overwrite loop) is an elementwise string max over:
+
+      - merged_of[settlement_id]            (its own group's polygon)
+      - group_of_snapped_block[block_id]    (an annexing group's polygon)
+      - 'v'+veg_block_id via an exact probe (dense veg faces sort after
+        every 's' group, so they win ties exactly as in the golden)
+
+    Routing tables ride the object store once as sorted string arrays;
+    the veg probe reuses the packed-payload _Shard kernel over the (small)
+    dense-block set, gated by mid-res cover cells."""
+
+    def __init__(self, s_route_ref, b_route_ref, veg_ref,
+                 cfg: DelineationConfig):
+        import ray
+
+        from ibray.ops.pip import _Shard
+
+        self._sk, self._sv = ray.get(s_route_ref)
+        self._bk, self._bv = ray.get(b_route_ref)
+        self._veg = (_Shard(ray.get(veg_ref), cfg)
+                     if veg_ref is not None else None)
+        self.cfg = cfg
+
+    @staticmethod
+    def _lookup(keys: np.ndarray, rk: np.ndarray, rv: np.ndarray):
+        if not len(rk) or not len(keys):
+            return np.full(len(keys), "", dtype=object)
+        pos = np.clip(np.searchsorted(rk, keys), 0, len(rk) - 1)
+        return np.where(rk[pos] == keys, rv[pos], "")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sid = np.asarray(batch.column("settlement_id"))
+        bid = np.asarray(batch.column("block_id"))
+        out = np.maximum(self._lookup(sid, self._sk, self._sv),
+                         self._lookup(bid, self._bk, self._bv))
+        if self._veg is not None:
+            cx = np.asarray(batch.column("cx"))
+            cy = np.asarray(batch.column("cy"))
+            mid = hg.encode(cx, cy, self.cfg.res_mid)
+            vout = np.full(len(cx), "", dtype=object)
+            self._veg.probe(cx, cy, mid, vout, np.arange(len(cx)))
+            out = np.maximum(out, vout)
+        return pa.table({
+            "footprint_id": batch.column("footprint_id"),
+            "doc_id": batch.column("doc_id"),
+            "span_idx": batch.column("span_idx"),
+            "settlement_id": pa.array(list(out), type=pa.string()),
+        })
+
+
+def route_refined_assignments(dual: rd.Dataset, merges: pa.Table,
+                              snapped: pa.Table, veg: pa.Table | None,
+                              cfg: DelineationConfig = DEFAULT) -> rd.Dataset:
+    """Refined PIP back-assignment from the shared dual-assignment pass —
+    see RefinedRouter.  ``veg`` is the dense-block polygon table (may be
+    None/empty); its ids are prefixed 'v' here."""
+    import ray
+
+    from ibray.ops.pip import pack_settlements
+
+    m_sid = np.asarray(merges.column("settlement_id"))
+    m_gid = np.asarray(merges.column("merged_id"))
+    o = np.argsort(m_sid, kind="stable")
+    s_route_ref = ray.put((m_sid[o], m_gid[o]))
+    merged_of = dict(zip(m_sid.tolist(), m_gid.tolist()))
+    blk_gid: dict[str, str] = {}
+    for s, b in zip(np.asarray(snapped.column("settlement_id")).tolist(),
+                    np.asarray(snapped.column("block_id")).tolist()):
+        blk_gid[b] = merged_of[s]
+    bk = np.array(sorted(blk_gid), dtype=object)
+    b_route_ref = ray.put(
+        (bk, np.array([blk_gid[b] for b in bk], dtype=object)))
+    veg_ref = None
+    if veg is not None and veg.num_rows:
+        import pyarrow.compute as pc
+
+        vt = pa.table({
+            "settlement_id": pc.binary_join_element_wise(
+                pa.array(["v"] * veg.num_rows), veg.column("block_id"), ""),
+            "boundary": veg.column("boundary"),
+            "cover_cells": veg.column("cover_cells"),
+        }).sort_by("settlement_id")
+        veg_ref = ray.put(pack_settlements(vt))
+    return dual.map_batches(
+        RefinedRouter,
+        fn_constructor_args=(s_route_ref, b_route_ref, veg_ref, cfg),
         batch_format="pyarrow", batch_size=cfg.batch_size,
         concurrency=full_pool())

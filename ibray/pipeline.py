@@ -283,6 +283,8 @@ def delineate(world_dir: str, cfg: DelineationConfig = DEFAULT,
         if ck:
             ck.write_table(settlements, "settlements")
 
+    idx_ref = None  # broadcast settlement cell index; reused by the refine
+    # branch's dual probe when the PIP strategy built one
     if ck and ck.has("assignments"):
         assignments = ck.read_dataset("assignments")
     else:
@@ -402,6 +404,7 @@ def delineate(world_dir: str, cfg: DelineationConfig = DEFAULT,
         from ibray.ops import blocks as B
         from ibray.ops import edgecatch as EC
 
+        refined_fresh = False
         if ck and ck.has("refined_settlements"):
             settlements = ck.read_table("refined_settlements")
         else:
@@ -411,8 +414,16 @@ def delineate(world_dir: str, cfg: DelineationConfig = DEFAULT,
             # shard_refs_from_dataset)
             blocks = B.blocks_dataset(world_dir, cfg).materialize()
             _mark("refine_blocks")
+            # ONE shared probe pass: settlement side rides the broadcast
+            # cell index built for the headline PIP (an int searchsorted,
+            # no ray cast) when available; consumed by BOTH the snap-pair
+            # count and the refined-assignment routing below
+            dual = EC.dual_assignments(
+                fp_all, settlements, blocks, cfg, cell_index_ref=idx_ref,
+                keep_cols=("doc_id", "span_idx"))
+            _mark("refine_dual")
             _r, merges, snapped = EC.edge_catch_full(
-                fp_all, settlements, blocks, cfg)
+                fp_all, settlements, blocks, cfg, dual=dual)
             _mark("refine_edgecatch")
             settlements = EC.refined_settlements(
                 base_settlements, blocks, merges, snapped, cfg)
@@ -441,9 +452,21 @@ def delineate(world_dir: str, cfg: DelineationConfig = DEFAULT,
                     [settlements, veg_rows]).combine_chunks()
             if ck:
                 ck.write_table(settlements, "refined_settlements")
+            refined_fresh = True
         if ck and ck.has("refined_assignments"):
             assignments = ck.read_dataset("refined_assignments")
+        elif refined_fresh:
+            # broadcast routing over the shared dual pass — NO second PIP
+            # (containment in a refined union polygon is fully determined
+            # by the member memberships; see RefinedRouter)
+            assignments = EC.route_refined_assignments(
+                dual, merges, snapped, veg, cfg)
+            if ck:
+                assignments = ck.write_dataset(assignments,
+                                               "refined_assignments")
         else:
+            # resume path (refined polygons checkpointed, assignments not):
+            # probe the checkpointed geometry directly
             assignments = EC.refined_assignments(fp_all, settlements, cfg)
             if ck:
                 assignments = ck.write_dataset(assignments,
