@@ -123,6 +123,59 @@ def replicate_to_parts(batch: pa.Table, cfg: DelineationConfig) -> pa.Table:
                      "n": pa.array(np.concatenate(out_n), type=pa.int64())})
 
 
+def replicate_to_parts_packed(batch: pa.Table,
+                              cfg: DelineationConfig) -> pa.Table:
+    """`replicate_to_parts` with the exchange payload PACKED: one row per
+    (input block, partition) carrying that partition's cells/shared/n as
+    binary blobs instead of one row per cell copy.
+
+    Same trick as the border-band packing (local_components kind=1 rows):
+    the groupby(part) sort exchange cost is dominated by per-row
+    coordination, not bytes — at bench scale this turns ~8M 25-byte rows
+    into a few thousand blob rows of identical total payload.
+    ``local_components`` unpacks transparently (schema-detected)."""
+    percell = replicate_to_parts(batch, cfg)
+    parts = np.asarray(percell.column("part"), dtype=np.int64)
+    if not len(parts):
+        return pa.table({"part": pa.array([], type=pa.int64()),
+                         "cells_blob": pa.array([], type=pa.binary()),
+                         "shared_blob": pa.array([], type=pa.binary()),
+                         "n_blob": pa.array([], type=pa.binary())})
+    cells = np.asarray(percell.column("cell_fine"), dtype=np.int64)
+    shared = np.asarray(percell.column("shared"))
+    n = np.asarray(percell.column("n"), dtype=np.int64)
+    order = np.argsort(parts, kind="stable")
+    parts, cells, shared, n = parts[order], cells[order], shared[order], n[order]
+    starts = np.nonzero(np.concatenate([[True], parts[1:] != parts[:-1]]))[0]
+    ends = np.concatenate([starts[1:], [len(parts)]])
+    return pa.table({
+        "part": pa.array(parts[starts], type=pa.int64()),
+        "cells_blob": pa.array(
+            [cells[s:e].tobytes() for s, e in zip(starts, ends)],
+            type=pa.binary()),
+        "shared_blob": pa.array(
+            [shared[s:e].astype(np.uint8).tobytes()
+             for s, e in zip(starts, ends)], type=pa.binary()),
+        "n_blob": pa.array(
+            [n[s:e].tobytes() for s, e in zip(starts, ends)],
+            type=pa.binary()),
+    })
+
+
+def _unpack_blob_column(col, dtype) -> np.ndarray:
+    """Concatenate a binary column's row values as one numpy array.
+
+    Binary-array values are stored contiguously in the data buffer, so the
+    whole column unpacks as ONE zero-copy frombuffer slice."""
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if not len(col):
+        return np.zeros(0, dtype=dtype)
+    offs = np.frombuffer(col.buffers()[1], np.int32)[
+        col.offset: col.offset + len(col) + 1]
+    data = np.frombuffer(col.buffers()[2], np.uint8)
+    return data[offs[0]: offs[-1]].copy().view(dtype)
+
+
 def local_components(group: pa.Table, cfg: DelineationConfig) -> pa.Table:
     """Per-partition connected components over (own + halo) cells.
 
@@ -137,9 +190,15 @@ def local_components(group: pa.Table, cfg: DelineationConfig) -> pa.Table:
     (most cells of a cross-border component are not themselves shared, so
     the per-cell form was ~100x more rows for the same bytes).
     """
-    raw = np.asarray(group.column("cell_fine"), dtype=np.int64)
-    raw_shared = np.asarray(group.column("shared"))
-    raw_n = np.asarray(group.column("n"), dtype=np.int64)
+    if "cells_blob" in group.column_names:  # packed exchange rows
+        raw = _unpack_blob_column(group.column("cells_blob"), np.int64)
+        raw_shared = _unpack_blob_column(
+            group.column("shared_blob"), np.uint8).astype(bool)
+        raw_n = _unpack_blob_column(group.column("n_blob"), np.int64)
+    else:
+        raw = np.asarray(group.column("cell_fine"), dtype=np.int64)
+        raw_shared = np.asarray(group.column("shared"))
+        raw_n = np.asarray(group.column("n"), dtype=np.int64)
     cells, inv = np.unique(raw, return_inverse=True)
     shared = np.zeros(len(cells), dtype=bool)
     shared[inv[raw_shared]] = True

@@ -248,7 +248,6 @@ def edge_catch_full(fp: rd.Dataset, settlements: pa.Table, blocks,
              else snap_pairs(fp, settlements, blocks, cfg))
     sid_arr = np.asarray(settlements.column("settlement_id"))
     sarea = np.asarray(settlements.column("area_m2"))
-    area_of_s = dict(zip(sid_arr.tolist(), sarea.tolist()))
     blocks_narrow = _narrow_table(blocks,
                                   ["block_id", "area_m2", "part_cell"])
     bid_arr = np.asarray(blocks_narrow.column("block_id"))
@@ -390,38 +389,79 @@ def edge_catch_full(fp: rd.Dataset, settlements: pa.Table, blocks,
 
         gdf = pd.Series(dtype=np.int64)
         ndf = pd.Series(dtype=int)
+    # per-settlement gain/count attach: vectorized searchsorted against the
+    # (small) gains index — no O(settlements) Python dict or comprehension
+    gain_arr = np.zeros(len(sid_arr), dtype=np.int64)
+    nsnap_arr = np.zeros(len(sid_arr), dtype=np.int64)
+    if len(gdf):
+        gk = np.asarray(gdf.index, dtype=object)
+        go = np.argsort(gk, kind="stable")
+        pos = s_sort[np.searchsorted(sid_arr[s_sort], gk[go])]
+        gain_arr[pos] = np.asarray(gdf.values, dtype=np.int64)[go]
+        nsnap_arr[pos] = np.asarray(ndf.reindex(gdf.index).values,
+                                    dtype=np.int64)[go]
     refined = pa.table({
         "settlement_id": pa.array(sid_arr, type=pa.string()),
         "area_m2": pa.array(sarea, type=pa.float64()),
-        "refined_area_m2": pa.array(
-            [area_of_s[s] + int(gdf.get(s, 0)) / 1e4 for s in sid_arr],
-            type=pa.float64()),
-        "n_blocks_snapped": pa.array(
-            [int(ndf.get(s, 0)) for s in sid_arr], type=pa.int64()),
+        "refined_area_m2": pa.array(sarea + gain_arr / 1e4,
+                                    type=pa.float64()),
+        "n_blocks_snapped": pa.array(nsnap_arr, type=pa.int64()),
     })
-    # GapFix: settlements sharing a snapped block merge
-    parent: dict[str, str] = {}
+    # GapFix: settlements sharing a snapped block merge.  Integer
+    # union-find over lex-ordered settlement codes (union-by-min keeps the
+    # component's lexicographic minimum as its root, exactly the old
+    # string-keyed parent-dict semantics) — the per-pair work is over the
+    # gated snap pairs only, and the full-settlement pass is vectorized.
+    merged_ids = sid_arr.copy()
+    if snapped.num_rows:
+        uniq_s = sid_arr[s_sort]  # sorted ascending = lex code order
+        ps = np.searchsorted(uniq_s, p_sid[snap])
+        order = np.lexsort((ps, p_bid[snap]))
+        pb_o = p_bid[snap][order]
+        ps_o = ps[order]
+        run_start = np.concatenate([[True], pb_o[1:] != pb_o[:-1]])
+        first_of_run = np.maximum.accumulate(
+            np.where(run_start, np.arange(len(pb_o)), 0))
+        parent = np.arange(len(uniq_s), dtype=np.int64)
 
-    def find(u: str) -> str:
-        while parent.get(u, u) != u:
-            u = parent[u]
-        return u
+        def find(u: int) -> int:
+            while parent[u] != u:
+                parent[u] = parent[parent[u]]
+                u = parent[u]
+            return u
 
-    by_block: dict[str, list[str]] = {}
-    for s, b in zip(p_sid[snap], p_bid[snap]):
-        by_block.setdefault(b, []).append(s)
-    for b in sorted(by_block):
-        ss = sorted(set(by_block[b]))
-        for other in ss[1:]:
-            ra, rb = find(ss[0]), find(other)
+        for a, b in zip(ps_o[first_of_run], ps_o):
+            ra, rb = find(int(a)), find(int(b))
             if ra != rb:
-                lo, hi = sorted((ra, rb))
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
                 parent[hi] = lo
+        roots = np.array([find(int(i)) for i in range(len(uniq_s))],
+                         dtype=np.int64)
+        merged_ids = np.empty(len(sid_arr), dtype=object)
+        merged_ids[s_sort] = uniq_s[roots]
     merges = pa.table({
         "settlement_id": pa.array(sid_arr, type=pa.string()),
-        "merged_id": pa.array([find(s) for s in sid_arr], type=pa.string()),
+        "merged_id": pa.array(merged_ids, type=pa.string()),
     })
     return refined, merges, snapped
+
+
+def _block_routing(rk: np.ndarray, rv: np.ndarray,
+                   snapped: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """snapped block -> merged gid of its snapper, as SORTED routing arrays
+    (keys, gids).  All snappers of one block share a single gid (GapFix
+    merged them), so "any snapper" is well-defined; vectorized searchsorted
+    against the pre-sorted merge table — no per-settlement Python dict."""
+    s = np.asarray(snapped.column("settlement_id"))
+    b = np.asarray(snapped.column("block_id"))
+    if not len(b):
+        e = np.array([], dtype=object)
+        return e, e
+    gid = rv[np.searchsorted(rk, s)]
+    o = np.argsort(b, kind="stable")
+    b_o, gid_o = b[o], gid[o]
+    first = np.concatenate([[True], b_o[1:] != b_o[:-1]])
+    return b_o[first], gid_o[first]
 
 
 def refined_settlements(settlements: pa.Table, blocks,
@@ -457,14 +497,8 @@ def refined_settlements(settlements: pa.Table, blocks,
     m_gid = np.asarray(merges.column("merged_id"))
     m_ord = np.argsort(m_sid, kind="stable")
     s_route_ref = _ray.put((m_sid[m_ord], m_gid[m_ord]))
-    merged_of = dict(zip(m_sid.tolist(), m_gid.tolist()))
-    blk_gid: dict[str, str] = {}
-    for s, b in zip(np.asarray(snapped.column("settlement_id")).tolist(),
-                    np.asarray(snapped.column("block_id")).tolist()):
-        blk_gid[b] = merged_of[s]
-    b_keys = np.array(sorted(blk_gid), dtype=object)
     b_route_ref = _ray.put(
-        (b_keys, np.array([blk_gid[b] for b in b_keys], dtype=object)))
+        _block_routing(m_sid[m_ord], m_gid[m_ord], snapped))
 
     def _cov_blob(batch: pa.Table) -> list[bytes]:
         cov = batch.column("cover_cells")
@@ -653,14 +687,7 @@ def route_refined_assignments(dual: rd.Dataset, merges: pa.Table,
     m_gid = np.asarray(merges.column("merged_id"))
     o = np.argsort(m_sid, kind="stable")
     s_route_ref = ray.put((m_sid[o], m_gid[o]))
-    merged_of = dict(zip(m_sid.tolist(), m_gid.tolist()))
-    blk_gid: dict[str, str] = {}
-    for s, b in zip(np.asarray(snapped.column("settlement_id")).tolist(),
-                    np.asarray(snapped.column("block_id")).tolist()):
-        blk_gid[b] = merged_of[s]
-    bk = np.array(sorted(blk_gid), dtype=object)
-    b_route_ref = ray.put(
-        (bk, np.array([blk_gid[b] for b in bk], dtype=object)))
+    b_route_ref = ray.put(_block_routing(m_sid[o], m_gid[o], snapped))
     veg_ref = None
     if veg is not None and veg.num_rows:
         import pyarrow.compute as pc

@@ -110,8 +110,11 @@ def cluster_cells(fp: rd.Dataset, cfg: DelineationConfig = DEFAULT) -> rd.Datase
     stats = fp.select_columns(["cell_fine"]).map_batches(
         C.cell_stats_batch, batch_format="pyarrow"
     )
+    # packed exchange rows: one blob row per (block, partition) instead of
+    # one row per cell copy — the sort exchange is coordination-bound, not
+    # bandwidth-bound (see replicate_to_parts_packed / BENCH/SCALING_r04.md)
     replicated = stats.map_batches(
-        lambda b: C.replicate_to_parts(b, cfg), batch_format="pyarrow"
+        lambda b: C.replicate_to_parts_packed(b, cfg), batch_format="pyarrow"
     )
     # coalesce the shuffle INPUT to ~1 block per core: the sort exchange
     # moves O(map_blocks x reduce_blocks) objects, and with the read's ~200

@@ -67,3 +67,41 @@ def test_injected_failure_retries_to_identical_output(ray_session, tmp_path):
     flaky = _work_table(fp, flag_path=flag)
     assert os.path.exists(flag), "injection never fired"
     pd.testing.assert_frame_equal(clean, flaky)
+
+
+def test_packed_exchange_equals_per_cell_rows(ray_session):
+    """replicate_to_parts_packed + blob-unpacking local_components must be
+    row-for-row identical to the per-cell exchange form (the packed form is
+    a pure transport optimization — BENCH/SCALING_r04.md)."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(7)
+    from ibray import hexgrid as hg
+
+    x = rng.uniform(0, 30000, 4000)
+    y = rng.uniform(0, 30000, 4000)
+    cells = hg.encode(x, y, DEFAULT.res_fine)
+    fp = rd.from_arrow(pa.table({"cell_fine": pa.array(cells,
+                                                       type=pa.int64())}))
+    stats = fp.map_batches(C.cell_stats_batch, batch_format="pyarrow")
+
+    def run(packed: bool) -> pd.DataFrame:
+        fn = (C.replicate_to_parts_packed if packed
+              else C.replicate_to_parts)
+        local = stats.map_batches(
+            lambda b: fn(b, DEFAULT), batch_format="pyarrow"
+        ).groupby("part").map_groups(
+            lambda g: C.local_components(g, DEFAULT),
+            batch_format="pyarrow")
+        rows = local.take_all()
+        df = pd.DataFrame({
+            "kind": [r["kind"] for r in rows],
+            "label": [r["label"] for r in rows],
+            "n": [r["n"] for r in rows],
+            "cells": [tuple(r["cells"]) for r in rows],
+            "shared_cells": [tuple(r["shared_cells"]) for r in rows],
+        })
+        return df.sort_values(["kind", "label", "n", "cells"]).reset_index(
+            drop=True)
+
+    pd.testing.assert_frame_equal(run(True), run(False))
