@@ -125,16 +125,20 @@ def replicate_to_parts(batch: pa.Table, cfg: DelineationConfig) -> pa.Table:
 
 def replicate_to_parts_packed(batch: pa.Table,
                               cfg: DelineationConfig) -> pa.Table:
-    """`replicate_to_parts` with the exchange payload PACKED: one row per
-    (input block, partition) carrying that partition's cells/shared/n as
-    binary blobs instead of one row per cell copy.
+    """`replicate_to_parts` + `pack_part_rows` in one step (test surface;
+    the pipeline packs AFTER its coalescing repartition so each packed row
+    aggregates a whole coalesced block's cells for that partition — packing
+    per input batch makes one tiny blob per (batch, part), and with ~17.5k
+    partitions per batch at bench scale that is *more* rows than cells)."""
+    return pack_part_rows(replicate_to_parts(batch, cfg))
 
-    Same trick as the border-band packing (local_components kind=1 rows):
-    the groupby(part) sort exchange cost is dominated by per-row
-    coordination, not bytes — at bench scale this turns ~8M 25-byte rows
-    into a few thousand blob rows of identical total payload.
+
+def pack_part_rows(percell: pa.Table) -> pa.Table:
+    """Pack per-cell exchange rows (part, cell_fine, shared, n) into one
+    blob row per partition: the groupby(part) sort exchange cost is
+    dominated by per-row coordination, not bytes — same trick as the
+    border-band packing (local_components kind=1 rows).
     ``local_components`` unpacks transparently (schema-detected)."""
-    percell = replicate_to_parts(batch, cfg)
     parts = np.asarray(percell.column("part"), dtype=np.int64)
     if not len(parts):
         return pa.table({"part": pa.array([], type=pa.int64()),
@@ -492,14 +496,26 @@ def polygonize_batch(batch: pa.Table, cfg: DelineationConfig) -> pa.Table:
     areas = np.empty(len(labels), dtype=np.float64)
     boundaries: list[list[np.ndarray]] = []
     covers: list[np.ndarray] = []
-    regions: list[np.ndarray] = []
+    seg_starts: list[np.ndarray] = []
+    seg_ends: list[np.ndarray] = []
     for i in range(len(labels)):
         rings, area, cover, region = polygonize_cells(
             flat[offs[i]:offs[i + 1]], cfg, want_region=True)
         areas[i] = area
         boundaries.append(rings)
         covers.append(cover)
-        regions.append(region)
+        # region -> run-length segments (maximal consecutive-id runs):
+        # packed ids run along hex columns, so a filled region compresses
+        # ~20x; membership stays exact (see cells_to_segments_batch)
+        r = region if len(region) < 2 or bool(
+            (region[1:] > region[:-1]).all()) else np.sort(region)
+        if not len(r):
+            seg_starts.append(r)
+            seg_ends.append(r)
+            continue
+        brk = np.nonzero(np.concatenate([[True], r[1:] != r[:-1] + 1]))[0]
+        seg_starts.append(r[brk])
+        seg_ends.append(r[np.concatenate([brk[1:] - 1, [len(r) - 1]])])
 
     def _list_col(arrs: list[np.ndarray]) -> pa.ListArray:
         counts = np.array([len(c) for c in arrs], dtype=np.int64)
@@ -516,7 +532,8 @@ def polygonize_batch(batch: pa.Table, cfg: DelineationConfig) -> pa.Table:
         "part_cell": pa.array(hg.parent(labels, cfg.res_part), type=pa.int64()),
         "boundary": rings_to_arrow(boundaries),
         "cover_cells": _list_col(covers),
-        "region_cells": _list_col(regions),
+        "seg_starts": _list_col(seg_starts),
+        "seg_ends": _list_col(seg_ends),
     })
 
 
@@ -568,32 +585,109 @@ def _lattice_patch(lo: np.ndarray, hi: np.ndarray, res: int) -> np.ndarray:
 
 
 def region_label_index_batch(batch: pa.Table) -> pa.Table:
-    """Settlement rows (with region_cells) -> the PIP cell index in its
-    narrow int64 form: one (cell_fine, label) row per region cell (ids are
-    always "s{label}", so the label IS the id — strings are reconstructed
-    only at the output edge)."""
-    col = batch.column("region_cells")
-    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-    counts = np.diff(np.asarray(col.offsets, dtype=np.int64))
+    """Settlement rows (with seg_starts/seg_ends) -> the PIP segment index
+    in its narrow int64 form: one (seg_start, seg_end, label) row per
+    region run (ids are always "s{label}", so the label IS the id —
+    strings are reconstructed only at the output edge)."""
+    ss = batch.column("seg_starts")
+    ss = ss.combine_chunks() if isinstance(ss, pa.ChunkedArray) else ss
+    se = batch.column("seg_ends")
+    se = se.combine_chunks() if isinstance(se, pa.ChunkedArray) else se
+    counts = np.diff(np.asarray(ss.offsets, dtype=np.int64))
     labels = np.asarray(batch.column("label"), dtype=np.int64)
     return pa.table({
-        "cell_fine": col.values,
+        "seg_start": ss.values,
+        "seg_end": se.values,
         "label": pa.array(np.repeat(labels, counts), type=pa.int64()),
     })
 
 
+def segments_to_cells_batch(batch: pa.Table) -> pa.Table:
+    """(seg_start, seg_end, label) rows -> per-cell (cell_fine, label)
+    rows — the expansion the distributed-join PIP strategy needs (the
+    broadcast strategy probes segments directly)."""
+    st = np.asarray(batch.column("seg_start"), dtype=np.int64)
+    en = np.asarray(batch.column("seg_end"), dtype=np.int64)
+    lab = np.asarray(batch.column("label"), dtype=np.int64)
+    lens = en - st + 1
+    total = int(lens.sum()) if len(lens) else 0
+    if not total:
+        return pa.table({"cell_fine": pa.array([], type=pa.int64()),
+                         "label": pa.array([], type=pa.int64())})
+    base = np.repeat(st, lens)
+    run0 = np.repeat(np.concatenate([[0], np.cumsum(lens)[:-1]]), lens)
+    cells = base + (np.arange(total, dtype=np.int64) - run0)
+    return pa.table({
+        "cell_fine": pa.array(cells, type=pa.int64()),
+        "label": pa.array(np.repeat(lab, lens), type=pa.int64()),
+    })
+
+
+def cells_to_segments_batch(batch: pa.Table) -> pa.Table:
+    """(cell_fine, label) rows -> run-length segment rows (seg_start,
+    seg_end, label): maximal runs of consecutive cell ids per label.
+
+    The packed id is (res<<56)|(q+OFF)<<28|(r+OFF), so a filled region
+    yields ~one run per q-column — ~20x fewer index entries for the same
+    exact membership test.  Runs of one label contain ONLY that label's
+    cells (region sets are disjoint and a run is a maximal consecutive-id
+    interval fully inside one set), so intervals never overlap and
+    ``probe_cell_index`` is exact.  A run split across input batches just
+    emits two adjacent intervals — still exact, marginally less packed."""
+    cf = np.asarray(batch.column("cell_fine"), dtype=np.int64)
+    lab = np.asarray(batch.column("label"), dtype=np.int64)
+    if not len(cf):
+        return pa.table({"seg_start": pa.array([], type=pa.int64()),
+                         "seg_end": pa.array([], type=pa.int64()),
+                         "label": pa.array([], type=pa.int64())})
+    order = np.lexsort((cf, lab))
+    f = cf[order]
+    l_s = lab[order]
+    new_run = np.concatenate(
+        [[True], (l_s[1:] != l_s[:-1]) | (f[1:] != f[:-1] + 1)])
+    run_end = np.concatenate([new_run[1:], [True]])
+    return pa.table({
+        "seg_start": pa.array(f[new_run], type=pa.int64()),
+        "seg_end": pa.array(f[run_end], type=pa.int64()),
+        "label": pa.array(l_s[new_run], type=pa.int64()),
+    })
+
+
+def probe_cell_index(idx, cf: np.ndarray):
+    """(hit, label) of each cell id against the broadcast segment index
+    ``idx = (starts, ends, labels)`` (starts sorted; intervals disjoint)."""
+    starts, ends, labs = idx
+    if not len(starts) or not len(cf):
+        return np.zeros(len(cf), dtype=bool), np.zeros(len(cf), np.int64)
+    pos = np.searchsorted(starts, cf, side="right") - 1
+    valid = pos >= 0
+    pos = np.maximum(pos, 0)
+    hit = valid & (cf <= ends[pos])
+    return hit, labs[pos]
+
+
 def region_index_batch(batch: pa.Table) -> pa.Table:
-    """Settlement rows (with region_cells) -> the flat PIP cell index:
-    one (cell_fine, settlement_id) row per region cell.  Region sets of
-    distinct settlements are disjoint (closed sets of gap-separated
-    components stay >= 2 cells apart; dropped holes are interior), so the
-    index is a function cell -> settlement."""
-    col = batch.column("region_cells")
-    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-    counts = np.diff(np.asarray(col.offsets, dtype=np.int64))
+    """Settlement rows (with seg_starts/seg_ends) -> the flat PIP cell
+    index: one (cell_fine, settlement_id) row per region cell.  Region
+    sets of distinct settlements are disjoint (closed sets of
+    gap-separated components stay >= 2 cells apart; dropped holes are
+    interior), so the index is a function cell -> settlement."""
+    ss = batch.column("seg_starts")
+    ss = ss.combine_chunks() if isinstance(ss, pa.ChunkedArray) else ss
+    se = batch.column("seg_ends")
+    se = se.combine_chunks() if isinstance(se, pa.ChunkedArray) else se
+    st = np.asarray(ss.values, dtype=np.int64)
+    en = np.asarray(se.values, dtype=np.int64)
+    seg_counts = np.diff(np.asarray(ss.offsets, dtype=np.int64))
+    lens = en - st + 1
+    total = int(lens.sum()) if len(lens) else 0
+    base = np.repeat(st, lens)
+    run0 = np.repeat(np.concatenate([[0], np.cumsum(lens)[:-1]]), lens)
+    cells = base + (np.arange(total, dtype=np.int64) - run0)
+    row_of_seg = np.repeat(np.arange(len(batch), dtype=np.int64),
+                           seg_counts)
     sids = batch.column("settlement_id")
     return pa.table({
-        "cell_fine": col.values,
-        "settlement_id": sids.take(pa.array(
-            np.repeat(np.arange(len(batch), dtype=np.int64), counts))),
+        "cell_fine": pa.array(cells, type=pa.int64()),
+        "settlement_id": sids.take(pa.array(np.repeat(row_of_seg, lens))),
     })

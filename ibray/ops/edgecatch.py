@@ -69,7 +69,7 @@ class DualAssigner:
     """footprint → (settlement_id, block_id) in one pass over two sharded
     polygon indexes.
 
-    When ``cell_index_ref`` (a broadcast sorted (cell_fine, label) pair) is
+    When ``cell_index_ref`` (the broadcast (starts, ends, labels) segment index) is
     given the settlement half skips the ray-cast entirely: settlements are
     unions of whole fine cells, so membership is an int64 searchsorted —
     exactly the headline PIP contract, and exactly how the golden oracle
@@ -83,10 +83,11 @@ class DualAssigner:
         self._s = (PIPAssigner(settle_refs, cfg)
                    if settle_refs is not None else None)
         self._b = PIPAssigner(block_refs, cfg)
-        self._cells = self._labs = None
+        self._idx = None
         if cell_index_ref is not None:
-            # zero-copy numpy views onto the broadcast object-store buffer
-            self._cells, self._labs = ray.get(cell_index_ref)
+            # zero-copy numpy views onto the broadcast object-store buffer:
+            # the (starts, ends, labels) segment index of ops/cluster
+            self._idx = ray.get(cell_index_ref)
         self.cfg = cfg
 
     def _probe(self, inner: PIPAssigner, cx, cy, mid) -> np.ndarray:
@@ -111,16 +112,11 @@ class DualAssigner:
         cx = np.asarray(batch.column("cx"))
         cy = np.asarray(batch.column("cy"))
         mid = hg.encode(cx, cy, self.cfg.res_mid)
-        if self._cells is not None:
+        if self._idx is not None:
+            from ibray.ops.cluster import probe_cell_index
+
             cf = np.asarray(batch.column("cell_fine"), dtype=np.int64)
-            if len(self._cells):
-                pos = np.clip(np.searchsorted(self._cells, cf),
-                              0, len(self._cells) - 1)
-                hit = self._cells[pos] == cf
-                lab = self._labs[pos]
-            else:
-                hit = np.zeros(len(cf), dtype=bool)
-                lab = np.zeros(len(cf), dtype=np.int64)
+            hit, lab = probe_cell_index(self._idx, cf)
             sid_col = pc.binary_join_element_wise(
                 pa.array(np.where(hit, "s", "")),
                 pc.if_else(pa.array(hit),

@@ -110,11 +110,8 @@ def cluster_cells(fp: rd.Dataset, cfg: DelineationConfig = DEFAULT) -> rd.Datase
     stats = fp.select_columns(["cell_fine"]).map_batches(
         C.cell_stats_batch, batch_format="pyarrow"
     )
-    # packed exchange rows: one blob row per (block, partition) instead of
-    # one row per cell copy — the sort exchange is coordination-bound, not
-    # bandwidth-bound (see replicate_to_parts_packed / BENCH/SCALING_r04.md)
     replicated = stats.map_batches(
-        lambda b: C.replicate_to_parts_packed(b, cfg), batch_format="pyarrow"
+        lambda b: C.replicate_to_parts(b, cfg), batch_format="pyarrow"
     )
     # coalesce the shuffle INPUT to ~1 block per core: the sort exchange
     # moves O(map_blocks x reduce_blocks) objects, and with the read's ~200
@@ -124,6 +121,16 @@ def cluster_cells(fp: rd.Dataset, cfg: DelineationConfig = DEFAULT) -> rd.Datase
     nb = max(8, _num_cpus())
     if not _os.environ.get("IBRAY_NO_COALESCE"):
         replicated = replicated.repartition(nb, shuffle=False)
+    # pack the exchange payload per (coalesced block, partition): one blob
+    # row per partition instead of one row per cell copy — the sort
+    # exchange is coordination-bound, not bandwidth-bound (same trick as
+    # the border-band kind=1 rows).  Packing runs AFTER the coalesce so
+    # each blob aggregates a whole ~1-per-core block's cells (packing per
+    # input batch made one tiny blob per (batch, part) — more rows than
+    # useful at ~17.5k partitions).  IBRAY_PACK_EXCHANGE=0 for A/B.
+    if _os.environ.get("IBRAY_PACK_EXCHANGE") != "0":
+        replicated = replicated.map_batches(
+            C.pack_part_rows, batch_format="pyarrow", batch_size=None)
     local = replicated.groupby("part").map_groups(
         lambda g: C.local_components(g, cfg), batch_format="pyarrow"
     ).materialize()  # consumed twice: border branch + interior branch
@@ -279,7 +286,7 @@ def delineate(world_dir: str, cfg: DelineationConfig = DEFAULT,
             lambda b: C.polygonize_batch(b, cfg),
             batch_format="pyarrow", batch_size=4).materialize()
         settlements = _concat_refs(
-            poly.drop_columns(["region_cells"]),
+            poly.drop_columns(["seg_starts", "seg_ends"]),
             _settlement_schema(),
         ).sort_by("settlement_id")
         _mark("polygonize")
@@ -307,7 +314,8 @@ def delineate(world_dir: str, cfg: DelineationConfig = DEFAULT,
             # auto-strategy count is free metadata and neither branch
             # re-executes the region flat-map
             label_index = poly.map_batches(
-                C.region_label_index_batch, batch_format="pyarrow"
+                C.region_label_index_batch, batch_format="pyarrow",
+                batch_size=None
             ).materialize()
         else:  # resumed settlements from checkpoint: re-rasterize + parse
             def _parse_label(b: pa.Table) -> pa.Table:
@@ -323,38 +331,51 @@ def delineate(world_dir: str, cfg: DelineationConfig = DEFAULT,
             label_index = rd.from_arrow(settlements).map_batches(
                 lambda b: C.region_from_settlements(b, cfg),
                 batch_format="pyarrow", batch_size=16
-            ).map_batches(_parse_label, batch_format="pyarrow").materialize()
+            ).map_batches(_parse_label, batch_format="pyarrow").map_batches(
+                C.cells_to_segments_batch, batch_format="pyarrow",
+                batch_size=None).materialize()
+        _mark("pip_index")
         strategy = cfg.pip_strategy
         if strategy == "auto":
-            n_cells = label_index.count()
+            # gate on index ENTRIES (segments); the broadcast payload is
+            # proportional to segments, not cells
+            n_segs = label_index.count()
             strategy = ("broadcast"
-                        if n_cells <= cfg.pip_broadcast_max_cells else "join")
+                        if n_segs <= cfg.pip_broadcast_max_cells else "join")
         if strategy == "broadcast":
             import pyarrow.compute as pc
 
-            # sort DISTRIBUTED (range shuffle); the driver then only
-            # concatenates already-ordered blocks — no serial argsort over
-            # the whole index (the argsort was the flat piece of this
-            # phase in the 8-vs-32 profile)
-            idx = _concat_refs(label_index.sort("cell_fine"), pa.schema(
-                [("cell_fine", pa.int64()), ("label", pa.int64())]))
-            labs = np.asarray(idx.column("label"), dtype=np.int64)
-            cells_i = np.asarray(idx.column("cell_fine"), dtype=np.int64)
-            idx_ref = ray.put((cells_i, labs))
+            # the index is run-length SEGMENTS (built in the polygonize
+            # workers: maximal consecutive-id runs per label are disjoint
+            # integer intervals — one searchsorted + bound check probes
+            # exactly; ~20x fewer entries since packed ids run along hex
+            # columns), so the driver only concatenates and argsorts the
+            # small segment table.  This replaced BOTH flat variants
+            # measured at ~6-9 s each at 32 CPUs: the distributed Ray
+            # Data sort (pure exchange overhead) and the driver argsort
+            # over ~20M per-cell rows (single-core, gather-bound) —
+            # BENCH/SCALING_r04.md.
+            segs = _concat_refs(
+                label_index,
+                pa.schema([("seg_start", pa.int64()),
+                           ("seg_end", pa.int64()),
+                           ("label", pa.int64())]))
+            _mark("pip_concat")
+            st = np.asarray(segs.column("seg_start"), dtype=np.int64)
+            order = np.argsort(st)
+            idx_tuple = (st[order],
+                         np.asarray(segs.column("seg_end"),
+                                    dtype=np.int64)[order],
+                         np.asarray(segs.column("label"),
+                                    dtype=np.int64)[order])
+            _mark("pip_sorted")
+            idx_ref = ray.put(idx_tuple)
 
             def _assign(b: pa.Table) -> pa.Table:
                 import pyarrow.compute as pc
 
-                cells_s, labs_s = ray.get(idx_ref)
                 cf = np.asarray(b.column("cell_fine"), dtype=np.int64)
-                if len(cells_s):
-                    pos = np.clip(np.searchsorted(cells_s, cf),
-                                  0, len(cells_s) - 1)
-                    hit = cells_s[pos] == cf
-                    lab = labs_s[pos]
-                else:
-                    hit = np.zeros(len(cf), dtype=bool)
-                    lab = np.zeros(len(cf), dtype=np.int64)
+                hit, lab = C.probe_cell_index(ray.get(idx_ref), cf)
                 lab_str = pc.cast(pa.array(lab), pa.string())
                 sid = pc.binary_join_element_wise(
                     pa.array(np.where(hit, "s", "")),
@@ -370,9 +391,11 @@ def delineate(world_dir: str, cfg: DelineationConfig = DEFAULT,
                 ["footprint_id", "doc_id", "span_idx", "cell_fine"]
             ).map_batches(_assign, batch_format="pyarrow")
         else:
+            label_cells = label_index.map_batches(
+                C.segments_to_cells_batch, batch_format="pyarrow")
             joined = fp_all.select_columns(
                 ["footprint_id", "doc_id", "span_idx", "cell_fine"]
-            ).join(label_index, join_type="left_outer",
+            ).join(label_cells, join_type="left_outer",
                    num_partitions=max(8, _num_cpus()), on=("cell_fine",))
 
             def _finish(b: pa.Table) -> pa.Table:

@@ -74,3 +74,48 @@ def pool_size(requested: int) -> int:
     except Exception:
         ncpu = 8
     return max(1, min(requested, ncpu - 2))
+
+
+def parallel_sort_pairs(keys, vals):
+    """Sort (keys, vals) by ``keys`` — assumed UNIQUE int64 — using a
+    bucketed parallel sort: sampled range boundaries, one radix pass on
+    uint8 bucket ids, then per-bucket argsorts fanned out as Ray tasks.
+
+    A plain driver np.argsort is a single-core O(n log n) pass that showed
+    up flat in the 8-vs-32 scaling profile (~5 s at ~20M index rows);
+    this version keeps the driver work to two vectorized O(n) passes and
+    lets the comparison sorts run task-parallel."""
+    import numpy as np
+    import ray
+
+    n = len(keys)
+    if n < 2_000_000 or not ray.is_initialized():
+        order = np.argsort(keys)
+        return keys[order], vals[order]
+    try:
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        ncpu = 8
+    n_buckets = int(min(256, max(8, ncpu * 2)))
+    sample = np.sort(keys[:: max(1, n // 65536)])
+    bounds = sample[np.linspace(0, len(sample) - 1, n_buckets,
+                                endpoint=False)[1:].astype(np.int64)]
+    bucket = np.searchsorted(bounds, keys).astype(np.uint8)
+    coarse = np.argsort(bucket, kind="stable")  # radix pass on uint8
+    ks = np.ascontiguousarray(keys[coarse])
+    vs = np.ascontiguousarray(vals[coarse])
+    counts = np.bincount(bucket, minlength=n_buckets)
+    offs = np.concatenate([[0], np.cumsum(counts)])
+
+    @ray.remote(num_cpus=1)
+    def _order(chunk):
+        return np.argsort(chunk)
+
+    refs = [_order.remote(ks[offs[i]: offs[i + 1]])
+            for i in range(n_buckets) if counts[i]]
+    live = [i for i in range(n_buckets) if counts[i]]
+    for i, order in zip(live, ray.get(refs)):
+        s, e = offs[i], offs[i + 1]
+        ks[s:e] = ks[s:e][order]
+        vs[s:e] = vs[s:e][order]
+    return ks, vs
