@@ -15,9 +15,11 @@ Ray-Data-first execution:
   hexagon, adds the hexagon outline, and polygonizes the arrangement
   (ibray/arrange.py — per partition, never global);
 - footprint→block assignment reuses the sharded PIP actor machinery
-  (ops/pip.py) with blocks as the polygon side;
-- per-block footprint count and area reduce via a distributed groupby with
-  INTEGER cm² areas, so distributed summation order cannot perturb OVERLAP.
+  (ops/pip.py) with blocks as the polygon side — footprints stream through
+  an actor pool and never shuffle (r4: the co-grouped sort exchange was
+  measured at ~100% of the probe wall);
+- per-block footprint count and area reduce from per-batch INTEGER cm²
+  partials, so distributed summation order cannot perturb OVERLAP.
 """
 
 from __future__ import annotations
@@ -25,12 +27,12 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import ray.data as rd
-from ray.data.aggregate import Sum
 
 from ibray import arrange, geom
 from ibray import hexgrid as hg
 from ibray.config import DEFAULT, DelineationConfig
 from ibray.ops.pip import _Shard
+from ibray.util import full_pool
 from ibray.util import pool_size as _pool
 
 MIN_BDG_COUNT = 20      # IB-Tool2.py:981 MinBdgCount
@@ -215,167 +217,83 @@ def blocks_dataset(world_dir: str, cfg: DelineationConfig = DEFAULT,
         lambda g: polygonize_part(g, cfg), batch_format="pyarrow")
 
 
-def _probe_schema() -> pa.Schema:
-    return pa.schema([
-        ("probe_part", pa.int64()), ("kind", pa.int8()),
-        ("block_id", pa.string()), ("geom", pa.large_binary()),
-        ("cov", pa.large_binary()), ("footprint_id", pa.string()),
-        ("cx", pa.float64()), ("cy", pa.float64()),
-        ("area_cm2", pa.int64()),
-    ])
+class BlockProber:
+    """Actor-pool footprint→block probe over worker-packed shards
+    (ops/pip.polygon_refs — one merged object-store payload below
+    MERGED_MAX_POLYS, per-partition worker-packed shards beyond).
 
+    Replaces the r3 co-grouped probe shuffle: measured at 1M footprints the
+    sort exchange was ~100% of block_overlap's wall (the PIP kernel itself
+    is ~free), so the footprint side now never shuffles — block payloads
+    ship once per partition through the object store and each actor caches
+    only the shards its batches touch (the T6 headline-PIP contract).
+    ``partial_overlap=True`` reduces each batch to per-block INTEGER
+    partials inside the actor, so the downstream all-to-all sees ~#blocks
+    rows, not #footprints (integer cm² partial sums commute — distributed
+    order cannot perturb totals)."""
 
-def _pack_block_rows(batch: pa.Table, cfg: DelineationConfig) -> pa.Table:
-    """Block rows -> one (probe_part, packed geometry + cover) copy per
-    coarse partition the block's cover cells touch — the worker-side
-    replacement for driver shard packing (each copy is a plain binary
-    column riding the probe shuffle)."""
-    from ibray.ops.overlay import settlement_rings
-    from ibray.ops.ringpack import pack_rings
+    def __init__(self, refs, cfg: DelineationConfig,
+                 partial_overlap: bool = False):
+        from ibray.ops.pip import PIPAssigner
 
-    rings = settlement_rings(batch)
-    geom_blobs = [pack_rings(rs) for rs in rings]
-    cover = batch.column("cover_cells")
-    cover = cover.combine_chunks() if isinstance(cover, pa.ChunkedArray) else cover
-    offs = np.asarray(cover.offsets, dtype=np.int64)
-    flat = np.asarray(cover.values, dtype=np.int64)
-    cov_blobs = [flat[offs[i]:offs[i + 1]].tobytes()
-                 for i in range(len(batch))]
-    srow = np.repeat(np.arange(len(batch)), np.diff(offs))
-    pairs = np.unique(
-        np.column_stack([hg.parent(flat, cfg.res_part), srow]), axis=0)
-    nb = len(pairs)
-    return pa.table({
-        "probe_part": pa.array(pairs[:, 0], type=pa.int64()),
-        "kind": pa.array(np.zeros(nb, dtype=np.int8)),
-        "block_id": batch.column("block_id").take(pa.array(pairs[:, 1])),
-        "geom": pa.array([geom_blobs[r] for r in pairs[:, 1]],
-                         type=pa.large_binary()),
-        "cov": pa.array([cov_blobs[r] for r in pairs[:, 1]],
-                        type=pa.large_binary()),
-        "footprint_id": pa.array([""] * nb, type=pa.string()),
-        "cx": pa.array(np.zeros(nb)), "cy": pa.array(np.zeros(nb)),
-        "area_cm2": pa.array(np.zeros(nb, dtype=np.int64)),
-    })
+        self._b = PIPAssigner(refs, cfg)
+        self.cfg = cfg
+        self.partial = partial_overlap
 
-
-def _pack_probe_rows(batch: pa.Table, cfg: DelineationConfig) -> pa.Table:
-    cx = np.asarray(batch.column("cx"), dtype=np.float64)
-    cy = np.asarray(batch.column("cy"), dtype=np.float64)
-    mid = hg.encode(cx, cy, cfg.res_mid)
-    n = len(cx)
-    area_cm2 = np.round(
-        np.asarray(batch.column("area_m2")) * 1e4).astype(np.int64)
-    return pa.table({
-        "probe_part": pa.array(hg.parent(mid, cfg.res_part), type=pa.int64()),
-        "kind": pa.array(np.ones(n, dtype=np.int8)),
-        "block_id": pa.array([""] * n, type=pa.string()),
-        "geom": pa.array([b""] * n, type=pa.large_binary()),
-        "cov": pa.array([b""] * n, type=pa.large_binary()),
-        "footprint_id": batch.column("footprint_id"),
-        "cx": pa.array(cx), "cy": pa.array(cy),
-        "area_cm2": pa.array(area_cm2, type=pa.int64()),
-    })
-
-
-def _assign_group(g: pa.Table, cfg: DelineationConfig) -> pa.Table:
-    """One coarse partition: rebuild the packed block payload from the
-    co-grouped binary rows, then run the standard CSR cover probe."""
-    from ibray.ops.ringpack import unpack_rings
-
-    kinds = np.asarray(g.column("kind"))
-    fsel = np.nonzero(kinds == 1)[0]
-    empty = pa.table({
-        "footprint_id": pa.array([], type=pa.string()),
-        "block_id": pa.array([], type=pa.string()),
-        "area_cm2": pa.array([], type=pa.int64()),
-    })
-    if not len(fsel):
-        return empty
-    bsel = np.nonzero(kinds == 0)[0]
-    cx = np.asarray(g.column("cx"), dtype=np.float64)[fsel]
-    cy = np.asarray(g.column("cy"), dtype=np.float64)[fsel]
-    out = np.full(len(cx), "", dtype=object)
-    if len(bsel):
-        gsub = g.take(pa.array(bsel))
-        ring_sets = [unpack_rings(b) for b in gsub.column("geom").to_pylist()]
-        covs = [np.frombuffer(b, dtype=np.int64)
-                for b in gsub.column("cov").to_pylist()]
-        poly_off = np.concatenate(
-            [[0], np.cumsum([len(rs) for rs in ring_sets])])
-        all_rings = [r for rs in ring_sets for r in rs]
-        ring_off = np.concatenate(
-            [[0], np.cumsum([len(r) for r in all_rings])])
-        flat = (np.concatenate(all_rings, axis=0) if all_rings
-                else np.zeros((0, 2)))
-        payload = {
-            "ids": gsub.column("block_id").to_pylist(),
-            "poly_off": poly_off.astype(np.int64),
-            "ring_off": ring_off.astype(np.int64),
-            "xs": np.ascontiguousarray(flat[:, 0]),
-            "ys": np.ascontiguousarray(flat[:, 1]),
-            "cov_list_off": np.concatenate(
-                [[0], np.cumsum([len(c) for c in covs])]).astype(np.int64),
-            "cov_flat": (np.concatenate(covs) if covs
-                         else np.zeros(0, np.int64)),
-        }
-        shard = _Shard(payload, cfg)
-        mid = hg.encode(cx, cy, cfg.res_mid)
-        shard.probe(cx, cy, mid, out, np.arange(len(cx)))
-    return pa.table({
-        "footprint_id": g.column("footprint_id").take(pa.array(fsel)),
-        "block_id": pa.array(list(out), type=pa.string()),
-        "area_cm2": g.column("area_cm2").take(pa.array(fsel)),
-    })
-
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cx = np.asarray(batch.column("cx"), dtype=np.float64)
+        cy = np.asarray(batch.column("cy"), dtype=np.float64)
+        bid = self._b.probe_ids(cx, cy)
+        area_cm2 = np.round(
+            np.asarray(batch.column("area_m2")) * 1e4).astype(np.int64)
+        if not self.partial:
+            return pa.table({
+                "footprint_id": batch.column("footprint_id"),
+                "block_id": pa.array(list(bid), type=pa.string()),
+                "area_cm2": pa.array(area_cm2, type=pa.int64()),
+            })
+        hit = bid != ""
+        if not hit.any():
+            return pa.table({
+                "block_id": pa.array([], type=pa.string()),
+                "n_part": pa.array([], type=pa.int64()),
+                "cm2_part": pa.array([], type=pa.int64()),
+            })
+        bid = bid[hit]
+        cm2 = area_cm2[hit]
+        order = np.argsort(bid, kind="stable")
+        bid, cm2 = bid[order], cm2[order]
+        starts = np.nonzero(np.concatenate([[True], bid[1:] != bid[:-1]]))[0]
+        return pa.table({
+            "block_id": pa.array(list(bid[starts]), type=pa.string()),
+            "n_part": pa.array(
+                np.diff(np.concatenate([starts, [len(bid)]])),
+                type=pa.int64()),
+            "cm2_part": pa.array(np.add.reduceat(cm2, starts),
+                                 type=pa.int64()),
+        })
 
 def block_assignments(world_dir: str, fp: rd.Dataset,
                       cfg: DelineationConfig = DEFAULT,
                       blocks_ds: rd.Dataset | None = None) -> rd.Dataset:
     """footprint → block join rows.
 
-    Scale shape: block geometry never lands on the driver — each
-    partition's blocks pack to binary rows that CO-SHUFFLE with the probe
-    points into one groupby(probe_part); the CSR cover probe runs inside
-    map_groups (replaces round 2's driver shard packing + per-shard
-    ray.put).  Emits (footprint_id, block_id ['' when outside all blocks],
-    area_cm2)."""
+    Scale shape: block geometry never lands on the driver — blocks pack
+    WORKER-SIDE (ops/pip polygon_refs) and the footprint side streams
+    through a
+    stateful actor-pool probe with NO shuffle at all (r4: the co-grouped
+    sort exchange was the entire cost at 1M+ probes).  Emits
+    (footprint_id, block_id ['' when outside all blocks], area_cm2)."""
+    from ibray.ops.pip import polygon_refs
+
     if blocks_ds is None:
         blocks_ds = blocks_dataset(world_dir, cfg)
-    bp = blocks_ds.map_batches(lambda b: _pack_block_rows(b, cfg),
-                               batch_format="pyarrow")
-    pp = fp.select_columns(
+    refs = polygon_refs(blocks_ds, cfg, id_col="block_id")
+    return fp.select_columns(
         ["footprint_id", "cx", "cy", "area_m2"]).map_batches(
-        lambda b: _pack_probe_rows(b, cfg), batch_format="pyarrow")
-    return bp.union(pp).groupby("probe_part").map_groups(
-        lambda g: _assign_group(g, cfg), batch_format="pyarrow")
-
-
-def _overlap_group(g: pa.Table, cfg: DelineationConfig) -> pa.Table:
-    """One coarse partition: run the co-grouped probe, then reduce to
-    per-block INTEGER partials (n hits, Σ footprint cm²) INSIDE the group —
-    the downstream all-to-all only ever sees ~#blocks rows, not
-    #footprints."""
-    asg = _assign_group(g, cfg)
-    bid = np.asarray(asg.column("block_id"))
-    hit = bid != ""
-    if not hit.any():
-        return pa.table({
-            "block_id": pa.array([], type=pa.string()),
-            "n_part": pa.array([], type=pa.int64()),
-            "cm2_part": pa.array([], type=pa.int64()),
-        })
-    bid = bid[hit]
-    cm2 = np.asarray(asg.column("area_cm2"), dtype=np.int64)[hit]
-    order = np.argsort(bid, kind="stable")
-    bid, cm2 = bid[order], cm2[order]
-    starts = np.nonzero(np.concatenate([[True], bid[1:] != bid[:-1]]))[0]
-    return pa.table({
-        "block_id": pa.array(bid[starts], type=pa.string()),
-        "n_part": pa.array(np.diff(np.concatenate([starts, [len(bid)]])),
-                           type=pa.int64()),
-        "cm2_part": pa.array(np.add.reduceat(cm2, starts), type=pa.int64()),
-    })
+        BlockProber, fn_constructor_args=(refs, cfg),
+        batch_format="pyarrow", batch_size=cfg.batch_size,
+        concurrency=full_pool())
 
 
 def block_overlap(world_dir: str, fp: rd.Dataset,
@@ -385,32 +303,45 @@ def block_overlap(world_dir: str, fp: rd.Dataset,
     Returns blocks with ≥1 footprint: (block_id, n_footprints, area_m2,
     overlap_pct).
 
-    Scale shape: the co-grouped probe aggregates per-block INTEGER cm²
-    partials inside each partition group, the global groupby reduces
-    ~#blocks partial rows (not #footprints), and block areas attach via a
-    driver-side searchsorted against the narrow (block_id, area_m2)
-    projection — the same O(#hit blocks) driver footprint as the output
-    contract itself.  Integer partial sums commute, so distributed order
-    cannot perturb overlap_pct."""
+    Scale shape: the actor-pool probe (BlockProber — footprints never
+    shuffle) reduces each batch to per-block INTEGER cm² partials inside
+    the actor, and the final combine runs driver-side over those partials
+    with one sort+reduceat — NO all-to-all at all.  The partial row count
+    is bounded by #batches × #blocks-hit-per-batch, the same order as the
+    driver-held output contract (~#blocks rows); block areas attach via a
+    searchsorted against the narrow (block_id, area_m2) projection.
+    Integer partial sums commute, so distributed order cannot perturb
+    overlap_pct."""
     from ibray import pipeline
+    from ibray.ops.pip import polygon_refs
 
     if blocks_ds is None:
         blocks_ds = blocks_dataset(world_dir, cfg).materialize()
-    bp = blocks_ds.map_batches(lambda b: _pack_block_rows(b, cfg),
-                               batch_format="pyarrow")
-    pp = fp.select_columns(
-        ["footprint_id", "cx", "cy", "area_m2"]).map_batches(
-        lambda b: _pack_probe_rows(b, cfg), batch_format="pyarrow")
-    partials = bp.union(pp).groupby("probe_part").map_groups(
-        lambda g: _overlap_group(g, cfg), batch_format="pyarrow")
-    agg = partials.groupby("block_id").aggregate(
-        Sum("n_part", alias_name="n_footprints"),
-        Sum("cm2_part", alias_name="fp_area_cm2"),
-    )
-    tbl = pipeline._concat_refs(
-        agg, pa.schema([("block_id", pa.string()),
-                        ("n_footprints", pa.int64()),
-                        ("fp_area_cm2", pa.int64())])).sort_by("block_id")
+    refs = polygon_refs(blocks_ds, cfg, id_col="block_id")
+    partials = fp.select_columns(["cx", "cy", "area_m2"]).map_batches(
+        BlockProber, fn_constructor_args=(refs, cfg, True),
+        batch_format="pyarrow", batch_size=cfg.batch_size,
+        concurrency=full_pool())
+    par = pipeline._concat_refs(
+        partials, pa.schema([("block_id", pa.string()),
+                             ("n_part", pa.int64()),
+                             ("cm2_part", pa.int64())]))
+    p_bid = np.asarray(par.column("block_id"))
+    p_ord = np.argsort(p_bid, kind="stable")
+    p_bid = p_bid[p_ord]
+    p_n = np.asarray(par.column("n_part"), dtype=np.int64)[p_ord]
+    p_cm2 = np.asarray(par.column("cm2_part"), dtype=np.int64)[p_ord]
+    starts = np.nonzero(np.concatenate([[True], p_bid[1:] != p_bid[:-1]]))[0] \
+        if len(p_bid) else np.zeros(0, np.int64)
+    tbl = pa.table({
+        "block_id": pa.array(list(p_bid[starts]), type=pa.string()),
+        "n_footprints": pa.array(
+            np.add.reduceat(p_n, starts) if len(starts) else
+            np.zeros(0, np.int64), type=pa.int64()),
+        "fp_area_cm2": pa.array(
+            np.add.reduceat(p_cm2, starts) if len(starts) else
+            np.zeros(0, np.int64), type=pa.int64()),
+    })
     areas = pipeline._concat_refs(
         blocks_ds.map_batches(
             lambda b: b.select(["block_id", "area_m2"]),
@@ -438,9 +369,9 @@ def dense_blocks(world_dir: str, fp: rd.Dataset,
     (IB-Tool2.py:2464-2482): Blocker runs over the MERGED aux+road line
     layer (Blocks_Veg), FootprintDensity computes per-block OVERLAP, and
     blocks with OVERLAP strictly above MinOverlapBlocks (config line 1,
-    default 18) are extracted as settled areas.  Same distributed
-    co-shuffled probe as block_overlap; only the (small) dense subset —
-    the output contract — reaches the driver."""
+    default 18) are extracted as settled areas.  Same actor-pool probe as
+    block_overlap; only the (small) dense subset — the output contract —
+    reaches the driver."""
     blocks_ds = blocks_dataset(world_dir, cfg, include_aux=True).materialize()
     ov = block_overlap(world_dir, fp, cfg, blocks_ds=blocks_ds)
     keep = np.asarray(ov.column("overlap_pct"), dtype=np.float64) > thr
@@ -456,7 +387,7 @@ def dense_block_polygons(world_dir: str, fp: rd.Dataset,
     (IB-Tool2.py:2482, 2505-2511: Blocks_red merged into Feat_Merge and
     Inner_Areas).  Only the dense subset (the pre-extraction contract)
     reaches the driver; the overlap scan itself is the distributed
-    co-shuffled probe."""
+    actor-pool probe (BlockProber)."""
     if thr is None:
         thr = cfg.veg_dense_thr
     from ibray import pipeline

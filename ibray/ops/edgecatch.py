@@ -23,10 +23,11 @@ the mechanism is blocks + exact polygon ops rather than near-tables):
 
 Distributed shape: ONE composed actor-pool pass assigns every footprint to
 its settlement AND its block (both sharded PIP indexes, no broadcast of
-either whole table), a groupby((settlement, block)) counts the pairs, and
-the per-pair erase joins each side's packed-ring binary (ops/ringpack)
-through Dataset hash joins and runs inside map_batches — only the
-per-settlement gain aggregate ever reaches the driver.
+either whole table), per-batch (settlement, block) partial counts reduce
+driver-side (the pair table is the driver return contract — r4 replaced
+the pure-overhead groupby exchange), and the per-pair erase co-shuffles
+each side's packed-ring binary (ops/ringpack) through one groupby(epart)
+— only the per-settlement gain aggregate ever reaches the driver.
 """
 
 from __future__ import annotations
@@ -34,12 +35,11 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import ray.data as rd
-from ray.data.aggregate import Sum as SumAgg
 
 from ibray import arrange
 from ibray import hexgrid as hg
 from ibray.config import DEFAULT, DelineationConfig
-from ibray.ops.pip import PIPAssigner, shard_refs_from_dataset
+from ibray.ops.pip import PIPAssigner, polygon_refs
 from ibray.util import full_pool
 
 SNAP_AREA_FACTOR = 3.0  # IB-Tool2.py:2096 'Shape_Area < shapeareagroup*3'
@@ -66,8 +66,9 @@ def _narrow_table(polys, columns: list[str]) -> pa.Table:
 
 
 class DualAssigner:
-    """footprint → (settlement_id, block_id) in one pass over two sharded
-    polygon indexes.
+    """footprint → (settlement_id, block_id) in one pass over two polygon
+    indexes (merged single payload or per-partition shards — ops/pip
+    polygon_refs).
 
     When ``cell_index_ref`` (the broadcast (starts, ends, labels) segment index) is
     given the settlement half skips the ray-cast entirely: settlements are
@@ -151,13 +152,14 @@ def dual_assignments(fp: rd.Dataset, settlements, blocks,
     so membership is an int64 searchsorted — no ray cast), else the sharded
     ray-cast PIP over ``settlements``.  Block side: always the sharded PIP
     (blocks are arrangement faces, not cell unions).  Both polygon indexes
-    pack WORKER-SIDE (ops/pip shard_refs_from_dataset): the driver holds
-    {part: (block_ref, row)} handles, never a shard payload; ``blocks`` may
-    be a Dataset."""
+    pack WORKER-SIDE (ops/pip polygon_refs): one merged object-store
+    payload below MERGED_MAX_POLYS (unclustered probe streams pay
+    per-(batch, partition) overhead on sharded indexes — the r4
+    measurement), per-partition shards beyond; the driver never holds a
+    payload and ``blocks`` may be a Dataset."""
     s_refs = (None if cell_index_ref is not None
-              else shard_refs_from_dataset(settlements, cfg))
-    b_refs = shard_refs_from_dataset(_as_dataset(blocks), cfg,
-                                     id_col="block_id")
+              else polygon_refs(settlements, cfg))
+    b_refs = polygon_refs(_as_dataset(blocks), cfg, id_col="block_id")
     cols = ["footprint_id", *keep_cols, "cx", "cy"]
     if cell_index_ref is not None and "cell_fine" not in cols:
         cols.append("cell_fine")
@@ -189,15 +191,30 @@ def snap_pairs_from_dual(dual: rd.Dataset,
             "n_part": g.column("settlement_id_count"),
         })
 
-    agg = dual.map_batches(_partial_pairs, batch_format="pyarrow") \
-        .groupby(["settlement_id", "block_id"]).aggregate(
-        SumAgg("n_part", alias_name="n_fp"))
-    return pipeline._concat_refs(
-        agg, pa.schema([("settlement_id", pa.string()),
-                        ("block_id", pa.string()),
-                        ("n_fp", pa.int64())])).sort_by([
-                            ("settlement_id", "ascending"),
-                            ("block_id", "ascending")])
+    # final combine driver-side: the pair table IS this function's driver
+    # return contract, and the per-batch partials are the same order of
+    # magnitude — a distributed groupby here is a pure-overhead exchange
+    # (r4 measurement: the sort shuffle dominated the whole pass)
+    par = pipeline._concat_refs(
+        dual.map_batches(_partial_pairs, batch_format="pyarrow"),
+        pa.schema([("settlement_id", pa.string()),
+                   ("block_id", pa.string()),
+                   ("n_part", pa.int64())]))
+    sid = np.asarray(par.column("settlement_id"))
+    bid = np.asarray(par.column("block_id"))
+    cnt = np.asarray(par.column("n_part"), dtype=np.int64)
+    order = np.lexsort((bid, sid))
+    sid, bid, cnt = sid[order], bid[order], cnt[order]
+    new = np.concatenate([[True], (sid[1:] != sid[:-1])
+                          | (bid[1:] != bid[:-1])]) \
+        if len(sid) else np.zeros(0, bool)
+    starts = np.nonzero(new)[0]
+    return pa.table({
+        "settlement_id": pa.array(list(sid[starts]), type=pa.string()),
+        "block_id": pa.array(list(bid[starts]), type=pa.string()),
+        "n_fp": pa.array(np.add.reduceat(cnt, starts) if len(starts)
+                         else np.zeros(0, np.int64), type=pa.int64()),
+    })
 
 
 def snap_pairs(fp: rd.Dataset, settlements: pa.Table, blocks,
@@ -601,7 +618,7 @@ def refined_assignments(fp: rd.Dataset, refined: pa.Table,
     order so overlap ties resolve deterministically (last id wins — the
     refined_settlements contract)."""
     refined = refined.sort_by("settlement_id")
-    shard_refs = shard_refs_from_dataset(refined, cfg)
+    shard_refs = polygon_refs(refined, cfg)
     return fp.select_columns(
         ["footprint_id", "doc_id", "span_idx", "cx", "cy", "part_cell"]
     ).sort("part_cell").drop_columns(["part_cell"]).map_batches(

@@ -151,6 +151,74 @@ def shard_refs_from_dataset(poly_ds, cfg: DelineationConfig,
     return ShardRefs(refs, owner=packed)
 
 
+# polygon sides at or below this row count probe through ONE globally
+# packed payload (object store, zero-copy numpy views in every actor)
+# instead of per-partition shards.  Rationale (r4 measurement, 10M
+# footprints x 22k partitions): an UNCLUSTERED probe stream makes every
+# batch span ~every partition, so the sharded probe pays the per-call
+# numpy fixed cost per (batch, partition) — 6.6k tiny probe calls per
+# 8k-row batch, ~2 s/batch, while the merged single call is
+# O(batch + candidate pairs).  Beyond this bound the single pack task's
+# heap is the ceiling and callers fall back to worker-packed shards
+# (probe streams SHOULD be partition-clustered at that scale).
+MERGED_MAX_POLYS = 2_000_000
+
+
+def merged_payload_ref(poly_ds, cfg: DelineationConfig,
+                       id_col: str = "settlement_id"):
+    """ObjectRef of ONE packed payload (+ prebuilt CSR cover index) for the
+    whole polygon side — PIPAssigner's single-shard mode.
+
+    The pack runs in a raw Ray task (the polygon geometry never lands on
+    the driver); the payload's numpy arrays deserialize zero-copy from the
+    object store in every probe actor.  Rows pack in ascending ``id_col``
+    order, so the overlap-tie contract (ascending-index overwrite = last
+    id wins) matches the sharded path and the golden oracle's global
+    sorted-id overwrite loop exactly."""
+    import ray
+    import ray.data as rd
+
+    if isinstance(poly_ds, pa.Table):
+        poly_ds = rd.from_arrow(poly_ds)
+
+    @ray.remote(num_cpus=1)
+    def _pack(refs: list, id_col: str, cfg: DelineationConfig) -> dict:
+        tbls = [t for t in ray.get(list(refs)) if t.num_rows]
+        cols = [id_col, "boundary", "cover_cells"]
+        if not tbls:
+            empty = pa.table({
+                id_col: pa.array([], type=pa.string()),
+                "boundary": pa.array([], type=pa.list_(pa.list_(pa.struct(
+                    [("x", pa.float64()), ("y", pa.float64())])))),
+                "cover_cells": pa.array([], type=pa.list_(pa.int64())),
+            })
+            payload = pack_settlements(empty, id_col)
+        else:
+            tbl = pa.concat_tables(
+                [t.select(cols) for t in tbls]).combine_chunks()
+            order = pa.compute.sort_indices(tbl.column(id_col))
+            payload = pack_settlements(tbl.take(order), id_col)
+        cc, co, cv = build_settlement_index(payload, cfg)
+        payload["cov_cells"] = cc
+        payload["cov_off"] = co
+        payload["cov_val"] = cv
+        return payload
+
+    return _pack.remote(poly_ds.materialize().to_arrow_refs(), id_col, cfg)
+
+
+def polygon_refs(poly_ds, cfg: DelineationConfig,
+                 id_col: str = "settlement_id"):
+    """The polygon-side index handle for a PIPAssigner: merged single
+    payload when the side is small enough (see MERGED_MAX_POLYS), else
+    per-partition worker-packed shards."""
+    n = (poly_ds.num_rows if isinstance(poly_ds, pa.Table)
+         else poly_ds.count())
+    if n <= MERGED_MAX_POLYS:
+        return merged_payload_ref(poly_ds, cfg, id_col)
+    return shard_refs_from_dataset(poly_ds, cfg, id_col)
+
+
 def build_settlement_index(payload: dict, cfg: DelineationConfig):
     """Packed payload -> (CSR cover index, ring-slice accessor arrays).
 
@@ -186,8 +254,13 @@ class _Shard:
 
     def __init__(self, payload: dict, cfg: DelineationConfig):
         self.p = payload
-        self.cov_cells, self.cov_off, self.cov_val = build_settlement_index(
-            payload, cfg)
+        if "cov_cells" in payload:  # prebuilt in the merged pack task
+            self.cov_cells = payload["cov_cells"]
+            self.cov_off = payload["cov_off"]
+            self.cov_val = payload["cov_val"]
+        else:
+            self.cov_cells, self.cov_off, self.cov_val = \
+                build_settlement_index(payload, cfg)
         self._ring_cache: dict[int, list[np.ndarray]] = {}
         self._edges = None
         self._ids_arr = None
@@ -396,9 +469,11 @@ class PIPAssigner:
         self._cache[part] = sh
         return sh
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        cx = np.asarray(batch.column("cx"))
-        cy = np.asarray(batch.column("cy"))
+    def probe_ids(self, cx: np.ndarray, cy: np.ndarray) -> np.ndarray:
+        """Polygon id per point ('' when outside all polygons) — the raw
+        probe shared by the footprint-assignment contract below and every
+        other polygon-join consumer (ops/blocks.BlockProber,
+        ops/edgecatch.DualAssigner)."""
         out = np.full(len(cx), "", dtype=object)
         mid = hg.encode(cx, cy, self.cfg.res_mid)
         if self.single is not None:
@@ -413,6 +488,12 @@ class PIPAssigner:
                 sh = self._shard(int(ps[gs]))
                 if sh is not None:
                     sh.probe(cx, cy, mid, out, order[gs:ge])
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cx = np.asarray(batch.column("cx"))
+        cy = np.asarray(batch.column("cy"))
+        out = self.probe_ids(cx, cy)
         return pa.table({
             "footprint_id": batch.column("footprint_id"),
             "doc_id": batch.column("doc_id"),
