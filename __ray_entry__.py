@@ -482,7 +482,12 @@ def _refined_cached(sf: float):
         world = synth.ensure_world(sf)
         cfg = dataclasses.replace(DEFAULT, refine_with_roads=True)
         res = pipeline.delineate(world, cfg)
-        _CACHE[key] = (res["settlements"], res["assignments"])
+        # materialize() before caching: a LAZY Dataset kept alive in _CACHE
+        # pins its streaming executor — the RefinedRouter actor pool would
+        # hold its CPUs for the rest of the session and starve every later
+        # fixed-size pool (measured: the 62-query sweep deadlocked on the
+        # last query with 16/16 CPUs held by finished-but-referenced pools)
+        _CACHE[key] = (res["settlements"], res["assignments"].materialize())
     return _CACHE[key]
 
 

@@ -104,6 +104,21 @@ def run_bench() -> dict:
                lambda: pipeline.delineate(world, rcfg)["assignments"].count())
 
     # secondary training-data ops over the driver tables at this scale
+    # (IBRAY_BENCH_HEADLINE_ONLY=1 skips them — the scaling protocol's
+    # efficiency metric uses delineate_e2e only, so its legs need not pay
+    # the ~25 s of unrelated ops per process)
+    if os.environ.get("IBRAY_BENCH_HEADLINE_ONLY"):
+        out = {
+            "metric": "footprints/sec end-to-end delineation (H3 encode -> cluster -> hull -> PIP)",
+            "value": round(headline, 3), "unit": "sec", "queries": queries,
+            "sf": sf, "num_cpus": ncpu, "n_footprints": n_fp,
+            "n_settlements": res["settlements"].num_rows,
+            "n_assignments": n_assign,
+            "footprints_per_sec": round(n_fp / headline, 1),
+        }
+        ray.shutdown()
+        return out
+
     from ibray.ops import ann as A
     from ibray.ops import dedup as D
 
@@ -137,7 +152,7 @@ def run_scaling() -> dict:
         # the efficiency metric is computed from delineate_e2e only; the
         # refined path would add minutes of unrelated wall per leg
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                   IBRAY_BENCH_REFINED="0")
+                   IBRAY_BENCH_REFINED="0", IBRAY_BENCH_HEADLINE_ONLY="1")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,

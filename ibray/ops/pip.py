@@ -204,7 +204,15 @@ def merged_payload_ref(poly_ds, cfg: DelineationConfig,
         payload["cov_val"] = cv
         return payload
 
-    return _pack.remote(poly_ds.materialize().to_arrow_refs(), id_col, cfg)
+    ref = _pack.remote(poly_ds.materialize().to_arrow_refs(), id_col, cfg)
+    # barrier: resolve the pack BEFORE any consumer builds its actor pool.
+    # Probe actors ray.get() this ref in __init__; if the pool's actors are
+    # placed first and saturate the CPUs, the pack task can never schedule
+    # and every __init__ blocks on it — a circular wait (observed as a
+    # whole-session deadlock on a 16-CPU sweep).  The pack must finish
+    # before any probe can start anyway, so waiting here costs nothing.
+    ray.wait([ref], fetch_local=False)
+    return ref
 
 
 def polygon_refs(poly_ds, cfg: DelineationConfig,

@@ -56,12 +56,27 @@ def apply_shuffle_strategy(ctx=None) -> None:
         ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
     elif strat == "hash":
         ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    # A/B lever for the exchange phases (BENCH/SCALING_r04.md): block
+    # size bounds both the exchange fan-out (maps x reduces objects) and
+    # per-task working-set; override the 128 MiB session default with
+    # IBRAY_BLOCK_MB=<int>.
+    mb = os.environ.get("IBRAY_BLOCK_MB")
+    if mb:
+        ctx.target_max_block_size = int(mb) << 20
 
 
-def full_pool() -> int:
-    """Actor-pool size for a CPU-bound stage that should own the node:
-    all cluster CPUs minus the two reserved for upstream tasks."""
-    return pool_size(1 << 20)
+def full_pool() -> tuple[int, int]:
+    """Actor-pool ``concurrency`` for a CPU-bound stage that should own the
+    node: ELASTIC (1, all cluster CPUs minus the two reserved for upstream
+    tasks).  Elastic, not fixed, on purpose: a fixed-size pool blocks until
+    every actor is placed, so any other resident actor (another pipeline in
+    the session, a leaked executor, a co-tenant job on a real cluster)
+    deadlocks the whole stage — measured exactly that way when a cached
+    lazy Dataset kept a 5-actor RefinedRouter pool alive and the next
+    fixed 14-actor pool waited forever on a 16-CPU session.  With min=1
+    the stage always makes progress and Ray scales the pool up as CPUs
+    free."""
+    return (1, pool_size(1 << 20))
 
 
 def pool_size(requested: int) -> int:
