@@ -326,21 +326,17 @@ def block_overlap(world_dir: str, fp: rd.Dataset,
         partials, pa.schema([("block_id", pa.string()),
                              ("n_part", pa.int64()),
                              ("cm2_part", pa.int64())]))
-    p_bid = np.asarray(par.column("block_id"))
-    p_ord = np.argsort(p_bid, kind="stable")
-    p_bid = p_bid[p_ord]
-    p_n = np.asarray(par.column("n_part"), dtype=np.int64)[p_ord]
-    p_cm2 = np.asarray(par.column("cm2_part"), dtype=np.int64)[p_ord]
-    starts = np.nonzero(np.concatenate([[True], p_bid[1:] != p_bid[:-1]]))[0] \
-        if len(p_bid) else np.zeros(0, np.int64)
+    # Arrow multithreaded hash aggregation + C++ string sort: the probe
+    # feed is spatially unsorted, so the partials run ~50x the final block
+    # count and a numpy object-string argsort here was tens of seconds
+    # (integer partial sums commute — order cannot perturb the totals)
+    g = par.group_by(["block_id"]).aggregate(
+        [("n_part", "sum"), ("cm2_part", "sum")]) \
+        .sort_by("block_id")
     tbl = pa.table({
-        "block_id": pa.array(list(p_bid[starts]), type=pa.string()),
-        "n_footprints": pa.array(
-            np.add.reduceat(p_n, starts) if len(starts) else
-            np.zeros(0, np.int64), type=pa.int64()),
-        "fp_area_cm2": pa.array(
-            np.add.reduceat(p_cm2, starts) if len(starts) else
-            np.zeros(0, np.int64), type=pa.int64()),
+        "block_id": g.column("block_id"),
+        "n_footprints": pa.compute.cast(g.column("n_part_sum"), pa.int64()),
+        "fp_area_cm2": pa.compute.cast(g.column("cm2_part_sum"), pa.int64()),
     })
     areas = pipeline._concat_refs(
         blocks_ds.map_batches(

@@ -200,20 +200,18 @@ def snap_pairs_from_dual(dual: rd.Dataset,
         pa.schema([("settlement_id", pa.string()),
                    ("block_id", pa.string()),
                    ("n_part", pa.int64())]))
-    sid = np.asarray(par.column("settlement_id"))
-    bid = np.asarray(par.column("block_id"))
-    cnt = np.asarray(par.column("n_part"), dtype=np.int64)
-    order = np.lexsort((bid, sid))
-    sid, bid, cnt = sid[order], bid[order], cnt[order]
-    new = np.concatenate([[True], (sid[1:] != sid[:-1])
-                          | (bid[1:] != bid[:-1])]) \
-        if len(sid) else np.zeros(0, bool)
-    starts = np.nonzero(new)[0]
+    # the probe feed is NOT spatially sorted, so per-batch partials reduce
+    # weakly (~50x the final pair count); combine with Arrow's multithreaded
+    # hash aggregation + C++ string sort — the previous np.lexsort over
+    # object-dtype strings was 30+ s at 10M partial rows
+    g = par.group_by(["settlement_id", "block_id"]).aggregate(
+        [("n_part", "sum")])
+    g = g.sort_by([("settlement_id", "ascending"),
+                   ("block_id", "ascending")])
     return pa.table({
-        "settlement_id": pa.array(list(sid[starts]), type=pa.string()),
-        "block_id": pa.array(list(bid[starts]), type=pa.string()),
-        "n_fp": pa.array(np.add.reduceat(cnt, starts) if len(starts)
-                         else np.zeros(0, np.int64), type=pa.int64()),
+        "settlement_id": g.column("settlement_id"),
+        "block_id": g.column("block_id"),
+        "n_fp": pa.compute.cast(g.column("n_part_sum"), pa.int64()),
     })
 
 
@@ -512,6 +510,60 @@ def refined_settlements(settlements: pa.Table, blocks,
     s_route_ref = _ray.put((m_sid[m_ord], m_gid[m_ord]))
     b_route_ref = _ray.put(
         _block_routing(m_sid[m_ord], m_gid[m_ord], snapped))
+
+    # Identity fast path: a group with ONE member and NO snapped block
+    # keeps its base polygon — only the area is restated with the group
+    # formula (per-ring shoelace, bit-identical to _union_group's
+    # no-block branch and the golden's).  Those rows skip the geometry
+    # groupby exchange entirely (at bench scale they are >90% of
+    # settlements and were >60% of this function's wall time); only the
+    # touched groups ship their rings through the exchange.
+    gid_uniq, gid_counts = np.unique(m_gid, return_counts=True)
+    touched_gids = set(gid_uniq[gid_counts > 1].tolist())
+    if snapped.num_rows:
+        sn = np.asarray(snapped.column("settlement_id"))
+        pos = np.searchsorted(m_sid[m_ord], sn)
+        touched_gids |= set(m_gid[m_ord][pos].tolist())
+    sid_all = np.asarray(settlements.column("settlement_id"))
+    pos = np.searchsorted(m_sid[m_ord], sid_all)
+    row_gid = m_gid[m_ord][pos]
+    touched_mask = np.fromiter((g in touched_gids for g in row_gid.tolist()),
+                               dtype=bool, count=len(row_gid))
+    narrow = settlements.select(
+        ["settlement_id", "area_m2", "boundary", "cover_cells"])
+    touched_tbl = narrow.filter(pa.array(touched_mask))
+    identity_tbl = narrow.filter(pa.array(~touched_mask))
+
+    def _identity_rows(batch: pa.Table) -> pa.Table:
+        from ibray.ops.overlay import settlement_rings
+
+        rings_list = settlement_rings(batch)
+        areas = np.empty(len(batch), dtype=np.float64)
+        covs = batch.column("cover_cells")
+        covs = (covs.combine_chunks()
+                if isinstance(covs, pa.ChunkedArray) else covs)
+        offs = np.asarray(covs.offsets, dtype=np.int64)
+        flat = np.asarray(covs.values, dtype=np.int64)
+        out_off = [0]
+        out_flat = []
+        for i, rings in enumerate(rings_list):
+            areas[i] = float(sum(
+                0.5 * (np.dot(r[:, 0], np.roll(r[:, 1], -1))
+                       - np.dot(np.roll(r[:, 0], -1), r[:, 1]))
+                for r in rings))
+            cu = np.unique(flat[offs[i]:offs[i + 1]])
+            out_flat.append(cu)
+            out_off.append(out_off[-1] + len(cu))
+        cover = (np.concatenate(out_flat) if out_flat
+                 else np.zeros(0, np.int64))
+        return pa.table({
+            "settlement_id": batch.column("settlement_id"),
+            "area_m2": pa.array(areas, type=pa.float64()),
+            "boundary": batch.column("boundary"),
+            "cover_cells": pa.ListArray.from_arrays(
+                pa.array(out_off, type=pa.int32()),
+                pa.array(cover, type=pa.int64())),
+        })
 
     def _cov_blob(batch: pa.Table) -> list[bytes]:
         cov = batch.column("cover_cells")

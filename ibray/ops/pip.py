@@ -292,6 +292,32 @@ class _Shard:
             self._edges = (xs, ys, x2, y2, edge_off)
         return self._edges
 
+    def _bboxes(self):
+        """Per-polygon (minx, maxx, miny, maxy) — the candidate-pair
+        prefilter.  A polygon's cover cells over-approximate it (any mid
+        cell the rings touch), so most candidate pairs fail the bbox test
+        and never pay the 20+-edge parity kernel."""
+        if getattr(self, "_bb", None) is None:
+            xs, ys, _, _, eoff = self._edge_arrays()
+            n = len(eoff) - 1
+            if n == 0 or len(xs) == 0:
+                z = np.zeros(0, np.float64)
+                self._bb = (z, z, z, z)
+                return self._bb
+            # reduceat mis-reads zero-length vertex spans (empty polygons):
+            # clip the start index, then invert those boxes so nothing hits
+            starts = np.minimum(eoff[:-1], len(xs) - 1)
+            empty = eoff[1:] == eoff[:-1]
+            minx = np.minimum.reduceat(xs, starts)
+            maxx = np.maximum.reduceat(xs, starts)
+            miny = np.minimum.reduceat(ys, starts)
+            maxy = np.maximum.reduceat(ys, starts)
+            if empty.any():
+                minx[empty], maxx[empty] = 1.0, -1.0
+                miny[empty], maxy[empty] = 1.0, -1.0
+            self._bb = (minx, maxx, miny, maxy)
+        return self._bb
+
     def _pair_hits(self, cx, cy, pp, ps):
         """Crossing-parity PIP over ragged (point pp[k], polygon ps[k])
         candidate pairs in chunked single numpy passes — replaces the
@@ -375,6 +401,20 @@ class _Shard:
         csum = np.cumsum(counts) - counts
         flat = np.arange(total) - np.repeat(csum, counts) + np.repeat(starts, counts)
         pair_s = self.cov_val[flat]
+        # bbox prefilter: a point inside a polygon is inside its bbox, so
+        # dropping out-of-box pairs is exact — and kills most of the
+        # candidate volume before the per-edge parity work (cover cells are
+        # a coarse over-approximation; measured ~3x fewer pairs on the
+        # city-block probe)
+        bminx, bmaxx, bminy, bmaxy = self._bboxes()
+        if len(bminx):
+            qx, qy = cx[pair_pt], cy[pair_pt]
+            inbox = ((qx >= bminx[pair_s]) & (qx <= bmaxx[pair_s])
+                     & (qy >= bminy[pair_s]) & (qy <= bmaxy[pair_s]))
+            if not inbox.all():
+                pair_pt, pair_s = pair_pt[inbox], pair_s[inbox]
+                if not len(pair_pt):
+                    return
         o2 = np.argsort(pair_s, kind="stable")
         pp, ps = pair_pt[o2], pair_s[o2]
         s_starts = np.nonzero(np.concatenate([[True], ps[1:] != ps[:-1]]))[0]

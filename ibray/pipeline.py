@@ -281,8 +281,32 @@ def delineate(world_dir: str, cfg: DelineationConfig = DEFAULT,
         # polygonize emits the settlement rows WITH their region-cell
         # rasterization; the region cells stay in the object store (they
         # feed the PIP cell index), only the narrow settlement table is
-        # collected for the output contract
-        poly = work.repartition(max(2, _num_cpus() * 4)).map_batches(
+        # collected for the output contract.
+        #
+        # Work rows arrive spatially clustered (interior rows come out of
+        # the partition groupby, border rows out of the label groupby), so
+        # heavy urban labels land adjacent in the same blocks and the
+        # repartitioned map_batches tails on them.  "scatter" decorrelates:
+        # sort by a multiplicative hash of the label.  MEASURED OFF by
+        # default: the sort exchange ships the cell-list payload and costs
+        # ~10 s at sf0.1/32 CPUs — more than the tail it removes
+        # (BENCH/SCALING_r04.md).  A/B levers: IBRAY_POLY_ORDER=scatter,
+        # IBRAY_POLY_BPC=<blocks per cpu, default 4>.
+        if _os.environ.get("IBRAY_POLY_ORDER", "none") == "scatter":
+            import pyarrow.compute as _pc
+
+            def _scatter_key(b: pa.Table) -> pa.Table:
+                lab = np.asarray(b.column("label"), dtype=np.int64)
+                key = (lab.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                       ) >> np.uint64(16)
+                return b.append_column(
+                    "_sc", pa.array(key.astype(np.int64)))
+
+            work = work.map_batches(
+                _scatter_key, batch_format="pyarrow").sort("_sc") \
+                .drop_columns(["_sc"])
+        bpc = int(_os.environ.get("IBRAY_POLY_BPC", "4"))
+        poly = work.repartition(max(2, _num_cpus() * bpc)).map_batches(
             lambda b: C.polygonize_batch(b, cfg),
             batch_format="pyarrow", batch_size=4).materialize()
         settlements = _concat_refs(
