@@ -30,6 +30,22 @@ def _ncpus() -> int:
     return int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
 
+def _cpu_snap() -> tuple[float, float]:
+    """(busy_cpu_seconds, steal_cpu_seconds) box-wide since boot — sampled
+    around each timed section so a contended leg is identifiable in the
+    record (this box is multi-tenant; run-to-run variance is the dominant
+    error term in the scaling pairs)."""
+    try:
+        parts = open("/proc/stat").readline().split()[1:]
+        user, nice, system, idle, iowait, irq, softirq, steal = \
+            (int(x) for x in parts[:8])
+        hz = 100.0
+        busy = (user + nice + system + irq + softirq) / hz
+        return busy, steal / hz
+    except Exception:
+        return 0.0, 0.0
+
+
 def run_bench() -> dict:
     import logging
 
@@ -65,12 +81,18 @@ def run_bench() -> dict:
     queries: dict[str, float] = {}
 
     # headline: end-to-end delineation (footprints/sec)
+    busy0, steal0 = _cpu_snap()
     t0 = time.time()
     res = pipeline.delineate(world)
     n_assign = res["assignments"].count()
     headline = time.time() - t0
+    busy1, steal1 = _cpu_snap()
     n_fp = res["n_footprints"]
     queries["delineate_e2e"] = round(headline, 3)
+    # box-wide busy cores during the timed headline: >> num_cpus means an
+    # external co-tenant polluted this leg (recorded for the scaling table)
+    box_busy_cores = round((busy1 - busy0) / max(headline, 1e-9), 2)
+    box_steal_cores = round((steal1 - steal0) / max(headline, 1e-9), 2)
 
     # sub-stage timings (separately, on the same session)
     t0 = time.time()
@@ -115,6 +137,8 @@ def run_bench() -> dict:
             "n_settlements": res["settlements"].num_rows,
             "n_assignments": n_assign,
             "footprints_per_sec": round(n_fp / headline, 1),
+            "box_busy_cores": box_busy_cores,
+            "box_steal_cores": box_steal_cores,
         }
         ray.shutdown()
         return out
@@ -161,6 +185,9 @@ def run_scaling() -> dict:
         return json.loads(out.strip().splitlines()[-1])
 
     lo, hi = (2, 8) if "--scaling-low" in sys.argv else (8, 32)
+    pair = os.environ.get("IBRAY_SCALING_PAIR")
+    if pair:  # e.g. "4,16" — any N vs 4N (the north_rule fixes the RATIO)
+        lo, hi = (int(x) for x in pair.split(","))
     r_lo = run(lo)
     r_hi = run(hi)
     t_lo, t_hi = r_lo["value"], r_hi["value"]
@@ -173,6 +200,10 @@ def run_scaling() -> dict:
         f"sec_{hi}": t_hi,
         f"fps_{lo}": r_lo["footprints_per_sec"],
         f"fps_{hi}": r_hi["footprints_per_sec"],
+        "busy_cores_lo": r_lo.get("box_busy_cores"),
+        "busy_cores_hi": r_hi.get("box_busy_cores"),
+        "steal_cores_lo": r_lo.get("box_steal_cores"),
+        "steal_cores_hi": r_hi.get("box_steal_cores"),
         "scaling_efficiency": round(eff, 3),
         "sf": r_hi["sf"],
     }

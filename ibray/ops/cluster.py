@@ -284,14 +284,18 @@ def resolve_shared(shared_cells: np.ndarray, shared_labels: np.ndarray):
     keep = np.concatenate([[True], (sc[1:] != sc[:-1]) | (sl[1:] != sl[:-1])])
     sc, sl = sc[keep], sl[keep]
     starts = np.nonzero(np.concatenate([[True], sc[1:] != sc[:-1]]))[0]
-    ends = np.concatenate([starts[1:], [len(sc)]])
-    multi = np.nonzero(ends - starts > 1)[0]
-    edges = []
-    for i in multi:
-        s, e = starts[i], ends[i]
-        for other in sl[s + 1:e]:
-            edges.append((int(sl[s]), int(other)))
-    root_map = resolve_equivalences(sorted(set(edges)))
+    # star edges (first label of the cell's run -> every other label),
+    # vectorized: the Python per-cell loop was ~2.5 s at 2.4M shared rows
+    same = sc[1:] == sc[:-1] if len(sc) else np.zeros(0, bool)
+    run_first = np.maximum.accumulate(
+        np.where(np.concatenate([[True], ~same]), np.arange(len(sc)), 0)) \
+        if len(sc) else np.zeros(0, np.int64)
+    a = sl[run_first[1:][same]]
+    b = sl[1:][same]
+    edges_arr = (np.unique(np.column_stack([a, b]), axis=0)
+                 if len(a) else np.zeros((0, 2), np.int64))
+    root_map = resolve_equivalences(
+        [(int(x), int(y)) for x, y in edges_arr])
     # dedup cells with final labels (labels within a cell all map to one root)
     cells_u = sc[starts]
     labels_u = sl[starts]

@@ -177,9 +177,11 @@ def snap_pairs_from_dual(dual: rd.Dataset,
     from ibray import pipeline
 
     def _partial_pairs(b: pa.Table) -> pa.Table:
-        # combiner: per-batch (settlement, block) partial counts BEFORE the
-        # all-to-all — batches are part_cell-ordered, so the reduction is
-        # strong (32k probe rows -> a few hundred pair rows per batch)
+        # combiner: per-batch (settlement, block) partial counts.  The
+        # probe feed is extraction-ordered (spatially random), so the
+        # per-batch reduction is WEAK (~50x the final pair count survives);
+        # the driver combine below therefore uses Arrow's multithreaded
+        # hash aggregation, not a numpy object sort
         hit = b.filter(pa.compute.and_(
             pa.compute.not_equal(b.column("settlement_id"), ""),
             pa.compute.not_equal(b.column("block_id"), "")))

