@@ -262,17 +262,34 @@ def build_documents(sf: float, seed: int = SEED):
         [[0], np.cumsum(np.bincount(row_doc, minlength=n_docs))]
     ).astype(np.int32)
 
-    span_struct = pa.StructArray.from_arrays(
-        [
-            pa.array(list(row_kind), type=pa.string()),
-            pa.array(list(row_text), type=pa.string()),
-            pa.array(list(row_media), type=pa.string()),
-            pa.array(row_offset.astype(np.int32), type=pa.int32()),
-        ],
-        names=["kind", "text", "media_ref", "offset"],
-    )
-    spans = pa.ListArray.from_arrays(pa.array(span_list_offsets), span_struct)
-    documents = pa.table({"doc_id": pa.array(doc_ids, type=pa.string()), "spans": spans})
+    # build the spans column in document slices: one flat string array of
+    # span text tops 2 GiB past ~30M footprints (int32 string offsets), so
+    # a single pa.array() silently chunks and StructArray.from_arrays
+    # rejects it — per-slice construction keeps every flat array small and
+    # the resulting table is chunked, which the parquet writer handles
+    doc_tables = []
+    slice_docs = 2_000_000
+    for d0 in range(0, n_docs, slice_docs):
+        d1 = min(d0 + slice_docs, n_docs)
+        r0 = int(span_list_offsets[d0])
+        r1 = int(span_list_offsets[d1])
+        span_struct = pa.StructArray.from_arrays(
+            [
+                pa.array(list(row_kind[r0:r1]), type=pa.string()),
+                pa.array(list(row_text[r0:r1]), type=pa.string()),
+                pa.array(list(row_media[r0:r1]), type=pa.string()),
+                pa.array(row_offset[r0:r1].astype(np.int32), type=pa.int32()),
+            ],
+            names=["kind", "text", "media_ref", "offset"],
+        )
+        offs = (span_list_offsets[d0:d1 + 1] - span_list_offsets[d0]) \
+            .astype(np.int32)
+        spans = pa.ListArray.from_arrays(pa.array(offs), span_struct)
+        doc_tables.append(pa.table({
+            "doc_id": pa.array(doc_ids[d0:d1], type=pa.string()),
+            "spans": spans,
+        }))
+    documents = pa.concat_tables(doc_tables)
 
     fp_rows = np.nonzero(row_is_fp)[0]
     fp_order = row_fp_idx[fp_rows]  # original footprint index of each fp row
