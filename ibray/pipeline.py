@@ -273,6 +273,7 @@ def delineate(world_dir: str, cfg: DelineationConfig = DEFAULT,
         lambda b: F.filter_footprints(b, cfg, positive), batch_format="pyarrow"
     )
     poly = None
+    settle_fut = None
     if ck and ck.has("settlements"):
         settlements = ck.read_table("settlements")
     else:
@@ -313,14 +314,29 @@ def delineate(world_dir: str, cfg: DelineationConfig = DEFAULT,
         # (boundary rings + cover cells), so the id sort's ragged gather
         # runs in the exchange workers; the driver only concatenates the
         # ordered blocks (measured 6.7 s -> 3.9 s at sf0.1 bench/32 CPUs,
-        # and the driver stays idle-free during the collection)
-        settlements = _concat_refs(
-            poly.drop_columns(["seg_starts", "seg_ends"])
-                .sort("settlement_id"),
-            _settlement_schema(),
-        )
-        _mark("polygonize")
-        if ck:
+        # and the driver stays idle-free during the collection).  On the
+        # non-checkpointed path the sort+collect plan runs CONCURRENTLY
+        # (driver thread) with the PIP label-index build below — both
+        # consume the same materialized ``poly`` and neither needs the
+        # other, so the ~4 s collect hides behind the index plan and
+        # shrinks the pipeline's serial floor (BENCH/SCALING_r04.md).
+        def _collect_settlements() -> pa.Table:
+            return _concat_refs(
+                poly.drop_columns(["seg_starts", "seg_ends"])
+                    .sort("settlement_id"),
+                _settlement_schema(),
+            )
+
+        settle_fut = None
+        if ck is None:
+            import concurrent.futures as _cf
+
+            _mark("polygonize")
+            _settle_pool = _cf.ThreadPoolExecutor(max_workers=1)
+            settle_fut = _settle_pool.submit(_collect_settlements)
+        else:
+            settlements = _collect_settlements()
+            _mark("polygonize")
             ck.write_table(settlements, "settlements")
 
     idx_ref = None  # broadcast settlement cell index; reused by the refine
@@ -450,6 +466,10 @@ def delineate(world_dir: str, cfg: DelineationConfig = DEFAULT,
         if ck:
             assignments = ck.write_dataset(assignments, "assignments")
     _mark("pip_built")
+    if settle_fut is not None:
+        settlements = settle_fut.result()
+        _settle_pool.shutdown()
+        _mark("settlements_collected")
     base_settlements = settlements
     if cfg.refine_with_roads:
         # the reference's main loop runs EdgeCatch -> GapFix -> re-assignment
@@ -464,12 +484,36 @@ def delineate(world_dir: str, cfg: DelineationConfig = DEFAULT,
         if ck and ck.has("refined_settlements"):
             settlements = ck.read_table("refined_settlements")
         else:
+            # the dense veg-block branch (Blocks_red) is INDEPENDENT of the
+            # EdgeCatch chain — it reads only (world_dir, fp_all) and its
+            # own aux+road arrangement — so it runs concurrently in a
+            # driver thread while dual/edgecatch/settlements execute.  Ray
+            # Data executes each plan on its own streaming executor and
+            # every heavy stage here uses ELASTIC actor pools
+            # (util.full_pool), so the two plans share the CPUs instead of
+            # deadlocking; measured: the ~45 s veg wall hides almost
+            # entirely behind the ~75 s EdgeCatch chain at 10M footprints.
+            import concurrent.futures as _cf
+
+            # warm read_parquet's lazy imports in the MAIN thread first: a
+            # read issued from the veg thread while the main thread imports
+            # the same fsspec module yields a partially-initialized module
+            # (observed: ImportError on fsspec.implementations.http)
+            try:
+                from fsspec.implementations.http import (  # noqa: F401
+                    HTTPFileSystem as _warm_http_fs,
+                )
+            except Exception:
+                pass
             # blocks stay a DATASET end-to-end: the driver sees only the
             # narrow (block_id, area_m2) projection; geometry flows through
             # Dataset joins and worker-side shard packing (ops/pip
             # shard_refs_from_dataset)
             blocks = B.blocks_dataset(world_dir, cfg).materialize()
             _mark("refine_blocks")
+            veg_pool = _cf.ThreadPoolExecutor(max_workers=1)
+            veg_fut = veg_pool.submit(
+                B.dense_block_polygons, world_dir, fp_all, cfg)
             # ONE shared probe pass: settlement side rides the broadcast
             # cell index built for the headline PIP (an int searchsorted,
             # no ray cast) when available; consumed by BOTH the snap-pair
@@ -490,8 +534,10 @@ def delineate(world_dir: str, cfg: DelineationConfig = DEFAULT,
             # (id 'v'+block_id — sorted AFTER the merged groups, so by
             # the overlap-tie contract a footprint inside a dense block
             # lands in the block, matching the reference's pre-delete of
-            # Blocks_red footprints from the MST path)
-            veg = B.dense_block_polygons(world_dir, fp_all, cfg)
+            # Blocks_red footprints from the MST path).  Computed
+            # concurrently above; join the thread here.
+            veg = veg_fut.result()
+            veg_pool.shutdown()
             _mark("refine_veg_blocks")
             if veg.num_rows:
                 import pyarrow.compute as _pc
