@@ -517,9 +517,11 @@ def refined_settlements(settlements: pa.Table, blocks,
     # keeps its base polygon — only the area is restated with the group
     # formula (per-ring shoelace, bit-identical to _union_group's
     # no-block branch and the golden's).  Those rows skip the geometry
-    # groupby exchange entirely (at bench scale they are >90% of
-    # settlements and were >60% of this function's wall time); only the
-    # touched groups ship their rings through the exchange.
+    # groupby exchange entirely.  NOTE: at the default gate the touched
+    # fraction is input-dependent — measured 97% touched at the sf0.1
+    # synth world (nearly every settlement snaps >=1 block), so the win
+    # here is confined to sparse-snap inputs; the exchange itself is not
+    # the refined bottleneck (the exact per-group overlay is).
     gid_uniq, gid_counts = np.unique(m_gid, return_counts=True)
     touched_gids = set(gid_uniq[gid_counts > 1].tolist())
     if snapped.num_rows:
@@ -617,7 +619,7 @@ def refined_settlements(settlements: pa.Table, blocks,
             "cov": pa.array(_cov_blob(sub), type=pa.large_binary()),
         })
 
-    sd = rd.from_arrow(settlements).map_batches(
+    sd = rd.from_arrow(touched_tbl).map_batches(
         _s_rows, batch_format="pyarrow")
     bd = _as_dataset(blocks).map_batches(_b_rows, batch_format="pyarrow")
 
@@ -654,8 +656,14 @@ def refined_settlements(settlements: pa.Table, blocks,
                 pa.array(cover, type=pa.int64())),
         })
 
+    # touched groups go through the geometry exchange + per-group union;
+    # identity rows (the >90% majority at bench scale) restate area/cover
+    # in plain vectorized map_batches with NO exchange, then union back
     out = sd.union(bd).groupby("gid").map_groups(
         _union_group, batch_format="pyarrow")
+    if identity_tbl.num_rows:
+        out = out.union(rd.from_arrow(identity_tbl).map_batches(
+            _identity_rows, batch_format="pyarrow"))
     return pipeline._concat_refs(out, pa.schema([
         ("settlement_id", pa.string()), ("area_m2", pa.float64()),
         ("boundary", pa.list_(pa.list_(pa.struct([("x", pa.float64()),
