@@ -619,7 +619,13 @@ def refined_settlements(settlements: pa.Table, blocks,
             "cov": pa.array(_cov_blob(sub), type=pa.large_binary()),
         })
 
-    sd = rd.from_arrow(touched_tbl).map_batches(
+    # split the single driver block so ring packing runs task-parallel
+    # (from_arrow yields ONE block; unsplit, _s_rows serialized ~3.4 s on
+    # the critical path feeding the sort at 10M-footprint scale)
+    from ibray.util import pool_size
+
+    nsplit = max(8, pool_size(touched_tbl.num_rows))
+    sd = rd.from_arrow(touched_tbl).repartition(nsplit).map_batches(
         _s_rows, batch_format="pyarrow")
     bd = _as_dataset(blocks).map_batches(_b_rows, batch_format="pyarrow")
 
@@ -664,12 +670,17 @@ def refined_settlements(settlements: pa.Table, blocks,
     if identity_tbl.num_rows:
         out = out.union(rd.from_arrow(identity_tbl).map_batches(
             _identity_rows, batch_format="pyarrow"))
-    return pipeline._concat_refs(out, pa.schema([
+    # DISTRIBUTED id sort (same treatment as the headline settlement
+    # collect): a driver-side sort_by here pays an Arrow nested-list take
+    # over the full boundary payload — measured ~19 s of a 47 s call at
+    # 10M footprints; the exchange sorts in the workers and the driver
+    # concatenates ordered blocks
+    return pipeline._concat_refs(out.sort("settlement_id"), pa.schema([
         ("settlement_id", pa.string()), ("area_m2", pa.float64()),
         ("boundary", pa.list_(pa.list_(pa.struct([("x", pa.float64()),
                                                   ("y", pa.float64())])))),
         ("cover_cells", pa.list_(pa.int64())),
-    ])).sort_by("settlement_id")
+    ]))
 
 
 def refined_assignments(fp: rd.Dataset, refined: pa.Table,
