@@ -257,8 +257,20 @@ def edge_catch_full(fp: rd.Dataset, settlements: pa.Table, blocks,
 
     from ibray.ops.ringpack import boundary_to_binary, unpack_rings
 
+    import os as _os
+    import sys as _sys
+    import time as _time
+
+    _t0 = _time.time()
+
+    def _tmark(name: str) -> None:
+        if _os.environ.get("IBRAY_PROFILE"):
+            print(f"[ibray-profile]   edge_catch.{name}: "
+                  f"{_time.time() - _t0:.1f}s", file=_sys.stderr, flush=True)
+
     pairs = (snap_pairs_from_dual(dual, cfg) if dual is not None
              else snap_pairs(fp, settlements, blocks, cfg))
+    _tmark("pairs")
     sid_arr = np.asarray(settlements.column("settlement_id"))
     sarea = np.asarray(settlements.column("area_m2"))
     blocks_narrow = _narrow_table(blocks,
@@ -309,8 +321,15 @@ def edge_catch_full(fp: rd.Dataset, settlements: pa.Table, blocks,
         gated_ref = _ray.put(gated_bids)
 
         def _s_geo_rows(b: pa.Table) -> pa.Table:
+            # filter to routed settlements BEFORE ring packing so untouched
+            # boundaries are never packed (the take runs in the worker; a
+            # driver-side prefilter was A/B'd and REJECTED — the nested
+            # boundary take on the driver cost more than it saved)
             routes = _ray.get(routes_ref)
-            g = boundary_to_binary(b, "settlement_id", geom_col="geom")
+            sids_b = b.column("settlement_id").to_pylist()
+            keep = pa.array([s in routes for s in sids_b])
+            sub = b.filter(keep)
+            g = boundary_to_binary(sub, "settlement_id", geom_col="geom")
             sids = g.column("settlement_id").to_pylist()
             blobs = g.column("geom").to_pylist()
             eparts, keys, geoms = [], [], []
@@ -384,8 +403,18 @@ def edge_catch_full(fp: rd.Dataset, settlements: pa.Table, blocks,
                 "gain_cm2": pa.array(gains_, type=pa.int64()),
             })
 
+        # split the single driver block so ring packing runs task-parallel:
+        # zero-copy driver slices (a repartition() exchange here was A/B'd
+        # and REJECTED — it cost ~12 s of extra wall at 10M footprints)
+        from ibray.util import pool_size
+
+        nsplit_s = max(8, pool_size(settlements.num_rows))
+        step_s = max(1, -(-settlements.num_rows // nsplit_s))
+        s_slices = [settlements.slice(i, step_s)
+                    for i in range(0, max(settlements.num_rows, 1),
+                                   step_s)]
         src = rd.from_arrow(pair_rows) \
-            .union(rd.from_arrow(settlements).map_batches(
+            .union(rd.from_arrow(s_slices).map_batches(
                 _s_geo_rows, batch_format="pyarrow")) \
             .union(_as_dataset(blocks).map_batches(
                 _b_geo_rows, batch_format="pyarrow"))
@@ -395,6 +424,7 @@ def edge_catch_full(fp: rd.Dataset, settlements: pa.Table, blocks,
             pa.schema([("settlement_id", pa.string()),
                        ("block_id", pa.string()),
                        ("gain_cm2", pa.int64())])).to_pandas()
+        _tmark("erase_exchange")
         gdf = gains.groupby("settlement_id")["gain_cm2"].sum()
         ndf = gains.groupby("settlement_id").size()
     else:
@@ -456,6 +486,7 @@ def edge_catch_full(fp: rd.Dataset, settlements: pa.Table, blocks,
         "settlement_id": pa.array(sid_arr, type=pa.string()),
         "merged_id": pa.array(merged_ids, type=pa.string()),
     })
+    _tmark("gapfix_union")
     return refined, merges, snapped
 
 
