@@ -309,9 +309,31 @@ def edge_catch_full(fp: rd.Dataset, settlements: pa.Table, blocks,
         b_sort2 = np.argsort(bid_arr)
         p2 = bpart_arr[b_sort2[np.searchsorted(bid_arr[b_sort2],
                                                p_bid[snap])]]
-        pair_part = pa.array(p2, type=pa.int64())
+        if _os.environ.get("IBRAY_PROFILE"):
+            _cnt = (np.unique(p2, return_counts=True)[1] if len(p2)
+                    else np.ones(1))
+            print(f"[ibray-profile]   edge_catch.pair_skew: "
+                  f"n_pairs={len(p2)} n_eparts={len(_cnt)} "
+                  f"max={int(_cnt.max())} p99={int(np.percentile(_cnt, 99))} "
+                  f"mean={_cnt.mean():.1f}", file=_sys.stderr, flush=True)
+        # coarse hash-bucketed exchange key: grouping on raw epart yields
+        # tens of thousands of ~7-row groups and map_groups pays per-group
+        # Arrow slice + Python call + table construction (measured ~26 s of
+        # the 29 s erase exchange at 10M footprints); hashing eparts into
+        # ~n_pairs/256 buckets keeps geometry co-located, cuts the group
+        # count ~40x, and dedups settlement copies whose partner eparts
+        # share a bucket.  Gains stay order-invariant (integer cm^2 sums).
+        n_bkt = int(min(65536, max(64, len(p2) // 256)))
+
+        def _bkt_of(parts: np.ndarray) -> np.ndarray:
+            h = (np.asarray(parts).astype(np.uint64)
+                 * np.uint64(0x9E3779B97F4A7C15))
+            return ((h >> np.uint64(33)) % np.uint64(n_bkt)).astype(np.int64)
+
+        p2b = _bkt_of(p2)
+        pair_part = pa.array(p2b, type=pa.int64())
         sid_routes = {}
-        for s, ep in zip(p_sid[snap].tolist(), p2.tolist()):
+        for s, ep in zip(p_sid[snap].tolist(), p2b.tolist()):
             sid_routes.setdefault(s, set()).add(ep)
         gated_bids = set(p_bid[snap].tolist())
 
@@ -355,7 +377,9 @@ def edge_catch_full(fp: rd.Dataset, settlements: pa.Table, blocks,
             g = boundary_to_binary(sub, "block_id", geom_col="geom")
             n = len(g)
             return pa.table({
-                "epart": pa.compute.cast(sub.column("part_cell"), pa.int64()),
+                "epart": pa.array(_bkt_of(np.asarray(
+                    pa.compute.cast(sub.column("part_cell"), pa.int64()))),
+                    type=pa.int64()),
                 "kind": pa.array(np.zeros(n, dtype=np.int8)),
                 "sid": pa.array([""] * n, type=pa.string()),
                 "bid": g.column("block_id"),
@@ -372,6 +396,7 @@ def edge_catch_full(fp: rd.Dataset, settlements: pa.Table, blocks,
         })
 
         def _erase_group(g: pa.Table) -> pa.Table:
+            _gt0 = _time.time()
             kinds = np.asarray(g.column("kind"))
             psel = np.nonzero(kinds == 2)[0]
             if not len(psel):
@@ -397,6 +422,12 @@ def edge_catch_full(fp: rd.Dataset, settlements: pa.Table, blocks,
                 gains_[k] = int(round(gain * 1e4))
                 out_s.append(s)
                 out_b.append(b)
+            if _os.environ.get("IBRAY_PROFILE"):
+                _gdt = _time.time() - _gt0
+                if _gdt > 1.0:
+                    print(f"[ibray-profile]   erase_group slow: "
+                          f"{_gdt:.1f}s pairs={len(psel)} rows={len(g)}",
+                          file=_sys.stderr, flush=True)
             return pa.table({
                 "settlement_id": pa.array(out_s, type=pa.string()),
                 "block_id": pa.array(out_b, type=pa.string()),
