@@ -272,6 +272,35 @@ def delineate(world_dir: str, cfg: DelineationConfig = DEFAULT,
     fp = fp_all.map_batches(
         lambda b: F.filter_footprints(b, cfg, positive), batch_format="pyarrow"
     )
+    # the refine path's two world-derived inputs — Blocker blocks (road+aux
+    # arrangement) and dense veg blocks — depend only on (world_dir, fp_all),
+    # NOT on the delineation result, so they build concurrently in driver
+    # threads while the headline cluster/polygonize/PIP phases run; each Ray
+    # Data plan has its own streaming executor and all heavy stages use
+    # ELASTIC actor pools (util.full_pool), so the plans share CPUs instead
+    # of deadlocking.  Measured: exposes ~0 s of the former 10.8 s blocks
+    # wall at 10M footprints (box busy was 15.6/32 during the headline).
+    blocks_fut = veg_fut = refine_pool = None
+    if cfg.refine_with_roads and not (ck and ck.has("refined_settlements")):
+        import concurrent.futures as _cf
+
+        from ibray.ops import blocks as _B
+
+        # make fsspec's http module importable ONCE in the main thread —
+        # without this, every concurrent read re-attempts (and re-fails)
+        # the import and threads can observe each other's
+        # partially-initialized module (see util.warm_fsspec_http)
+        from ibray.util import warm_fsspec_http
+
+        warm_fsspec_http()
+        # ONLY the light Blocker-blocks build launches here: the heavy
+        # dense-veg job (~45 s of distributed work at 10M footprints)
+        # launched this early crushes the shuffle-bound cluster phase
+        # (measured +13 s on the headline, a net wash); it launches after
+        # settlements instead, where it hides behind the EdgeCatch chain
+        refine_pool = _cf.ThreadPoolExecutor(max_workers=2)
+        blocks_fut = refine_pool.submit(
+            lambda: _B.blocks_dataset(world_dir, cfg).materialize())
     poly = None
     settle_fut = None
     if ck and ck.has("settlements"):
@@ -484,35 +513,14 @@ def delineate(world_dir: str, cfg: DelineationConfig = DEFAULT,
         if ck and ck.has("refined_settlements"):
             settlements = ck.read_table("refined_settlements")
         else:
-            # the dense veg-block branch (Blocks_red) is INDEPENDENT of the
-            # EdgeCatch chain — it reads only (world_dir, fp_all) and its
-            # own aux+road arrangement — so it runs concurrently in a
-            # driver thread while dual/edgecatch/settlements execute.  Ray
-            # Data executes each plan on its own streaming executor and
-            # every heavy stage here uses ELASTIC actor pools
-            # (util.full_pool), so the two plans share the CPUs instead of
-            # deadlocking; measured: the ~45 s veg wall hides almost
-            # entirely behind the ~75 s EdgeCatch chain at 10M footprints.
-            import concurrent.futures as _cf
-
-            # warm read_parquet's lazy imports in the MAIN thread first: a
-            # read issued from the veg thread while the main thread imports
-            # the same fsspec module yields a partially-initialized module
-            # (observed: ImportError on fsspec.implementations.http)
-            try:
-                from fsspec.implementations.http import (  # noqa: F401
-                    HTTPFileSystem as _warm_http_fs,
-                )
-            except Exception:
-                pass
-            # blocks stay a DATASET end-to-end: the driver sees only the
-            # narrow (block_id, area_m2) projection; geometry flows through
-            # Dataset joins and worker-side shard packing (ops/pip
-            # shard_refs_from_dataset)
-            blocks = B.blocks_dataset(world_dir, cfg).materialize()
+            # blocks + dense veg blocks were launched concurrently with the
+            # headline phases (see above); blocks stay a DATASET end-to-end:
+            # the driver sees only the narrow (block_id, area_m2)
+            # projection; geometry flows through Dataset joins and
+            # worker-side shard packing (ops/pip shard_refs_from_dataset)
+            blocks = blocks_fut.result()
             _mark("refine_blocks")
-            veg_pool = _cf.ThreadPoolExecutor(max_workers=1)
-            veg_fut = veg_pool.submit(
+            veg_fut = refine_pool.submit(
                 B.dense_block_polygons, world_dir, fp_all, cfg)
             # ONE shared probe pass: settlement side rides the broadcast
             # cell index built for the headline PIP (an int searchsorted,
@@ -537,7 +545,7 @@ def delineate(world_dir: str, cfg: DelineationConfig = DEFAULT,
             # Blocks_red footprints from the MST path).  Computed
             # concurrently above; join the thread here.
             veg = veg_fut.result()
-            veg_pool.shutdown()
+            refine_pool.shutdown()
             _mark("refine_veg_blocks")
             if veg.num_rows:
                 import pyarrow.compute as _pc

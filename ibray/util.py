@@ -134,3 +134,40 @@ def parallel_sort_pairs(keys, vals):
         ks[s:e] = ks[s:e][order]
         vs[s:e] = vs[s:e][order]
     return ks, vs
+
+
+def warm_fsspec_http() -> None:
+    """Make ``fsspec.implementations.http`` importable ONCE so concurrent
+    Ray Data reads from driver threads cannot race its import.
+
+    Ray's path resolution re-attempts ``from fsspec.implementations.http
+    import HTTPFileSystem`` on every read; when ``aiohttp`` is absent the
+    import FAILS each time (failed imports are never cached), and two
+    threads re-attempting it concurrently can observe each other's
+    partially-initialized module — surfacing as ImportError (not the
+    ModuleNotFoundError Ray catches).  Registering an attribute-raising
+    stub for the missing transitive deps lets the fsspec module import
+    successfully once and be cached; nothing in a local/posix pipeline
+    touches the stubs at runtime.  No-op when aiohttp is installed."""
+    import sys as _sys
+    import types as _types
+
+    for _name in ("aiohttp", "yarl"):
+        try:
+            __import__(_name)
+        except ModuleNotFoundError:
+            _m = _types.ModuleType(_name)
+
+            def _ga(attr: str, _n=_name):
+                raise RuntimeError(
+                    f"stub module {_n} (installed by ibray.util."
+                    f"warm_fsspec_http) has no attribute {attr}")
+
+            _m.__getattr__ = _ga
+            _sys.modules[_name] = _m
+    try:
+        from fsspec.implementations.http import (  # noqa: F401
+            HTTPFileSystem,
+        )
+    except Exception:
+        pass
