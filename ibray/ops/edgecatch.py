@@ -561,6 +561,17 @@ def refined_settlements(settlements: pa.Table, blocks,
     from ibray.ops.cluster import rings_to_arrow
     from ibray.ops.ringpack import boundary_to_binary, unpack_rings
 
+    import os as _os
+    import sys as _sys
+    import time as _time
+
+    _t0 = _time.time()
+
+    def _tmark(name: str) -> None:
+        if _os.environ.get("IBRAY_PROFILE"):
+            print(f"[ibray-profile]   refined_settlements.{name}: "
+                  f"{_time.time() - _t0:.1f}s", file=_sys.stderr, flush=True)
+
     # gid routing (ids only, broadcast as SORTED arrays — workers attach
     # gids with a searchsorted inside map_batches; no hash join, no
     # per-worker Python dict of the whole settlement set):
@@ -599,6 +610,7 @@ def refined_settlements(settlements: pa.Table, blocks,
         ["settlement_id", "area_m2", "boundary", "cover_cells"])
     touched_tbl = narrow.filter(pa.array(touched_mask))
     identity_tbl = narrow.filter(pa.array(~touched_mask))
+    _tmark("routes_and_split")
 
     def _identity_rows(batch: pa.Table) -> pa.Table:
         from ibray.ops.overlay import settlement_rings
@@ -732,17 +744,24 @@ def refined_settlements(settlements: pa.Table, blocks,
     if identity_tbl.num_rows:
         out = out.union(rd.from_arrow(identity_tbl).map_batches(
             _identity_rows, batch_format="pyarrow"))
+    if _os.environ.get("IBRAY_PROFILE"):
+        # split union compute from the id sort (diagnostic runs only; the
+        # extra materialize slightly reshapes execution)
+        out = out.materialize()
+        _tmark("union_computed")
     # DISTRIBUTED id sort (same treatment as the headline settlement
     # collect): a driver-side sort_by here pays an Arrow nested-list take
     # over the full boundary payload — measured ~19 s of a 47 s call at
     # 10M footprints; the exchange sorts in the workers and the driver
     # concatenates ordered blocks
-    return pipeline._concat_refs(out.sort("settlement_id"), pa.schema([
+    res = pipeline._concat_refs(out.sort("settlement_id"), pa.schema([
         ("settlement_id", pa.string()), ("area_m2", pa.float64()),
         ("boundary", pa.list_(pa.list_(pa.struct([("x", pa.float64()),
                                                   ("y", pa.float64())])))),
         ("cover_cells", pa.list_(pa.int64())),
     ]))
+    _tmark("sorted_and_collected")
+    return res
 
 
 def refined_assignments(fp: rd.Dataset, refined: pa.Table,
