@@ -323,7 +323,8 @@ def edge_catch_full(fp: rd.Dataset, settlements: pa.Table, blocks,
         # ~n_pairs/256 buckets keeps geometry co-located, cuts the group
         # count ~40x, and dedups settlement copies whose partner eparts
         # share a bucket.  Gains stay order-invariant (integer cm^2 sums).
-        n_bkt = int(min(65536, max(64, len(p2) // 256)))
+        n_bkt = int(_os.environ.get("IBRAY_ERASE_BUCKETS", 0)) \
+            or int(min(65536, max(64, len(p2) // 256)))
 
         def _bkt_of(parts: np.ndarray) -> np.ndarray:
             h = (np.asarray(parts).astype(np.uint64)

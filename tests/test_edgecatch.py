@@ -83,3 +83,27 @@ def test_flagship_refined_with_veg_matches_golden(ray_session, world):
     gra = g_ra.to_pandas().sort_values("footprint_id").reset_index(drop=True)
     assert ra[["footprint_id", "settlement_id"]].equals(
         gra[["footprint_id", "settlement_id"]])
+
+
+def test_erase_bucket_count_invariance(ray_session, world, monkeypatch):
+    """The hash-bucketed erase exchange key is a physical-plan knob: the
+    refined output must be bit-identical at any bucket count (gains are
+    integer cm^2 sums, so group composition cannot perturb them)."""
+    from ibray import pipeline
+    from ibray.ops import blocks as B
+    from ibray.ops import edgecatch as EC
+
+    fp = pipeline.footprint_dataset(world)
+    settlements = pipeline.delineate(world)["settlements"]
+    blocks = pipeline._concat_refs(B.blocks_dataset(world),
+                                   B._empty_blocks().schema)
+    outs = []
+    for n_bkt in ("1", "7"):
+        monkeypatch.setenv("IBRAY_ERASE_BUCKETS", n_bkt)
+        refined, merges, snapped = EC.edge_catch_full(
+            fp, settlements, blocks)
+        outs.append((refined.to_pandas(), merges.to_pandas(),
+                     snapped.to_pandas()))
+    assert outs[0][0].equals(outs[1][0])
+    assert outs[0][1].equals(outs[1][1])
+    assert outs[0][2].equals(outs[1][2])
