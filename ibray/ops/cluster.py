@@ -292,16 +292,51 @@ def resolve_shared(shared_cells: np.ndarray, shared_labels: np.ndarray):
         if len(sc) else np.zeros(0, np.int64)
     a = sl[run_first[1:][same]]
     b = sl[1:][same]
-    edges_arr = (np.unique(np.column_stack([a, b]), axis=0)
-                 if len(a) else np.zeros((0, 2), np.int64))
-    root_map = resolve_equivalences(
-        [(int(x), int(y)) for x, y in edges_arr])
+    # vectorized min-label CC straight over the (possibly duplicated) edge
+    # arrays — the per-edge Python union-find (plus its 2D np.unique
+    # pre-dedup) was ~4 s of pure driver serial time at the 30M-footprint
+    # border band, the single largest Amdahl-floor component
+    keys, vals = min_label_components_np(a, b)
     # dedup cells with final labels (labels within a cell all map to one root)
     cells_u = sc[starts]
     labels_u = sl[starts]
-    if root_map:
-        labels_u = apply_root_map_np(labels_u, root_map)
-    return root_map, (cells_u, labels_u)
+    if len(keys):
+        pos = np.clip(np.searchsorted(keys, labels_u), 0, len(keys) - 1)
+        hit = keys[pos] == labels_u
+        labels_u = np.where(hit, vals[pos], labels_u)
+    return (keys, vals), (cells_u, labels_u)
+
+
+def min_label_components_np(ea: np.ndarray, eb: np.ndarray):
+    """Connected components over int64 edge endpoint arrays; canonical
+    label = smallest member id (same contract as ``resolve_equivalences``).
+
+    Returns SORTED ``(keys, vals)`` covering only non-identity nodes — the
+    broadcast-friendly flattened form.  Iterative min-label propagation
+    with pointer jumping: every step is a numpy kernel over the edge list,
+    no per-edge Python; duplicate edges are harmless (no pre-dedup
+    needed).  Rounds ~ log(component diameter)."""
+    if not len(ea):
+        z = np.zeros(0, np.int64)
+        return z, z
+    uniq, inv = np.unique(np.concatenate([ea, eb]), return_inverse=True)
+    p, q = inv[: len(ea)], inv[len(ea):]
+    lab = np.arange(len(uniq), dtype=np.int64)
+    while True:
+        m = np.minimum(lab[p], lab[q])
+        new = lab.copy()
+        np.minimum.at(new, p, m)
+        np.minimum.at(new, q, m)
+        while True:
+            nxt = new[new]
+            if np.array_equal(nxt, new):
+                break
+            new = nxt
+        if np.array_equal(new, lab):
+            break
+        lab = new
+    mask = lab != np.arange(len(uniq))
+    return uniq[mask], uniq[lab[mask]]
 
 
 def apply_root_map_np(labels: np.ndarray, root_map: dict[int, int]) -> np.ndarray:

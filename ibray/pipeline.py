@@ -106,6 +106,15 @@ def cluster_cells(fp: rd.Dataset, cfg: DelineationConfig = DEFAULT) -> rd.Datase
     import ray
 
     import os as _os
+    import sys as _sys
+    import time as _time
+
+    _ct0 = _time.time()
+
+    def _ctmark(name: str) -> None:
+        if _os.environ.get("IBRAY_PROFILE"):
+            print(f"[ibray-profile]   cluster.{name}: "
+                  f"{_time.time() - _ct0:.1f}s", file=_sys.stderr, flush=True)
 
     stats = fp.select_columns(["cell_fine"]).map_batches(
         C.cell_stats_batch, batch_format="pyarrow"
@@ -134,6 +143,7 @@ def cluster_cells(fp: rd.Dataset, cfg: DelineationConfig = DEFAULT) -> rd.Datase
     local = replicated.groupby("part").map_groups(
         lambda g: C.local_components(g, cfg), batch_format="pyarrow"
     ).materialize()  # consumed twice: border branch + interior branch
+    _ctmark("local_materialized")
     border = local.map_batches(
         lambda b: b.filter(pa.compute.equal(b.column("kind"), 1)).select(
             ["label", "n", "cells", "shared_cells"]),
@@ -156,12 +166,13 @@ def cluster_cells(fp: rd.Dataset, cfg: DelineationConfig = DEFAULT) -> rd.Datase
         border.map_batches(_explode_shared, batch_format="pyarrow"),
         pa.schema([("cell_fine", pa.int64()), ("label", pa.int64())]),
     )
-    root_map, _ = C.resolve_shared(
+    _ctmark("shared_collected")
+    (keys, vals), _ = C.resolve_shared(
         np.asarray(shared_tbl.column("cell_fine"), dtype=np.int64),
         np.asarray(shared_tbl.column("label"), dtype=np.int64))
-    keys = np.array(sorted(root_map), dtype=np.int64)
-    vals = np.array([root_map[int(k)] for k in keys], dtype=np.int64)
+    _ctmark("resolved")
     rm_ref = ray.put((keys, vals))
+    _ctmark("root_map_broadcast")
 
     def _apply(b: pa.Table) -> pa.Table:
         k, v = ray.get(rm_ref)

@@ -226,3 +226,27 @@ def _scalar_rings(cells):
         if len(ring_idx) >= 3:
             rings.append(ea[ring_idx])
     return rings
+
+
+def test_min_label_components_matches_union_find():
+    """The vectorized min-label CC (driver border resolve) must return
+    exactly the dict union-find's flattened (keys, vals) contract —
+    smallest member id as canonical, identity entries omitted — on random
+    multigraphs including self-loops and duplicate edges."""
+    from ibray.ops.cluster import (
+        min_label_components_np,
+        resolve_equivalences,
+    )
+
+    rng = np.random.default_rng(1234)
+    for _ in range(100):
+        n = int(rng.integers(0, 60))
+        ea = rng.integers(0, 50, n).astype(np.int64)
+        eb = rng.integers(0, 50, n).astype(np.int64)
+        k, v = min_label_components_np(ea, eb)
+        rm = resolve_equivalences([(int(x), int(y))
+                                   for x, y in zip(ea, eb)])
+        exp_k = np.array(sorted(rm), dtype=np.int64)
+        exp_v = np.array([rm[int(x)] for x in exp_k], dtype=np.int64)
+        assert np.array_equal(k, exp_k)
+        assert np.array_equal(v, exp_v)
