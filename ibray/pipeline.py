@@ -91,8 +91,10 @@ def footprint_dataset(world_dir: str,
     return fp
 
 
-def cluster_cells(fp: rd.Dataset, cfg: DelineationConfig = DEFAULT) -> rd.Dataset:
-    """Filtered footprints → settlement work-row Dataset, two shuffles.
+def cluster_cells_split(
+        fp: rd.Dataset, cfg: DelineationConfig = DEFAULT
+) -> tuple[rd.Dataset, rd.Dataset]:
+    """Filtered footprints → (interior, border) work-row Datasets, two shuffles.
 
     Per-batch combiners emit (cell, n); halo replication routes each cell
     (its count on the own copy only) to every coarse partition within the
@@ -191,6 +193,14 @@ def cluster_cells(fp: rd.Dataset, cfg: DelineationConfig = DEFAULT) -> rd.Datase
         lambda g: C.work_row_group(g, cfg), batch_format="pyarrow")
     interior_work = local.map_batches(
         lambda b: _interior_rows(b), batch_format="pyarrow")
+    return interior_work, border_work
+
+
+def cluster_cells(fp: rd.Dataset, cfg: DelineationConfig = DEFAULT) -> rd.Dataset:
+    """Filtered footprints → ONE settlement work-row Dataset (the union of
+    ``cluster_cells_split``'s two branches — kept for callers that don't
+    need the branch structure)."""
+    interior_work, border_work = cluster_cells_split(fp, cfg)
     return interior_work.union(border_work)
 
 
@@ -317,7 +327,7 @@ def delineate(world_dir: str, cfg: DelineationConfig = DEFAULT,
     if ck and ck.has("settlements"):
         settlements = ck.read_table("settlements")
     else:
-        work = cluster_cells(fp, cfg)
+        interior_work, border_work = cluster_cells_split(fp, cfg)
         _mark("cluster_and_work_table")
         # polygonize emits the settlement rows WITH their region-cell
         # rasterization; the region cells stay in the object store (they
@@ -333,6 +343,8 @@ def delineate(world_dir: str, cfg: DelineationConfig = DEFAULT,
         # ~10 s at sf0.1/32 CPUs — more than the tail it removes
         # (BENCH/SCALING_r04.md).  A/B levers: IBRAY_POLY_ORDER=scatter,
         # IBRAY_POLY_BPC=<blocks per cpu, default 4>.
+        bpc = int(_os.environ.get("IBRAY_POLY_BPC", "4"))
+        nblk = max(2, _num_cpus() * bpc)
         if _os.environ.get("IBRAY_POLY_ORDER", "none") == "scatter":
             import pyarrow.compute as _pc
 
@@ -343,13 +355,27 @@ def delineate(world_dir: str, cfg: DelineationConfig = DEFAULT,
                 return b.append_column(
                     "_sc", pa.array(key.astype(np.int64)))
 
-            work = work.map_batches(
+            work = interior_work.union(border_work).map_batches(
                 _scatter_key, batch_format="pyarrow").sort("_sc") \
                 .drop_columns(["_sc"])
-        bpc = int(_os.environ.get("IBRAY_POLY_BPC", "4"))
-        poly = work.repartition(max(2, _num_cpus() * bpc)).map_batches(
-            lambda b: C.polygonize_batch(b, cfg),
-            batch_format="pyarrow", batch_size=4).materialize()
+            poly = work.repartition(nblk).map_batches(
+                lambda b: C.polygonize_batch(b, cfg),
+                batch_format="pyarrow", batch_size=4).materialize()
+        else:
+            # polygonize the two branches as SEPARATE streams under one
+            # materialize: the interior rows (the bulk, already materialized
+            # upstream) polygonize immediately while the border branch's
+            # groupby(label) exchange is still running — a single
+            # repartition over the union barriers on that exchange and
+            # idles the CPUs for its duration (measured ~9 s at 30M
+            # footprints, busy 13-22/32 cores)
+            poly = interior_work.repartition(nblk).map_batches(
+                lambda b: C.polygonize_batch(b, cfg),
+                batch_format="pyarrow", batch_size=4) \
+                .union(border_work.repartition(max(2, _num_cpus()))
+                       .map_batches(lambda b: C.polygonize_batch(b, cfg),
+                                    batch_format="pyarrow", batch_size=4)) \
+                .materialize()
         # DISTRIBUTED sort: the settlement payload is ~hundreds of MB
         # (boundary rings + cover cells), so the id sort's ragged gather
         # runs in the exchange workers; the driver only concatenates the
