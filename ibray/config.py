@@ -56,6 +56,13 @@ class DelineationConfig:
     # (IB-Tool2.py:2464-2516); off by default so the base morphology
     # result stays directly addressable
     refine_with_roads: bool = False
+    # return the settlement table as a LAZY sorted Dataset instead of a
+    # collected driver pa.Table — the 100-TB form: consumers write_parquet
+    # or iterate it in workers, and the driver never holds O(settlement
+    # vertices) boundary payload.  Incompatible with refine_with_roads
+    # (EdgeCatch's pair gating consumes the driver table) and ignored on
+    # checkpointed runs (the checkpoint layer persists the table form).
+    collect_settlements: bool = True
     # replace the hex-staircase settlement boundary with a true planar
     # offset closing (ops/buffer.close_region: buffer +d/-d, ROUND joins,
     # d = one fine-cell edge) — the reference's final boundaries come from

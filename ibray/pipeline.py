@@ -394,7 +394,15 @@ def delineate(world_dir: str, cfg: DelineationConfig = DEFAULT,
             )
 
         settle_fut = None
-        if ck is None:
+        if ck is None and not cfg.collect_settlements \
+                and not cfg.refine_with_roads:
+            # 100-TB return form: the sorted settlement plan stays a LAZY
+            # Dataset — no driver collect at all; downstream consumers
+            # write_parquet / iter_batches it in workers
+            settlements = poly.drop_columns(["seg_starts", "seg_ends"]) \
+                .sort("settlement_id")
+            _mark("polygonize")
+        elif ck is None:
             import concurrent.futures as _cf
 
             _mark("polygonize")

@@ -124,3 +124,25 @@ def test_conformance_soak(ray_session):
     ga = gold["assignments"].to_pandas().sort_values(
         "footprint_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(ea, ga)
+
+
+def test_settlements_as_lazy_dataset(ray_session, results):
+    """collect_settlements=False returns the sorted settlement plan as a
+    LAZY Dataset (the 100-TB return form — no driver collect); its rows
+    must equal the default collected table exactly."""
+    import dataclasses
+
+    import ray.data as rd
+
+    from ibray.config import DEFAULT
+
+    engine, _ = results
+    world = synth.ensure_world(0.001)
+    cfg = dataclasses.replace(DEFAULT, collect_settlements=False)
+    res = pipeline.delineate(world, cfg)
+    assert isinstance(res["settlements"], rd.Dataset)
+    got = (res["settlements"].to_pandas()
+           .sort_values("settlement_id").reset_index(drop=True))
+    want = (engine["settlements"].to_pandas()
+            .sort_values("settlement_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want)
