@@ -33,6 +33,12 @@ def main(argv: list[str] | None = None) -> int:
                    help="debug subsetting: comma-separated coarse partition "
                         "cells (res_part hex ids); only these partitions run "
                         "(reference config keys 08-10)")
+    d.add_argument("--stream-settlements", default=None, metavar="DIR",
+                   help="100-TB form: keep the settlement table an "
+                        "UNCOLLECTED sorted Dataset and write it straight "
+                        "to partitioned parquet at DIR from the workers — "
+                        "the driver never holds the boundary payload "
+                        "(cfg.collect_settlements=False; base path only)")
     sub.add_parser("bench")
     ing = sub.add_parser(
         "ingest",
@@ -104,13 +110,30 @@ def main(argv: list[str] | None = None) -> int:
         if args.parts:
             overrides["partition_list"] = tuple(
                 int(p) for p in args.parts.split(",") if p.strip())
+        if args.stream_settlements:
+            overrides["collect_settlements"] = False
         cfg = DelineationConfig(**overrides) if overrides else DEFAULT
         res = pipeline.delineate(args.world, cfg=cfg, out_dir=args.out)
+        if args.stream_settlements:
+            # worker-side parquet write of the lazy sorted Dataset; row
+            # count comes from the written file metadata, not a collect
+            import glob as _glob
+
+            import pyarrow.parquet as _pq
+
+            res["settlements"].write_parquet(args.stream_settlements)
+            n_settle = sum(
+                _pq.ParquetFile(f).metadata.num_rows
+                for f in _glob.glob(args.stream_settlements + "/*.parquet"))
+        else:
+            n_settle = res["settlements"].num_rows
         print(json.dumps({
             "n_footprints": res["n_footprints"],
-            "n_settlements": res["settlements"].num_rows,
+            "n_settlements": n_settle,
             "n_assignments": res["assignments"].count(),
             "out": args.out,
+            **({"settlements_dir": args.stream_settlements}
+               if args.stream_settlements else {}),
         }))
         return 0
     finally:
