@@ -111,6 +111,16 @@ def main(argv: list[str] | None = None) -> int:
             overrides["partition_list"] = tuple(
                 int(p) for p in args.parts.split(",") if p.strip())
         if args.stream_settlements:
+            if args.out:
+                ap.error("--stream-settlements is incompatible with --out "
+                         "(checkpointed runs persist the collected table)")
+            import os as _os
+
+            if (_os.path.isdir(args.stream_settlements)
+                    and _os.listdir(args.stream_settlements)):
+                ap.error(f"--stream-settlements target "
+                         f"{args.stream_settlements} is not empty (stale "
+                         f"files would double-count in the row report)")
             overrides["collect_settlements"] = False
         cfg = DelineationConfig(**overrides) if overrides else DEFAULT
         res = pipeline.delineate(args.world, cfg=cfg, out_dir=args.out)

@@ -60,8 +60,9 @@ class DelineationConfig:
     # collected driver pa.Table — the 100-TB form: consumers write_parquet
     # or iterate it in workers, and the driver never holds O(settlement
     # vertices) boundary payload.  Incompatible with refine_with_roads
-    # (EdgeCatch's pair gating consumes the driver table) and ignored on
-    # checkpointed runs (the checkpoint layer persists the table form).
+    # (EdgeCatch's pair gating consumes the driver table) and with
+    # checkpointed runs (the checkpoint layer persists the table form) —
+    # delineate() raises ValueError on either combination.
     collect_settlements: bool = True
     # replace the hex-staircase settlement boundary with a true planar
     # offset closing (ops/buffer.close_region: buffer +d/-d, ROUND joins,

@@ -269,9 +269,12 @@ def resolve_shared(shared_cells: np.ndarray, shared_labels: np.ndarray):
     """Driver-side resolution of the shared (partition-border) cells.
 
     Input: all (cell, label) rows of cells seen by >1 partition (each cell
-    appears once per partition that saw it).  Returns (root_map, cell_table)
-    where root_map maps local label -> canonical label and cell_table is the
-    deduplicated (cell_fine, label) arrays for the shared cells.
+    appears once per partition that saw it).  Returns
+    ``((keys, vals), (cells_u, labels_u))`` where ``(keys, vals)`` are the
+    SORTED local-label -> canonical-label arrays (non-identity entries
+    only — the broadcast form consumed by ``apply_root_arrays``) and
+    ``(cells_u, labels_u)`` the deduplicated (cell_fine, label) arrays for
+    the shared cells with canonical labels applied.
 
     The shared set is the partition-border band (~gap/part_edge of all cells,
     a few % — at true 100 TB scale this step becomes a distributed iterative

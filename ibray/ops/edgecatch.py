@@ -261,12 +261,9 @@ def edge_catch_full(fp: rd.Dataset, settlements: pa.Table, blocks,
     import sys as _sys
     import time as _time
 
-    _t0 = _time.time()
+    from ibray.util import profile_marker
 
-    def _tmark(name: str) -> None:
-        if _os.environ.get("IBRAY_PROFILE"):
-            print(f"[ibray-profile]   edge_catch.{name}: "
-                  f"{_time.time() - _t0:.1f}s", file=_sys.stderr, flush=True)
+    _tmark = profile_marker("edge_catch")
 
     pairs = (snap_pairs_from_dual(dual, cfg) if dual is not None
              else snap_pairs(fp, settlements, blocks, cfg))
@@ -563,15 +560,10 @@ def refined_settlements(settlements: pa.Table, blocks,
     from ibray.ops.ringpack import boundary_to_binary, unpack_rings
 
     import os as _os
-    import sys as _sys
-    import time as _time
 
-    _t0 = _time.time()
+    from ibray.util import profile_marker
 
-    def _tmark(name: str) -> None:
-        if _os.environ.get("IBRAY_PROFILE"):
-            print(f"[ibray-profile]   refined_settlements.{name}: "
-                  f"{_time.time() - _t0:.1f}s", file=_sys.stderr, flush=True)
+    _tmark = profile_marker("refined_settlements")
 
     # gid routing (ids only, broadcast as SORTED arrays — workers attach
     # gids with a searchsorted inside map_batches; no hash join, no

@@ -108,15 +108,10 @@ def cluster_cells_split(
     import ray
 
     import os as _os
-    import sys as _sys
-    import time as _time
 
-    _ct0 = _time.time()
+    from ibray.util import profile_marker
 
-    def _ctmark(name: str) -> None:
-        if _os.environ.get("IBRAY_PROFILE"):
-            print(f"[ibray-profile]   cluster.{name}: "
-                  f"{_time.time() - _ct0:.1f}s", file=_sys.stderr, flush=True)
+    _ctmark = profile_marker("cluster")
 
     stats = fp.select_columns(["cell_fine"]).map_batches(
         C.cell_stats_batch, batch_format="pyarrow"
@@ -251,6 +246,14 @@ def delineate(world_dir: str, cfg: DelineationConfig = DEFAULT,
 
     _sources.validate_world(world_dir,
                             require_aux=False)
+    if not cfg.collect_settlements and (cfg.refine_with_roads or out_dir):
+        # fail loudly instead of silently returning the collected-table
+        # form a Dataset-contract caller would mis-consume
+        raise ValueError(
+            "collect_settlements=False is incompatible with "
+            "refine_with_roads (EdgeCatch pair gating consumes the driver "
+            "table) and with checkpointed runs (the checkpoint layer "
+            "persists the table form)")
 
     def _mark(name: str):
         run_log.debug(name, "stage complete",
@@ -301,26 +304,25 @@ def delineate(world_dir: str, cfg: DelineationConfig = DEFAULT,
     # ELASTIC actor pools (util.full_pool), so the plans share CPUs instead
     # of deadlocking.  Measured: exposes ~0 s of the former 10.8 s blocks
     # wall at 10M footprints (box busy was 15.6/32 during the headline).
-    blocks_fut = veg_fut = refine_pool = None
+    blocks_fut = veg_fut = None
     if cfg.refine_with_roads and not (ck and ck.has("refined_settlements")):
-        import concurrent.futures as _cf
-
         from ibray.ops import blocks as _B
 
         # make fsspec's http module importable ONCE in the main thread —
         # without this, every concurrent read re-attempts (and re-fails)
         # the import and threads can observe each other's
         # partially-initialized module (see util.warm_fsspec_http)
-        from ibray.util import warm_fsspec_http
+        from ibray.util import spawn, warm_fsspec_http
 
         warm_fsspec_http()
         # ONLY the light Blocker-blocks build launches here: the heavy
         # dense-veg job (~45 s of distributed work at 10M footprints)
         # launched this early crushes the shuffle-bound cluster phase
         # (measured +13 s on the headline, a net wash); it launches after
-        # settlements instead, where it hides behind the EdgeCatch chain
-        refine_pool = _cf.ThreadPoolExecutor(max_workers=2)
-        blocks_fut = refine_pool.submit(
+        # settlements instead, where it hides behind the EdgeCatch chain.
+        # spawn = daemon thread: if a later phase raises, the orphaned
+        # build cannot block interpreter exit or outlive ray.shutdown()
+        blocks_fut = spawn(
             lambda: _B.blocks_dataset(world_dir, cfg).materialize())
     poly = None
     settle_fut = None
@@ -403,11 +405,10 @@ def delineate(world_dir: str, cfg: DelineationConfig = DEFAULT,
                 .sort("settlement_id")
             _mark("polygonize")
         elif ck is None:
-            import concurrent.futures as _cf
+            from ibray.util import spawn as _spawn
 
             _mark("polygonize")
-            _settle_pool = _cf.ThreadPoolExecutor(max_workers=1)
-            settle_fut = _settle_pool.submit(_collect_settlements)
+            settle_fut = _spawn(_collect_settlements)
         else:
             settlements = _collect_settlements()
             _mark("polygonize")
@@ -542,7 +543,6 @@ def delineate(world_dir: str, cfg: DelineationConfig = DEFAULT,
     _mark("pip_built")
     if settle_fut is not None:
         settlements = settle_fut.result()
-        _settle_pool.shutdown()
         _mark("settlements_collected")
     base_settlements = settlements
     if cfg.refine_with_roads:
@@ -563,10 +563,11 @@ def delineate(world_dir: str, cfg: DelineationConfig = DEFAULT,
             # the driver sees only the narrow (block_id, area_m2)
             # projection; geometry flows through Dataset joins and
             # worker-side shard packing (ops/pip shard_refs_from_dataset)
+            from ibray.util import spawn as _spawn
+
             blocks = blocks_fut.result()
             _mark("refine_blocks")
-            veg_fut = refine_pool.submit(
-                B.dense_block_polygons, world_dir, fp_all, cfg)
+            veg_fut = _spawn(B.dense_block_polygons, world_dir, fp_all, cfg)
             # ONE shared probe pass: settlement side rides the broadcast
             # cell index built for the headline PIP (an int searchsorted,
             # no ray cast) when available; consumed by BOTH the snap-pair
@@ -590,7 +591,6 @@ def delineate(world_dir: str, cfg: DelineationConfig = DEFAULT,
             # Blocks_red footprints from the MST path).  Computed
             # concurrently above; join the thread here.
             veg = veg_fut.result()
-            refine_pool.shutdown()
             _mark("refine_veg_blocks")
             if veg.num_rows:
                 import pyarrow.compute as _pc

@@ -149,6 +149,7 @@ def warm_fsspec_http() -> None:
     stub for the missing transitive deps lets the fsspec module import
     successfully once and be cached; nothing in a local/posix pipeline
     touches the stubs at runtime.  No-op when aiohttp is installed."""
+    import importlib.machinery as _mach
     import sys as _sys
     import types as _types
 
@@ -156,14 +157,23 @@ def warm_fsspec_http() -> None:
         try:
             __import__(_name)
         except ModuleNotFoundError:
-            _m = _types.ModuleType(_name)
+            _m = _types.ModuleType(
+                _name, f"attribute-free stub installed by ibray.util."
+                       f"warm_fsspec_http ({_name} is not installed)")
 
             def _ga(attr: str, _n=_name):
-                raise RuntimeError(
-                    f"stub module {_n} (installed by ibray.util."
-                    f"warm_fsspec_http) has no attribute {attr}")
+                # AttributeError (not a custom error): attribute probes
+                # degrade the same as a missing attribute, and
+                # ``from <stub> import X`` surfaces as the standard
+                # ImportError via the import machinery
+                raise AttributeError(
+                    f"stub module {_n} (ibray.util.warm_fsspec_http) "
+                    f"has no attribute {attr}")
 
             _m.__getattr__ = _ga
+            # a real ModuleSpec keeps importlib.util.find_spec(_name)
+            # working (module objects without __spec__ make it raise)
+            _m.__spec__ = _mach.ModuleSpec(_name, loader=None)
             _sys.modules[_name] = _m
     try:
         from fsspec.implementations.http import (  # noqa: F401
@@ -171,3 +181,53 @@ def warm_fsspec_http() -> None:
         )
     except Exception:
         pass
+
+
+def profile_marker(prefix: str):
+    """Env-gated stderr phase timer: returns ``mark(name)`` printing
+    ``[ibray-profile] <prefix>.<name>: <elapsed>s`` when IBRAY_PROFILE is
+    set (one shared implementation for the per-operator drill-downs)."""
+    import os as _os
+    import sys as _sys
+    import time as _time
+
+    t0 = _time.time()
+    on = bool(_os.environ.get("IBRAY_PROFILE"))
+
+    def mark(name: str) -> None:
+        if on:
+            print(f"[ibray-profile]   {prefix}.{name}: "
+                  f"{_time.time() - t0:.1f}s", file=_sys.stderr, flush=True)
+
+    return mark
+
+
+class spawn:
+    """Run ``fn(*args)`` on a DAEMON thread with a Future-like ``result()``.
+
+    Unlike ThreadPoolExecutor, an exception between spawn and result()
+    cannot leave a non-daemon worker blocking interpreter exit (the
+    delineate refine branch launches Ray Data plans from driver threads;
+    if a headline phase raises, the orphaned build must not hold the
+    process open or outlive ray.shutdown()'s caller)."""
+
+    def __init__(self, fn, *args):
+        import threading
+
+        self._res = None
+        self._exc: BaseException | None = None
+
+        def _run() -> None:
+            try:
+                self._res = fn(*args)
+            except BaseException as exc:  # re-raised in result()
+                self._exc = exc
+
+        self._t = threading.Thread(target=_run, daemon=True)
+        self._t.start()
+
+    def result(self):
+        self._t.join()
+        if self._exc is not None:
+            raise self._exc
+        return self._res
