@@ -146,3 +146,19 @@ def test_settlements_as_lazy_dataset(ray_session, results):
     want = (engine["settlements"].to_pandas()
             .sort_values("settlement_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_stream_settlements_incompatible_combos(ray_session):
+    """collect_settlements=False must fail LOUDLY with refine_with_roads
+    or a checkpointed run — never silently return the collected form."""
+    import dataclasses
+
+    from ibray.config import DEFAULT
+
+    world = synth.ensure_world(0.001)
+    with pytest.raises(ValueError, match="collect_settlements"):
+        pipeline.delineate(world, dataclasses.replace(
+            DEFAULT, collect_settlements=False, refine_with_roads=True))
+    with pytest.raises(ValueError, match="collect_settlements"):
+        pipeline.delineate(world, dataclasses.replace(
+            DEFAULT, collect_settlements=False), out_dir="/tmp/ibray_x_ck")
