@@ -46,6 +46,15 @@ class DelineationConfig:
     # footprints against the index (fully sharded, for indexes too big to
     # hold per-node); "auto" picks by index size at runtime.
     pip_strategy: str = "auto"
+    # cross-partition border-label resolve: "driver" collects the shared
+    # band (a few % of occupied cells) and runs the vectorized numpy
+    # min-label CC on the driver — fastest up to ~10^7 shared rows;
+    # "distributed" keeps the band a Dataset and resolves through
+    # ops/cc.components_from_edges (groupby + iterative min-label
+    # fixpoint) — the 100-TB path where even the band outgrows one node.
+    # Outputs are identical (tested); the driver only ever holds the
+    # O(border labels) root map either way.
+    border_resolve: str = "driver"
     # auto threshold: broadcast while the region index stays under this many
     # cells (~3.2 GB of packed index at the cap — one copy per node via
     # plasma, a per-actor sorted view on the heap)

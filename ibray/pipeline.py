@@ -157,17 +157,48 @@ def cluster_cells_split(
             "label": pa.array(labels, type=pa.int64()),
         })
 
-    # only the SHARED cells (the thin geometric band) reach the driver for
-    # the equivalence union-find — identical pairs to the per-cell form
-    shared_tbl = _concat_refs(
-        border.map_batches(_explode_shared, batch_format="pyarrow"),
-        pa.schema([("cell_fine", pa.int64()), ("label", pa.int64())]),
-    )
-    _ctmark("shared_collected")
-    (keys, vals), _ = C.resolve_shared(
-        np.asarray(shared_tbl.column("cell_fine"), dtype=np.int64),
-        np.asarray(shared_tbl.column("label"), dtype=np.int64))
-    _ctmark("resolved")
+    if cfg.border_resolve == "distributed":
+        # 100-TB path: the shared band never lands on the driver — star
+        # edges per multi-label cell feed the distributed min-label CC
+        # fixpoint (ops/cc); the driver collects ONLY the O(border labels)
+        # root map (identical output to the driver resolve — tested)
+        from ibray.ops import cc as CC
+
+        def _cell_edges(g: pa.Table) -> pa.Table:
+            lab = np.unique(np.asarray(g.column("label"), dtype=np.int64))
+            if len(lab) < 2:
+                e = pa.array([], type=pa.int64())
+                return pa.table({"a": e, "b": e})
+            return pa.table({
+                "a": pa.array(np.full(len(lab) - 1, lab[0]),
+                              type=pa.int64()),
+                "b": pa.array(lab[1:], type=pa.int64()),
+            })
+
+        comp = CC.components_from_edges(
+            border.map_batches(_explode_shared, batch_format="pyarrow")
+            .groupby("cell_fine")
+            .map_groups(_cell_edges, batch_format="pyarrow"))
+        ct = _concat_refs(comp, pa.schema([("node", pa.int64()),
+                                           ("label", pa.int64())]))
+        node = np.asarray(ct.column("node"), dtype=np.int64)
+        lab = np.asarray(ct.column("label"), dtype=np.int64)
+        hit = node != lab
+        order = np.argsort(node[hit])
+        keys, vals = node[hit][order], lab[hit][order]
+        _ctmark("resolved")
+    else:
+        # only the SHARED cells (the thin geometric band) reach the driver
+        # for the equivalence resolve — identical pairs to the per-cell form
+        shared_tbl = _concat_refs(
+            border.map_batches(_explode_shared, batch_format="pyarrow"),
+            pa.schema([("cell_fine", pa.int64()), ("label", pa.int64())]),
+        )
+        _ctmark("shared_collected")
+        (keys, vals), _ = C.resolve_shared(
+            np.asarray(shared_tbl.column("cell_fine"), dtype=np.int64),
+            np.asarray(shared_tbl.column("label"), dtype=np.int64))
+        _ctmark("resolved")
     rm_ref = ray.put((keys, vals))
     _ctmark("root_map_broadcast")
 

@@ -162,3 +162,27 @@ def test_stream_settlements_incompatible_combos(ray_session):
     with pytest.raises(ValueError, match="collect_settlements"):
         pipeline.delineate(world, dataclasses.replace(
             DEFAULT, collect_settlements=False), out_dir="/tmp/ibray_x_ck")
+
+
+def test_border_resolve_distributed_identical(ray_session, results):
+    """border_resolve='distributed' (the 100-TB fixpoint over
+    ops/cc.components_from_edges) must produce the identical delineation
+    to the default driver resolve."""
+    import dataclasses
+
+    from ibray.config import DEFAULT
+
+    engine, _ = results
+    world = synth.ensure_world(0.001)
+    res = pipeline.delineate(world, dataclasses.replace(
+        DEFAULT, border_resolve="distributed"))
+    got = (res["settlements"].to_pandas()
+           .sort_values("settlement_id").reset_index(drop=True))
+    want = (engine["settlements"].to_pandas()
+            .sort_values("settlement_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want)
+    ga = (res["assignments"].to_pandas()
+          .sort_values("footprint_id").reset_index(drop=True))
+    wa = (engine["assignments"].to_pandas()
+          .sort_values("footprint_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(ga, wa)
