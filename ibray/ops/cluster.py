@@ -342,21 +342,11 @@ def min_label_components_np(ea: np.ndarray, eb: np.ndarray):
     return uniq[mask], uniq[lab[mask]]
 
 
-def apply_root_map_np(labels: np.ndarray, root_map: dict[int, int]) -> np.ndarray:
-    """Vectorized label -> canonical-root mapping (two sorted arrays +
-    searchsorted; no per-row Python)."""
-    if not root_map:
-        return labels
-    keys = np.array(sorted(root_map), dtype=np.int64)
-    vals = np.array([root_map[int(k)] for k in keys], dtype=np.int64)
-    pos = np.clip(np.searchsorted(keys, labels), 0, len(keys) - 1)
-    hit = keys[pos] == labels
-    return np.where(hit, vals[pos], labels)
-
-
 def resolve_equivalences(edges: list[tuple[int, int]]) -> dict[int, int]:
-    """Tiny driver-side union-find over cross-partition label equivalences.
-    Returns label -> canonical (smallest) label, identity entries omitted."""
+    """Reference dict union-find over label equivalences — kept ONLY as
+    the property-test oracle for ``min_label_components_np`` (the
+    production resolve).  Returns label -> canonical (smallest) label,
+    identity entries omitted."""
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -377,25 +367,11 @@ def resolve_equivalences(edges: list[tuple[int, int]]) -> dict[int, int]:
     return {x: find(x) for x in list(parent) if find(x) != x}
 
 
-def apply_root_map(batch: pa.Table, root_map: dict[int, int]) -> pa.Table:
-    """Map local labels to canonical labels (vectorized two-array lookup)."""
-    if not root_map:
-        return batch
-    labels = np.asarray(batch.column("label"), dtype=np.int64)
-    keys = np.array(sorted(root_map), dtype=np.int64)
-    vals = np.array([root_map[int(k)] for k in keys], dtype=np.int64)
-    idx = np.searchsorted(keys, labels)
-    idx_c = np.clip(idx, 0, len(keys) - 1)
-    hit = keys[idx_c] == labels
-    out = np.where(hit, vals[idx_c], labels)
-    return batch.set_column(batch.schema.get_field_index("label"), "label",
-                            pa.array(out, type=pa.int64()))
-
-
 def apply_root_arrays(batch: pa.Table, keys: np.ndarray,
                       vals: np.ndarray) -> pa.Table:
-    """apply_root_map with the dict pre-flattened to sorted arrays (the
-    broadcast-friendly form — one ray.put, no per-batch dict rebuild)."""
+    """Map local labels to canonical labels via the SORTED (keys, vals)
+    arrays of ``resolve_shared`` (the broadcast-friendly form — one
+    ray.put, no per-batch dict rebuild)."""
     if not len(keys):
         return batch
     labels = np.asarray(batch.column("label"), dtype=np.int64)
