@@ -28,8 +28,16 @@ TOP_K = 10
 _SAMPLE_TARGET = 4096
 
 
+def _n_emb(sf_dir: str) -> int:
+    """Embedding-table row count from the parquet footer (no scan)."""
+    from ibray.util import parquet_num_rows
+    return parquet_num_rows(f"{sf_dir}/embeddings.parquet")
+
+
 def _emb(sf_dir: str) -> rd.Dataset:
-    return rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    from ibray.util import read_parquet_clean
+    return read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                              columns=["vec_id", "embedding"])
 
 
 def _query_matrix(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
@@ -53,7 +61,7 @@ def _sample_matrix(sf_dir: str, target: int = _SAMPLE_TARGET) -> np.ndarray:
     keep rows whose Knuth-hashed vec_id falls under the sampling fraction
     (partitioning-invariant), sort by vec_id, truncate to ``target``."""
     ds = _emb(sf_dir)
-    n = ds.count()
+    n = _n_emb(sf_dir)
     frac = min(1.0, 2.0 * target / max(n, 1))
     lim = np.uint64(int(frac * 2 ** 32))
 
@@ -114,7 +122,7 @@ def ivf_assign(sf_dir: str, n_cent: int | None = None) -> rd.Dataset:
     import ray
 
     if n_cent is None:
-        n_cent = scaled_n_cent(_emb(sf_dir).count())
+        n_cent = scaled_n_cent(_n_emb(sf_dir))
     cent = _train_centroids(sf_dir, n_cent)
     ref = ray.put(cent)
 
@@ -149,7 +157,7 @@ def ivf_build(sf_dir: str, n_cent: int | None = None) -> str:
     import ray
 
     if n_cent is None:
-        n_cent = scaled_n_cent(_emb(sf_dir).count())
+        n_cent = scaled_n_cent(_n_emb(sf_dir))
     out = _ivf_index_dir(sf_dir, n_cent)
     if os.path.exists(os.path.join(out, "_done")):
         return out
@@ -185,7 +193,7 @@ def ivf_topk(sf_dir: str, n_cent: int | None = None,
     query from the partitioned layout (approximate; recall vs brute force is
     checked in tests)."""
     if n_cent is None:
-        n_cent = scaled_n_cent(_emb(sf_dir).count())
+        n_cent = scaled_n_cent(_n_emb(sf_dir))
     idx_dir = ivf_build(sf_dir, n_cent)
     cent = np.load(os.path.join(idx_dir, "centroids.npy"))
     qids, q = _query_matrix(sf_dir)
@@ -212,7 +220,8 @@ def ivf_topk(sf_dir: str, n_cent: int | None = None,
     buckets = rd.read_parquet(files, columns=["vec_id", "embedding", "cent"]) \
         .map_batches(lambda b: b.append_column(
             "centroid", b.column("cent").cast(pa.int64())).drop_columns(
-                ["cent"]), batch_format="pyarrow")
+                ["cent"]).replace_schema_metadata(None),
+            batch_format="pyarrow")
     import ray
 
     probe_ref = ray.put((qids, qn, probe))
@@ -287,7 +296,7 @@ def embedding_dups(sf_dir: str, n_cent: int | None = None,
     import ray
 
     if n_cent is None:
-        n_cent = scaled_n_cent(_emb(sf_dir).count())
+        n_cent = scaled_n_cent(_n_emb(sf_dir))
     cent = _train_centroids(sf_dir, n_cent)
     ref = ray.put(cent)
 

@@ -119,6 +119,7 @@ def components_from_edges(edges: rd.Dataset, a: str = "a", b: str = "b",
     ).groupby("node").aggregate(Min("label", alias_name="label")).repartition(
         _EDGE_PARTITIONS).materialize()
     prev_sum = labels.aggregate(Sum("label", alias_name="s"))["s"]
+    converged = False
     for _ in range(max_rounds):
         # propagate: each node offers its label to every neighbor, plus keeps
         # its own; min per node.  One hash join + one groupby per round.
@@ -132,8 +133,34 @@ def components_from_edges(edges: rd.Dataset, a: str = "a", b: str = "b",
         labels = labels.union(nbr_labels).groupby("node").aggregate(
             Min("label", alias_name="label")).repartition(
             _EDGE_PARTITIONS).materialize()
+        # pointer jumping: label(v) <- label(label(v)).  Every label value is
+        # itself a node (the component min seen so far), labels are monotone
+        # (label(v) <= v), so composing can only shrink — and it doubles the
+        # reach per round, giving log-diameter convergence instead of
+        # diameter (a settlement chained across k coarse partitions would
+        # otherwise need ~k plain propagation rounds).
+        labels = labels.map_batches(
+            lambda t: pa.table({"node": t.column("label"),
+                                "orig": t.column("node")}),
+            batch_format="pyarrow",
+        ).join(
+            labels, join_type="inner", num_partitions=_EDGE_PARTITIONS,
+            on=("node",),
+        ).map_batches(
+            lambda t: pa.table({"node": t.column("orig").cast(pa.int64()),
+                                "label": t.column("label").cast(pa.int64())}),
+            batch_format="pyarrow",
+        ).repartition(_EDGE_PARTITIONS).materialize()
         cur_sum = labels.aggregate(Sum("label", alias_name="s"))["s"]
         if cur_sum == prev_sum:  # labels are monotone non-increasing
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # With pointer jumping 30 rounds cover diameter 2^30; reaching here
+        # means something is wrong — returning possibly-stale labels would
+        # silently split components, so fail loudly.
+        raise RuntimeError(
+            "components_from_edges: min-label fixpoint did not converge "
+            f"within max_rounds={max_rounds}")
     return labels

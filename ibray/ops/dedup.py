@@ -106,7 +106,8 @@ def capped_bucket_pairs(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _docs(sf_dir: str, columns: list[str]) -> rd.Dataset:
-    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+    from ibray.util import read_parquet_clean
+    return read_parquet_clean(f"{sf_dir}/documents.parquet", columns=columns)
 
 
 def exact_dedup(sf_dir: str) -> rd.Dataset:
@@ -169,22 +170,30 @@ class MinHasher:
         v = (flat[:, None] * self.a[None, :] + self.b[None, :]) % _M61
         return np.minimum.reduceat(v, offs, axis=0)
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        """Emit one row per (doc, band): band id + hashed band signature."""
-        n = len(batch)
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        """Emit one row per (doc, band): band id + hashed band signature.
+
+        Arrow in/out: pandas block output made Ray's worker-side schema
+        unify warn ('Failed to hash the schemas') on every run, and the
+        doc_id column round-tripped through a pandas box for nothing."""
+        n = batch.num_rows
         if not n:
-            return pd.DataFrame({"doc_id": [], "band": [], "band_sig": []})
-        sig = self.signatures(batch["text"])  # (n, 64)
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "band": pa.array([], pa.int64()),
+                             "band_sig": pa.array([], pa.int64())})
+        sig = self.signatures(batch.column("text").to_pylist())  # (n, 64)
         rpb = self.NUM_HASHES // self.BANDS
         chunks = sig.reshape(n, self.BANDS, rpb)
         h = chunks[:, :, 0].copy()
         for r in range(1, rpb):
             h = h * np.uint64(1000003) + chunks[:, :, r]  # wraps mod 2^64
         h = (h & np.uint64((1 << 61) - 1)).astype(np.int64)
-        return pd.DataFrame({
-            "doc_id": np.repeat(batch["doc_id"].to_numpy(), self.BANDS),
-            "band": np.tile(np.arange(self.BANDS), n),
-            "band_sig": h.ravel(),
+        doc = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        return pa.table({
+            "doc_id": pa.array(np.repeat(doc, self.BANDS)),
+            "band": pa.array(np.tile(np.arange(self.BANDS, dtype=np.int64),
+                                     n)),
+            "band_sig": pa.array(h.ravel()),
         })
 
 
@@ -341,17 +350,19 @@ def minhash_dup_groups(sf_dir: str, threshold: float = 0.7,
     exact shingle Jaccard through the distributed pair pipeline, grouped
     with distributed min-label propagation (ops/cc.py).
     """
-    ds = rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=[id_col, text_col])
+    from ibray.util import read_parquet_clean
+    ds = read_parquet_clean(f"{sf_dir}/{table}.parquet",
+                            columns=[id_col, text_col])
     if id_col != "doc_id" or text_col != "text":
         ds = ds.map_batches(
             lambda b: b.rename_columns(["doc_id", "text"]), batch_format="pyarrow")
-    bands = ds.map_batches(MinHasher, batch_format="pandas", batch_size=2048,
-                           concurrency=_pool(4))
+    bands = ds.map_batches(MinHasher, batch_format="pyarrow",
+                           batch_size=2048, concurrency=_pool(4))
 
-    def add_shard(df: pd.DataFrame) -> pd.DataFrame:
-        df["pshard"] = _pair_shard(df["band"].to_numpy(np.int64),
-                                   df["band_sig"].to_numpy(np.int64))
-        return df
+    def add_shard(t: pa.Table) -> pa.Table:
+        shard = _pair_shard(np.asarray(t.column("band"), dtype=np.int64),
+                            np.asarray(t.column("band_sig"), dtype=np.int64))
+        return t.append_column("pshard", pa.array(shard))
 
     def shard_pairs(g: pd.DataFrame) -> pd.DataFrame:
         a, b = _run_pairs([g["band"].to_numpy(np.int64),
@@ -360,7 +371,7 @@ def minhash_dup_groups(sf_dir: str, threshold: float = 0.7,
                           LSH_BUCKET_CAP, star_beyond_cap=True)
         return pd.DataFrame({"a": a, "b": b})
 
-    pairs = bands.map_batches(add_shard, batch_format="pandas") \
+    pairs = bands.map_batches(add_shard, batch_format="pyarrow") \
         .groupby("pshard").map_groups(shard_pairs, batch_format="pandas")
     return _verified_dup_table(ds, pairs, _shingle_hashes, threshold)
 
@@ -386,15 +397,18 @@ def _word_ngrams(text: str, n: int = NGRAM_N) -> np.ndarray:
 class NGramEmitter:
     """Per-batch flat-map: one row per (doc, distinct n-gram hash)."""
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+    def __call__(self, batch: pa.Table) -> pa.Table:
         ids, hashes = [], []
-        for doc_id, text in zip(batch["doc_id"], batch["text"]):
+        for doc_id, text in zip(batch.column("doc_id").to_pylist(),
+                                batch.column("text").to_pylist()):
             g = _word_ngrams(text)
-            ids.append(np.full(len(g), doc_id, dtype=object))
+            ids.append(np.full(len(g), doc_id, dtype=np.int64))
             hashes.append(g.astype(np.int64))
-        return pd.DataFrame({
-            "doc_id": np.concatenate(ids) if ids else np.array([], object),
-            "gram": np.concatenate(hashes) if hashes else np.array([], np.int64),
+        return pa.table({
+            "doc_id": pa.array(np.concatenate(ids) if ids
+                               else np.array([], np.int64)),
+            "gram": pa.array(np.concatenate(hashes) if hashes
+                             else np.array([], np.int64)),
         })
 
 
@@ -407,12 +421,12 @@ def ngram_jaccard_dups(sf_dir: str, threshold: float = NGRAM_THRESHOLD) -> pa.Ta
 
     Returns (doc_id, dup_group) for every member of a near-dup cluster."""
     ds = _docs(sf_dir, ["doc_id", "text"])
-    grams = ds.map_batches(NGramEmitter(), batch_format="pandas",
+    grams = ds.map_batches(NGramEmitter(), batch_format="pyarrow",
                            batch_size=2048)
 
-    def add_shard(df: pd.DataFrame) -> pd.DataFrame:
-        df["pshard"] = _pair_shard(df["gram"].to_numpy(np.int64))
-        return df
+    def add_shard(t: pa.Table) -> pa.Table:
+        shard = _pair_shard(np.asarray(t.column("gram"), dtype=np.int64))
+        return t.append_column("pshard", pa.array(shard))
 
     def shard_pairs(g: pd.DataFrame) -> pd.DataFrame:
         a, b = _run_pairs([g["gram"].to_numpy(np.int64)],
@@ -420,7 +434,7 @@ def ngram_jaccard_dups(sf_dir: str, threshold: float = NGRAM_THRESHOLD) -> pa.Ta
                           NGRAM_RARE_MAX, star_beyond_cap=False)
         return pd.DataFrame({"a": a, "b": b})
 
-    pairs = grams.map_batches(add_shard, batch_format="pandas") \
+    pairs = grams.map_batches(add_shard, batch_format="pyarrow") \
         .groupby("pshard").map_groups(shard_pairs, batch_format="pandas")
     return _verified_dup_table(ds, pairs, _word_ngrams, threshold)
 

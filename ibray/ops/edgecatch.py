@@ -347,7 +347,9 @@ def edge_catch_full(fp: rd.Dataset, settlements: pa.Table, blocks,
             # boundary take on the driver cost more than it saved)
             routes = _ray.get(routes_ref)
             sids_b = b.column("settlement_id").to_pylist()
-            keep = pa.array([s in routes for s in sids_b])
+            # explicit bool_ type: on an empty batch pa.array([]) infers
+            # null type and Table.filter raises ArrowNotImplementedError
+            keep = pa.array([s in routes for s in sids_b], type=pa.bool_())
             sub = b.filter(keep)
             g = boundary_to_binary(sub, "settlement_id", geom_col="geom")
             sids = g.column("settlement_id").to_pylist()

@@ -20,7 +20,8 @@ from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 
 def _t(sf_dir: str, name: str, columns: list[str] | None = None) -> rd.Dataset:
-    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+    from ibray.util import read_parquet_clean
+    return read_parquet_clean(f"{sf_dir}/{name}.parquet", columns=columns)
 
 
 # --- A1/A6: grouped aggregate (TPC-H Q1 analog) ---------------------------

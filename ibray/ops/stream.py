@@ -32,7 +32,8 @@ _LATE_BUCKET = 1000  # event_ids per prefix bucket
 
 
 def _events(sf_dir: str, cols: list[str]) -> rd.Dataset:
-    return rd.read_parquet(f"{sf_dir}/events.parquet", columns=cols)
+    from ibray.util import read_parquet_clean
+    return read_parquet_clean(f"{sf_dir}/events.parquet", columns=cols)
 
 
 def _cents(v) -> np.ndarray:

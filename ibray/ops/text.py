@@ -22,7 +22,8 @@ STOPWORDS = ["a", "and", "in", "is", "of", "the", "to"]
 
 
 def _docs(sf_dir: str, columns: list[str]) -> rd.Dataset:
-    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+    from ibray.util import read_parquet_clean
+    return read_parquet_clean(f"{sf_dir}/documents.parquet", columns=columns)
 
 
 class TokenCounter:

@@ -277,6 +277,13 @@ def delineate(world_dir: str, cfg: DelineationConfig = DEFAULT,
 
     _sources.validate_world(world_dir,
                             require_aux=False)
+    if cfg.border_resolve not in ("driver", "distributed"):
+        # a typo here would otherwise silently fall back to the driver
+        # resolve in cluster_cells_split — exactly the runs where the
+        # distributed band was requested because the driver band won't fit
+        raise ValueError(
+            f"border_resolve must be 'driver' or 'distributed', "
+            f"got {cfg.border_resolve!r}")
     if not cfg.collect_settlements and (cfg.refine_with_roads or out_dir):
         # fail loudly instead of silently returning the collected-table
         # form a Dataset-contract caller would mis-consume

@@ -3,6 +3,29 @@
 from __future__ import annotations
 
 
+def read_parquet_clean(*args, **kwargs):
+    """``ray.data.read_parquet`` + strip schema-level metadata.
+
+    Files written through pandas carry a ``pandas`` metadata blob whose
+    nested dict makes ``hash(pa.Schema)`` raise, so every downstream stage
+    logs Ray's 'Failed to hash the schemas (for deduplication)' warning and
+    loses the schema-dedup fast path.  ``replace_schema_metadata(None)`` is
+    metadata-only (zero-copy) and fuses with the read."""
+    import ray.data as rd
+
+    return rd.read_parquet(*args, **kwargs).map_batches(
+        lambda t: t.replace_schema_metadata(None), batch_format="pyarrow",
+        zero_copy_batch=True)
+
+
+def parquet_num_rows(path: str) -> int:
+    """Exact row count from parquet footer metadata — no scan, no Ray plan
+    (``Dataset.count()`` on a stripped read would otherwise scan)."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(path).metadata.num_rows
+
+
 def md5_hex_column(col) -> "pa.Array":
     """md5 hexdigest per row of an Arrow string column, hashing the
     utf-8 buffer slices directly (zero-copy memoryviews) — no pandas
@@ -153,10 +176,12 @@ def warm_fsspec_http() -> None:
     import sys as _sys
     import types as _types
 
+    _stubbed: list[str] = []
     for _name in ("aiohttp", "yarl"):
         try:
             __import__(_name)
         except ModuleNotFoundError:
+            _stubbed.append(_name)
             _m = _types.ModuleType(
                 _name, f"attribute-free stub installed by ibray.util."
                        f"warm_fsspec_http ({_name} is not installed)")
@@ -181,6 +206,14 @@ def warm_fsspec_http() -> None:
         )
     except Exception:
         pass
+    finally:
+        # The cached fsspec.implementations.http module is all we needed;
+        # leaving the stubs installed would make later feature detection
+        # ('import aiohttp' / find_spec) wrongly report the package as
+        # present and fail at use time with AttributeError instead of the
+        # ModuleNotFoundError callers guard for.
+        for _name in _stubbed:
+            _sys.modules.pop(_name, None)
 
 
 def profile_marker(prefix: str):
