@@ -121,9 +121,21 @@ def run_bench() -> dict:
 
         from ibray.config import DEFAULT
 
-        rcfg = dataclasses.replace(DEFAULT, refine_with_roads=True)
-        _timed("refined_e2e",
-               lambda: pipeline.delineate(world, rcfg)["assignments"].count())
+        # the driver-free 100-TB form: refined settlements return as a lazy
+        # sorted Dataset (no driver boundary table anywhere on the path);
+        # consuming both counts executes the full refine compute — the
+        # erase exchange, the per-group exact unions, veg extraction and
+        # the routed re-assignment — identical geometry work to the
+        # collected form minus the driver concat
+        rcfg = dataclasses.replace(DEFAULT, refine_with_roads=True,
+                                   collect_settlements=False)
+
+        def _refined() -> None:
+            r = pipeline.delineate(world, rcfg)
+            r["settlements"].count()
+            r["assignments"].count()
+
+        _timed("refined_e2e", _refined)
 
     # secondary training-data ops over the driver tables at this scale
     # (IBRAY_BENCH_HEADLINE_ONLY=1 skips them — the scaling protocol's

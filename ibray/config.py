@@ -68,10 +68,12 @@ class DelineationConfig:
     # return the settlement table as a LAZY sorted Dataset instead of a
     # collected driver pa.Table — the 100-TB form: consumers write_parquet
     # or iterate it in workers, and the driver never holds O(settlement
-    # vertices) boundary payload.  Incompatible with refine_with_roads
-    # (EdgeCatch's pair gating consumes the driver table) and with
-    # checkpointed runs (the checkpoint layer persists the table form) —
-    # delineate() raises ValueError on either combination.
+    # vertices) boundary payload.  Composes with refine_with_roads (the
+    # refine feeds — erase exchange, union exchange, identity restate,
+    # veg pack — all read the settlement/veg Datasets worker-side and the
+    # refined result returns as a lazy sorted Dataset too).  Incompatible
+    # with checkpointed runs (the checkpoint layer persists the table
+    # form) — delineate() raises ValueError on that combination.
     collect_settlements: bool = True
     # replace the hex-staircase settlement boundary with a true planar
     # offset closing (ops/buffer.close_region: buffer +d/-d, ROUND joins,

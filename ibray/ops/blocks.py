@@ -376,7 +376,8 @@ def dense_blocks(world_dir: str, fp: rd.Dataset,
 
 def dense_block_polygons(world_dir: str, fp: rd.Dataset,
                          cfg: DelineationConfig = DEFAULT,
-                         thr: float | None = None) -> pa.Table:
+                         thr: float | None = None,
+                         as_dataset: bool = False):
     """Blocks_red WITH geometry: (block_id, area_m2, boundary,
     cover_cells) of the dense aux+road blocks — the polygon payload the
     refined pipeline merges into the settlement set
@@ -402,8 +403,14 @@ def dense_block_polygons(world_dir: str, fp: rd.Dataset,
         return b.filter(pa.array(hit)).select(
             ["block_id", "area_m2", "boundary", "cover_cells"])
 
+    dense = blocks_ds.map_batches(_filt, batch_format="pyarrow")
+    if as_dataset:
+        # lazy 100-TB form: the dense-block geometry never lands on the
+        # driver (only the narrow overlap table above did); id-sorted so
+        # downstream packing/union order matches the table form
+        return dense.sort("block_id").materialize()
     out = pipeline._concat_refs(
-        blocks_ds.map_batches(_filt, batch_format="pyarrow"),
+        dense,
         pa.schema([("block_id", pa.string()), ("area_m2", pa.float64()),
                    ("boundary", _empty_blocks().schema.field("boundary").type),
                    ("cover_cells", pa.list_(pa.int64()))]))

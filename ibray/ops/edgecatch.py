@@ -268,8 +268,12 @@ def edge_catch_full(fp: rd.Dataset, settlements: pa.Table, blocks,
     pairs = (snap_pairs_from_dual(dual, cfg) if dual is not None
              else snap_pairs(fp, settlements, blocks, cfg))
     _tmark("pairs")
-    sid_arr = np.asarray(settlements.column("settlement_id"))
-    sarea = np.asarray(settlements.column("area_m2"))
+    # settlements may be a Dataset (the 100-TB lazy form): the driver only
+    # ever holds this narrow (id, area) projection — boundary payload stays
+    # in the object store and reaches the erase exchange via map_batches
+    s_narrow = _narrow_table(settlements, ["settlement_id", "area_m2"])
+    sid_arr = np.asarray(s_narrow.column("settlement_id"))
+    sarea = np.asarray(s_narrow.column("area_m2"))
     blocks_narrow = _narrow_table(blocks,
                                   ["block_id", "area_m2", "part_cell"])
     bid_arr = np.asarray(blocks_narrow.column("block_id"))
@@ -436,16 +440,21 @@ def edge_catch_full(fp: rd.Dataset, settlements: pa.Table, blocks,
 
         # split the single driver block so ring packing runs task-parallel:
         # zero-copy driver slices (a repartition() exchange here was A/B'd
-        # and REJECTED — it cost ~12 s of extra wall at 10M footprints)
+        # and REJECTED — it cost ~12 s of extra wall at 10M footprints).
+        # Dataset settlements (lazy form) are already multi-block.
         from ibray.util import pool_size
 
-        nsplit_s = max(8, pool_size(settlements.num_rows))
-        step_s = max(1, -(-settlements.num_rows // nsplit_s))
-        s_slices = [settlements.slice(i, step_s)
-                    for i in range(0, max(settlements.num_rows, 1),
-                                   step_s)]
+        if isinstance(settlements, pa.Table):
+            nsplit_s = max(8, pool_size(settlements.num_rows))
+            step_s = max(1, -(-settlements.num_rows // nsplit_s))
+            s_src = rd.from_arrow(
+                [settlements.slice(i, step_s)
+                 for i in range(0, max(settlements.num_rows, 1), step_s)])
+        else:
+            s_src = settlements.select_columns(
+                ["settlement_id", "boundary"])
         src = rd.from_arrow(pair_rows) \
-            .union(rd.from_arrow(s_slices).map_batches(
+            .union(s_src.map_batches(
                 _s_geo_rows, batch_format="pyarrow")) \
             .union(_as_dataset(blocks).map_batches(
                 _b_geo_rows, batch_format="pyarrow"))
@@ -539,9 +548,10 @@ def _block_routing(rk: np.ndarray, rv: np.ndarray,
     return b_o[first], gid_o[first]
 
 
-def refined_settlements(settlements: pa.Table, blocks,
+def refined_settlements(settlements, blocks,
                         merges: pa.Table, snapped: pa.Table,
-                        cfg: DelineationConfig = DEFAULT) -> pa.Table:
+                        cfg: DelineationConfig = DEFAULT,
+                        collect: bool = True):
     """Road-refined settlement polygons: per GapFix-merged group, the exact
     UNION of the member settlements and their snapped blocks (overlay
     regions where membership is ANY), computed per group in parallel.
@@ -556,6 +566,13 @@ def refined_settlements(settlements: pa.Table, blocks,
     golden_refined_assignments).
 
     Returns (settlement_id=merged id, area_m2, boundary, cover_cells).
+
+    ``settlements`` may be a driver pa.Table or a Dataset (the 100-TB lazy
+    form — the driver never holds the boundary payload; the touched/
+    identity split runs worker-side against broadcast routing arrays).
+    ``collect=False`` returns the id-sorted result as a LAZY Dataset
+    (consumers write_parquet / iter_batches it in workers) instead of a
+    collected driver table.
     """
     from ibray import pipeline
     from ibray.ops.cluster import rings_to_arrow
@@ -596,16 +613,38 @@ def refined_settlements(settlements: pa.Table, blocks,
         sn = np.asarray(snapped.column("settlement_id"))
         pos = np.searchsorted(m_sid[m_ord], sn)
         touched_gids |= set(m_gid[m_ord][pos].tolist())
-    sid_all = np.asarray(settlements.column("settlement_id"))
-    pos = np.searchsorted(m_sid[m_ord], sid_all)
-    row_gid = m_gid[m_ord][pos]
-    touched_mask = np.fromiter((g in touched_gids for g in row_gid.tolist()),
-                               dtype=bool, count=len(row_gid))
-    narrow = settlements.select(
-        ["settlement_id", "area_m2", "boundary", "cover_cells"])
-    touched_tbl = narrow.filter(pa.array(touched_mask))
-    identity_tbl = narrow.filter(pa.array(~touched_mask))
+    tg_sorted = np.array(sorted(touched_gids), dtype=object)
+    touched_tbl = identity_tbl = None
+    tg_ref = None
+    if isinstance(settlements, pa.Table):
+        sid_all = np.asarray(settlements.column("settlement_id"))
+        pos = np.searchsorted(m_sid[m_ord], sid_all)
+        row_gid = m_gid[m_ord][pos]
+        touched_mask = np.fromiter(
+            (g in touched_gids for g in row_gid.tolist()),
+            dtype=bool, count=len(row_gid))
+        narrow = settlements.select(
+            ["settlement_id", "area_m2", "boundary", "cover_cells"])
+        touched_tbl = narrow.filter(pa.array(touched_mask))
+        identity_tbl = narrow.filter(pa.array(~touched_mask))
+    else:
+        # Dataset form: the split is a worker-side mask against the
+        # broadcast sorted touched-gid array — the driver never sees a
+        # settlement row
+        tg_ref = _ray.put(tg_sorted)
     _tmark("routes_and_split")
+
+    def _touched_of(sids: np.ndarray) -> np.ndarray:
+        """Worker-side touched mask: sid -> gid (sorted routing arrays)
+        -> membership in the sorted touched-gid array."""
+        rk, rv = _ray.get(s_route_ref)
+        tg = _ray.get(tg_ref)
+        if not len(sids) or not len(tg) or not len(rk):
+            return np.zeros(len(sids), dtype=bool)
+        pos = np.clip(np.searchsorted(rk, sids), 0, len(rk) - 1)
+        gid = np.where(rk[pos] == sids, rv[pos], "")
+        p2 = np.clip(np.searchsorted(tg, gid), 0, len(tg) - 1)
+        return tg[p2] == gid
 
     def _identity_rows(batch: pa.Table) -> pa.Table:
         from ibray.ops.overlay import settlement_rings
@@ -690,12 +729,31 @@ def refined_settlements(settlements: pa.Table, blocks,
 
     # split the single driver block so ring packing runs task-parallel
     # (from_arrow yields ONE block; unsplit, _s_rows serialized ~3.4 s on
-    # the critical path feeding the sort at 10M-footprint scale)
+    # the critical path feeding the sort at 10M-footprint scale).
+    # Dataset settlements (lazy form): already multi-block; the touched/
+    # identity routing happens inside the wrappers below.
     from ibray.util import pool_size
 
-    nsplit = max(8, pool_size(touched_tbl.num_rows))
-    sd = rd.from_arrow(touched_tbl).repartition(nsplit).map_batches(
-        _s_rows, batch_format="pyarrow")
+    if isinstance(settlements, pa.Table):
+        nsplit = max(8, pool_size(touched_tbl.num_rows))
+        sd = rd.from_arrow(touched_tbl).repartition(nsplit).map_batches(
+            _s_rows, batch_format="pyarrow")
+    else:
+        def _s_rows_ds(batch: pa.Table) -> pa.Table:
+            m = _touched_of(np.asarray(batch.column("settlement_id")))
+            sub = batch.filter(pa.array(m))
+            if not sub.num_rows:
+                return pa.table({
+                    "gid": pa.array([], type=pa.string()),
+                    "kind": pa.array([], type=pa.int8()),
+                    "geom": pa.array([], type=pa.large_binary()),
+                    "cov": pa.array([], type=pa.large_binary()),
+                })
+            return _s_rows(sub)
+
+        sd = settlements.select_columns(
+            ["settlement_id", "boundary", "cover_cells"]).map_batches(
+            _s_rows_ds, batch_format="pyarrow")
     bd = _as_dataset(blocks).map_batches(_b_rows, batch_format="pyarrow")
 
     def _union_group(g: pa.Table) -> pa.Table:
@@ -736,9 +794,41 @@ def refined_settlements(settlements: pa.Table, blocks,
     # in plain vectorized map_batches with NO exchange, then union back
     out = sd.union(bd).groupby("gid").map_groups(
         _union_group, batch_format="pyarrow")
-    if identity_tbl.num_rows:
-        out = out.union(rd.from_arrow(identity_tbl).map_batches(
-            _identity_rows, batch_format="pyarrow"))
+    if isinstance(settlements, pa.Table):
+        if identity_tbl.num_rows:
+            out = out.union(rd.from_arrow(identity_tbl).map_batches(
+                _identity_rows, batch_format="pyarrow"))
+    else:
+        def _identity_ds(batch: pa.Table) -> pa.Table:
+            m = _touched_of(np.asarray(batch.column("settlement_id")))
+            sub = batch.filter(pa.array(~m))
+            if not sub.num_rows:
+                return pa.table({
+                    "settlement_id": pa.array([], type=pa.string()),
+                    "area_m2": pa.array([], type=pa.float64()),
+                    "boundary": pa.array(
+                        [], type=batch.column("boundary").type),
+                    "cover_cells": pa.array([], type=pa.list_(pa.int64())),
+                })
+            return _identity_rows(sub)
+
+        out = out.union(settlements.select_columns(
+            ["settlement_id", "area_m2", "boundary", "cover_cells"]
+        ).map_batches(_identity_ds, batch_format="pyarrow"))
+    if not collect:
+        # 100-TB form: the refined settlement rows live MATERIALIZED in
+        # the object store (never on the driver) and the return is the
+        # id-sorted Dataset over them.  Materializing here, inside the
+        # small dedicated DAG, matters: folded into one consumer plan the
+        # streaming executor splits its CPU budget across ~8 live
+        # operators and the exact-union stage runs ~2.5-way parallel
+        # instead of ~n_cpus (measured +7 s at the sf0.01-bench scale).
+        if _os.environ.get("IBRAY_LAZY_NO_MAT"):
+            _tmark("lazy_plan_built")
+            return out.sort("settlement_id")
+        out = out.materialize()
+        _tmark("lazy_union_materialized")
+        return out.sort("settlement_id")
     if _os.environ.get("IBRAY_PROFILE"):
         # split union compute from the id sort (diagnostic runs only; the
         # extra materialize slightly reshapes execution)
@@ -759,14 +849,17 @@ def refined_settlements(settlements: pa.Table, blocks,
     return res
 
 
-def refined_assignments(fp: rd.Dataset, refined: pa.Table,
+def refined_assignments(fp: rd.Dataset, refined,
                         cfg: DelineationConfig = DEFAULT) -> rd.Dataset:
     """PIP back-assignment against the road-refined polygons — footprints in
     annexed blocks now land in their settlement (the reference's post-
     EdgeCatch delineation result).  Polygons are packed in ascending-id
     order so overlap ties resolve deterministically (last id wins — the
-    refined_settlements contract)."""
-    refined = refined.sort_by("settlement_id")
+    refined_settlements contract).  ``refined`` may be a Dataset (lazy
+    form); the pack runs worker-side either way (ops/pip polygon_refs)."""
+    refined = (refined.sort_by("settlement_id")
+               if isinstance(refined, pa.Table)
+               else refined.sort("settlement_id"))
     shard_refs = polygon_refs(refined, cfg)
     return fp.select_columns(
         ["footprint_id", "doc_id", "span_idx", "cx", "cy", "part_cell"]
@@ -835,15 +928,32 @@ class RefinedRouter:
         })
 
 
+def veg_as_settlement_rows(batch: pa.Table) -> pa.Table:
+    """Dense veg block row -> settlement-schema row ('v'+block_id; dense
+    veg faces sort after every 's'/'m' group, so they win overlap ties
+    exactly as in the golden oracle)."""
+    import pyarrow.compute as pc
+
+    return pa.table({
+        "settlement_id": pc.binary_join_element_wise(
+            pa.array(["v"] * batch.num_rows), batch.column("block_id"), ""),
+        "area_m2": batch.column("area_m2"),
+        "boundary": batch.column("boundary"),
+        "cover_cells": batch.column("cover_cells"),
+    })
+
+
 def route_refined_assignments(dual: rd.Dataset, merges: pa.Table,
-                              snapped: pa.Table, veg: pa.Table | None,
+                              snapped: pa.Table, veg,
                               cfg: DelineationConfig = DEFAULT) -> rd.Dataset:
     """Refined PIP back-assignment from the shared dual-assignment pass —
-    see RefinedRouter.  ``veg`` is the dense-block polygon table (may be
-    None/empty); its ids are prefixed 'v' here."""
+    see RefinedRouter.  ``veg`` is the dense-block polygon side (driver
+    pa.Table or Dataset — the lazy 100-TB form; may be None/empty); its
+    ids are prefixed 'v' here and the pack runs worker-side
+    (ops/pip merged_payload_ref) so no boundary row lands on the driver."""
     import ray
 
-    from ibray.ops.pip import pack_settlements
+    from ibray.ops.pip import merged_payload_ref
 
     m_sid = np.asarray(merges.column("settlement_id"))
     m_gid = np.asarray(merges.column("merged_id"))
@@ -851,16 +961,13 @@ def route_refined_assignments(dual: rd.Dataset, merges: pa.Table,
     s_route_ref = ray.put((m_sid[o], m_gid[o]))
     b_route_ref = ray.put(_block_routing(m_sid[o], m_gid[o], snapped))
     veg_ref = None
-    if veg is not None and veg.num_rows:
-        import pyarrow.compute as pc
-
-        vt = pa.table({
-            "settlement_id": pc.binary_join_element_wise(
-                pa.array(["v"] * veg.num_rows), veg.column("block_id"), ""),
-            "boundary": veg.column("boundary"),
-            "cover_cells": veg.column("cover_cells"),
-        }).sort_by("settlement_id")
-        veg_ref = ray.put(pack_settlements(vt))
+    n_veg = (0 if veg is None
+             else veg.num_rows if isinstance(veg, pa.Table)
+             else veg.count())
+    if n_veg:
+        vt = _as_dataset(veg).map_batches(
+            veg_as_settlement_rows, batch_format="pyarrow")
+        veg_ref = merged_payload_ref(vt, cfg)
     return dual.map_batches(
         RefinedRouter,
         fn_constructor_args=(s_route_ref, b_route_ref, veg_ref, cfg),

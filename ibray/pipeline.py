@@ -284,14 +284,12 @@ def delineate(world_dir: str, cfg: DelineationConfig = DEFAULT,
         raise ValueError(
             f"border_resolve must be 'driver' or 'distributed', "
             f"got {cfg.border_resolve!r}")
-    if not cfg.collect_settlements and (cfg.refine_with_roads or out_dir):
+    if not cfg.collect_settlements and out_dir:
         # fail loudly instead of silently returning the collected-table
         # form a Dataset-contract caller would mis-consume
         raise ValueError(
-            "collect_settlements=False is incompatible with "
-            "refine_with_roads (EdgeCatch pair gating consumes the driver "
-            "table) and with checkpointed runs (the checkpoint layer "
-            "persists the table form)")
+            "collect_settlements=False is incompatible with checkpointed "
+            "runs (the checkpoint layer persists the table form)")
 
     def _mark(name: str):
         run_log.debug(name, "stage complete",
@@ -434,13 +432,14 @@ def delineate(world_dir: str, cfg: DelineationConfig = DEFAULT,
             )
 
         settle_fut = None
-        if ck is None and not cfg.collect_settlements \
-                and not cfg.refine_with_roads:
+        if ck is None and not cfg.collect_settlements:
             # 100-TB return form: the sorted settlement plan stays a LAZY
             # Dataset — no driver collect at all; downstream consumers
-            # write_parquet / iter_batches it in workers
-            settlements = poly.drop_columns(["seg_starts", "seg_ends"]) \
-                .sort("settlement_id")
+            # write_parquet / iter_batches it in workers.  The refine
+            # branch reads the UNSORTED view (settle_src) so its erase /
+            # union feeds don't re-run the sort exchange.
+            settle_src = poly.drop_columns(["seg_starts", "seg_ends"])
+            settlements = settle_src.sort("settlement_id")
             _mark("polygonize")
         elif ck is None:
             from ibray.util import spawn as _spawn
@@ -605,20 +604,28 @@ def delineate(world_dir: str, cfg: DelineationConfig = DEFAULT,
 
             blocks = blocks_fut.result()
             _mark("refine_blocks")
-            veg_fut = _spawn(B.dense_block_polygons, world_dir, fp_all, cfg)
+            lazy = not cfg.collect_settlements
+            veg_fut = _spawn(lambda: B.dense_block_polygons(
+                world_dir, fp_all, cfg, as_dataset=lazy))
+            # the refine feeds read the UNSORTED materialized settlement
+            # view in lazy mode (erase/union inputs are order-free; the
+            # sorted plan is only the return contract)
+            settle_feed = (settle_src if (lazy and poly is not None)
+                           else settlements)
             # ONE shared probe pass: settlement side rides the broadcast
             # cell index built for the headline PIP (an int searchsorted,
             # no ray cast) when available; consumed by BOTH the snap-pair
             # count and the refined-assignment routing below
             dual = EC.dual_assignments(
-                fp_all, settlements, blocks, cfg, cell_index_ref=idx_ref,
+                fp_all, settle_feed, blocks, cfg, cell_index_ref=idx_ref,
                 keep_cols=("doc_id", "span_idx"))
             _mark("refine_dual")
             _r, merges, snapped = EC.edge_catch_full(
-                fp_all, settlements, blocks, cfg, dual=dual)
+                fp_all, settle_feed, blocks, cfg, dual=dual)
             _mark("refine_edgecatch")
             settlements = EC.refined_settlements(
-                base_settlements, blocks, merges, snapped, cfg)
+                settle_feed, blocks, merges, snapped, cfg,
+                collect=cfg.collect_settlements)
             _mark("refine_settlements")
             # dense veg-block pre-extraction (Blocks_red,
             # IB-Tool2.py:2464-2482): dense blocks of the aux+road
@@ -630,19 +637,17 @@ def delineate(world_dir: str, cfg: DelineationConfig = DEFAULT,
             # concurrently above; join the thread here.
             veg = veg_fut.result()
             _mark("refine_veg_blocks")
-            if veg.num_rows:
-                import pyarrow.compute as _pc
-
-                veg_rows = pa.table({
-                    "settlement_id": _pc.binary_join_element_wise(
-                        pa.array(["v"] * veg.num_rows),
-                        veg.column("block_id"), ""),
-                    "area_m2": veg.column("area_m2"),
-                    "boundary": veg.column("boundary"),
-                    "cover_cells": veg.column("cover_cells"),
-                })
+            if lazy:
+                # veg rows ('v…') sort after every merged gid ('s…'), so
+                # appending the id-sorted veg stream to the id-sorted
+                # refined stream keeps the union globally id-sorted
+                if veg.count():
+                    settlements = settlements.union(veg.map_batches(
+                        EC.veg_as_settlement_rows, batch_format="pyarrow"))
+            elif veg.num_rows:
                 settlements = pa.concat_tables(
-                    [settlements, veg_rows]).combine_chunks()
+                    [settlements,
+                     EC.veg_as_settlement_rows(veg)]).combine_chunks()
             if ck:
                 ck.write_table(settlements, "refined_settlements")
             refined_fresh = True

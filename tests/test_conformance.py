@@ -149,8 +149,8 @@ def test_settlements_as_lazy_dataset(ray_session, results):
 
 
 def test_stream_settlements_incompatible_combos(ray_session):
-    """collect_settlements=False must fail LOUDLY with refine_with_roads
-    or a checkpointed run — never silently return the collected form."""
+    """collect_settlements=False must fail LOUDLY with a checkpointed run
+    — never silently return the collected form."""
     import dataclasses
 
     from ibray.config import DEFAULT
@@ -158,10 +158,50 @@ def test_stream_settlements_incompatible_combos(ray_session):
     world = synth.ensure_world(0.001)
     with pytest.raises(ValueError, match="collect_settlements"):
         pipeline.delineate(world, dataclasses.replace(
-            DEFAULT, collect_settlements=False, refine_with_roads=True))
-    with pytest.raises(ValueError, match="collect_settlements"):
-        pipeline.delineate(world, dataclasses.replace(
             DEFAULT, collect_settlements=False), out_dir="/tmp/ibray_x_ck")
+
+
+def test_refined_lazy_dataset_parity(ray_session):
+    """refine_with_roads + collect_settlements=False (the driver-free
+    100-TB refine form) must return the refined settlement plan as a LAZY
+    Dataset whose rows — ids, areas, boundary rings, cover cells — and
+    refined assignments equal the collected-table form EXACTLY.  The
+    driver never holds a boundary table on this path (edge_catch erase
+    feed, union feed, identity feed, veg pack all read the settlement /
+    veg Datasets worker-side)."""
+    import dataclasses
+
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    from ibray.config import DEFAULT
+
+    world = synth.ensure_world(0.001)
+    col = pipeline.delineate(world, dataclasses.replace(
+        DEFAULT, refine_with_roads=True))
+    lazy = pipeline.delineate(world, dataclasses.replace(
+        DEFAULT, refine_with_roads=True, collect_settlements=False))
+    assert isinstance(lazy["settlements"], rd.Dataset)
+    assert isinstance(lazy["base_settlements"], rd.Dataset)
+    got = pa.concat_tables(
+        [t for t in ray.get(lazy["settlements"].to_arrow_refs())
+         if t.num_rows]).combine_chunks()
+    want = col["settlements"]
+    assert got.num_rows == want.num_rows
+    a = want.sort_by("settlement_id")
+    b = got.sort_by("settlement_id")
+    assert a.column("settlement_id").equals(b.column("settlement_id"))
+    assert np.array_equal(np.asarray(a.column("area_m2")),
+                          np.asarray(b.column("area_m2")))
+    assert a.column("boundary").equals(b.column("boundary"))
+    assert a.column("cover_cells").equals(b.column("cover_cells"))
+    ea = (col["assignments"].to_pandas()
+          .sort_values("footprint_id").reset_index(drop=True))
+    la = (lazy["assignments"].to_pandas()
+          .sort_values("footprint_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(ea, la)
 
 
 def test_border_resolve_distributed_identical(ray_session, results):
