@@ -34,6 +34,21 @@ def _n_emb(sf_dir: str) -> int:
     return parquet_num_rows(f"{sf_dir}/embeddings.parquet")
 
 
+def emb_matrix(col) -> np.ndarray:
+    """(n, dim) float64 matrix from an Arrow list<float> column — flatten
+    of the values buffer (zero-copy through Arrow; one cast to float64),
+    replacing the per-batch pandas box + per-row np.stack the six ANN hot
+    loops paid before.  Assumes uniform row length (the embedding-table
+    contract) and no nulls."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty((0, 0), dtype=np.float64)
+    flat = np.asarray(col.flatten())
+    return flat.reshape(n, flat.size // n).astype(np.float64)
+
+
 def _emb(sf_dir: str) -> rd.Dataset:
     from ibray.util import read_parquet_clean
     return read_parquet_clean(f"{sf_dir}/embeddings.parquet",
@@ -128,7 +143,7 @@ def ivf_assign(sf_dir: str, n_cent: int | None = None) -> rd.Dataset:
 
     def _assign(batch: pa.Table) -> pa.Table:
         c = ray.get(ref)
-        vecs = np.stack(batch.column("embedding").to_pandas().to_numpy()).astype(np.float64)
+        vecs = emb_matrix(batch.column("embedding"))
         return pa.table({
             "vec_id": batch.column("vec_id"),
             "centroid": pa.array(_assign_nearest(vecs, c)),
@@ -166,7 +181,7 @@ def ivf_build(sf_dir: str, n_cent: int | None = None) -> str:
 
     def _assign(batch: pa.Table) -> pa.Table:
         c = ray.get(ref)
-        vecs = np.stack(batch.column("embedding").to_pandas().to_numpy()).astype(np.float64)
+        vecs = emb_matrix(batch.column("embedding"))
         return batch.append_column(
             "centroid", pa.array(_assign_nearest(vecs, c)))
 
@@ -228,7 +243,7 @@ def ivf_topk(sf_dir: str, n_cent: int | None = None,
 
     def _probe(batch: pa.Table) -> pa.Table:
         qi, qq, pr = ray.get(probe_ref)
-        vecs = np.stack(batch.column("embedding").to_pandas().to_numpy()).astype(np.float64)
+        vecs = emb_matrix(batch.column("embedding"))
         vids = np.asarray(batch.column("vec_id"))
         vcent = np.asarray(batch.column("centroid").cast(pa.int64()))
         nv = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
@@ -304,21 +319,21 @@ def embedding_dups(sf_dir: str, n_cent: int | None = None,
         # per-batch partial: (centroid, vec_id, embedding) — the bucket
         # groupby is the shuffle key
         c = ray.get(ref)
-        vecs = np.stack(batch.column("embedding").to_pandas().to_numpy()).astype(np.float64)
+        vecs = emb_matrix(batch.column("embedding"))
         return batch.append_column(
             "centroid", pa.array(_assign_nearest(vecs, c)))
 
     bucketed = _emb(sf_dir).map_batches(_pairs, batch_format="pyarrow",
                                         batch_size=4096)
 
-    def bucket_dups(g) -> "pd.DataFrame":
-        vids = g["vec_id"].to_numpy(dtype=np.int64)
+    def bucket_dups(g: pa.Table) -> pa.Table:
+        vids = np.asarray(g.column("vec_id"), dtype=np.int64)
         if len(vids) < 2:
-            return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
-                                 "b": pd.Series([], dtype=np.int64)})
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64())})
         order = np.argsort(vids)
         vids = vids[order]
-        vecs = np.stack(g["embedding"].to_numpy()[order]).astype(np.float64)
+        vecs = emb_matrix(g.column("embedding").take(pa.array(order)))
         nv = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
         # tiled upper-triangle comparison: never materializes the b x b
         # similarity matrix, only _DUP_TILE^2 blocks with an immediate
@@ -336,10 +351,10 @@ def embedding_dups(sf_dir: str, n_cent: int | None = None,
                 out_b.append(vids[j0 + bi])
         a = np.concatenate(out_a) if out_a else np.empty(0, np.int64)
         b = np.concatenate(out_b) if out_b else np.empty(0, np.int64)
-        return pd.DataFrame({"a": a, "b": b})
+        return pa.table({"a": pa.array(a), "b": pa.array(b)})
 
     pairs = bucketed.groupby("centroid").map_groups(
-        bucket_dups, batch_format="pandas").materialize()
+        bucket_dups, batch_format="pyarrow").materialize()
     empty = pa.table({"vec_id": pa.array([], pa.int64()),
                       "dup_group": pa.array([], pa.int64())})
     if pairs.count() == 0:
@@ -368,7 +383,7 @@ class CosineTopK:
         self.q = q / np.linalg.norm(q, axis=1, keepdims=True)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        vecs = np.stack(batch.column("embedding").to_pandas().to_numpy()).astype(np.float64)
+        vecs = emb_matrix(batch.column("embedding"))
         vids = np.asarray(batch.column("vec_id"))
         nv = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
         sims = nv @ self.q.T  # (batch, nq)
