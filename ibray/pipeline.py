@@ -579,8 +579,23 @@ def delineate(world_dir: str, cfg: DelineationConfig = DEFAULT,
             assignments = ck.write_dataset(assignments, "assignments")
     _mark("pip_built")
     if settle_fut is not None:
-        settlements = settle_fut.result()
-        _mark("settlements_collected")
+        if not cfg.refine_with_roads:
+            # overlap the assignment probe's EXECUTION with the tail of
+            # the settlement collect (both under-saturate alone: the
+            # collect is exchange-bound, the probe a broadcast
+            # searchsorted) — the caller's first consumption then reads
+            # materialized blocks.  Skipped under refine_with_roads: the
+            # refined routing replaces this plan unconsumed.
+            from ibray.util import spawn as _spawn2
+
+            assign_fut = _spawn2(assignments.materialize)
+            settlements = settle_fut.result()
+            _mark("settlements_collected")
+            assignments = assign_fut.result()
+            _mark("assignments_materialized")
+        else:
+            settlements = settle_fut.result()
+            _mark("settlements_collected")
     base_settlements = settlements
     if cfg.refine_with_roads:
         # the reference's main loop runs EdgeCatch -> GapFix -> re-assignment
