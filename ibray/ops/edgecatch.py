@@ -756,44 +756,92 @@ def refined_settlements(settlements, blocks,
             _s_rows_ds, batch_format="pyarrow")
     bd = _as_dataset(blocks).map_batches(_b_rows, batch_format="pyarrow")
 
-    def _union_group(g: pa.Table) -> pa.Table:
-        gid = g.column("gid")[0].as_py()
+    def _union_bucket(g: pa.Table) -> pa.Table:
+        """All groups of one gid-hash bucket in a single call: stable-sort
+        the bucket by gid, detect gid runs, run the per-group exact union
+        on each — identical per-group math and within-group row order to
+        the former one-call-per-gid form, minus ~n_groups of map_groups
+        framework overhead (Arrow slice + Python call + one-row table per
+        group), and ONE rings_to_arrow/cover build per bucket."""
+        gids_raw = np.asarray(g.column("gid"))
+        order = np.argsort(gids_raw, kind="stable")
+        g = g.take(pa.array(order))
+        gids = g.column("gid").to_pylist()
         kinds = np.asarray(g.column("kind"))
         blobs = g.column("geom").to_pylist()
         covs = g.column("cov").to_pylist()
-        srings = [r for i in np.nonzero(kinds == 0)[0]
-                  for r in unpack_rings(blobs[i])]
-        b_rows_ = np.nonzero(kinds == 1)[0]
-        if not len(b_rows_):
-            rings = srings
-            area = float(sum(
-                0.5 * (np.dot(r[:, 0], np.roll(r[:, 1], -1))
-                       - np.dot(np.roll(r[:, 0], -1), r[:, 1]))
-                for r in rings))
-        else:
-            # settlement rings as one even-odd set, each block separately
-            ring_sets = [srings] if srings else []
-            ring_sets += [unpack_rings(blobs[i]) for i in b_rows_]
-            regions, member = arrange.overlay_many(ring_sets)
-            keep = [i for i in range(len(regions)) if member[i].any()]
-            rings = [r for i in keep for r in regions[i]]
-            area = float(sum(arrange.region_area(regions[i]) for i in keep))
-        cover = np.unique(np.concatenate(
-            [np.frombuffer(c, dtype=np.int64) for c in covs]))
+        n = len(gids)
+        out_gid: list[str] = []
+        out_area: list[float] = []
+        out_rings: list[list[np.ndarray]] = []
+        cov_off = [0]
+        cov_flat: list[np.ndarray] = []
+        i = 0
+        while i < n:
+            j = i
+            while j < n and gids[j] == gids[i]:
+                j += 1
+            srings = [r for k in range(i, j) if kinds[k] == 0
+                      for r in unpack_rings(blobs[k])]
+            b_rows_ = [k for k in range(i, j) if kinds[k] == 1]
+            if not b_rows_:
+                rings = srings
+                area = float(sum(
+                    0.5 * (np.dot(r[:, 0], np.roll(r[:, 1], -1))
+                           - np.dot(np.roll(r[:, 0], -1), r[:, 1]))
+                    for r in rings))
+            else:
+                # settlement rings as one even-odd set, each block
+                # separately
+                ring_sets = [srings] if srings else []
+                ring_sets += [unpack_rings(blobs[k]) for k in b_rows_]
+                regions, member = arrange.overlay_many(ring_sets)
+                keep = [k for k in range(len(regions)) if member[k].any()]
+                rings = [r for k in keep for r in regions[k]]
+                area = float(sum(arrange.region_area(regions[k])
+                                 for k in keep))
+            cover = np.unique(np.concatenate(
+                [np.frombuffer(covs[k], dtype=np.int64)
+                 for k in range(i, j)]))
+            out_gid.append(gids[i])
+            out_area.append(area)
+            out_rings.append(rings)
+            cov_flat.append(cover)
+            cov_off.append(cov_off[-1] + len(cover))
+            i = j
         return pa.table({
-            "settlement_id": pa.array([gid], type=pa.string()),
-            "area_m2": pa.array([area], type=pa.float64()),
-            "boundary": rings_to_arrow([rings]),
+            "settlement_id": pa.array(out_gid, type=pa.string()),
+            "area_m2": pa.array(out_area, type=pa.float64()),
+            "boundary": rings_to_arrow(out_rings),
             "cover_cells": pa.ListArray.from_arrays(
-                pa.array([0, len(cover)], type=pa.int32()),
-                pa.array(cover, type=pa.int64())),
+                pa.array(cov_off, type=pa.int32()),
+                pa.array(np.concatenate(cov_flat) if cov_flat
+                         else np.zeros(0, np.int64), type=pa.int64())),
         })
 
-    # touched groups go through the geometry exchange + per-group union;
+    # touched groups go through the geometry exchange + per-bucket union;
     # identity rows (the >90% majority at bench scale) restate area/cover
-    # in plain vectorized map_batches with NO exchange, then union back
-    out = sd.union(bd).groupby("gid").map_groups(
-        _union_group, batch_format="pyarrow")
+    # in plain vectorized map_batches with NO exchange, then union back.
+    # The exchange key is a HASH BUCKET of the gid (~24 groups per bucket)
+    # — grouping on raw gid paid per-group framework cost for tens of
+    # thousands of 2-10-row groups (the same lesson as the erase
+    # exchange's epart buckets).
+    n_gbkt = int(min(4096, max(16, len(tg_sorted) // 24 or 16)))
+
+    def _with_gbkt(t: pa.Table) -> pa.Table:
+        import zlib
+
+        b = np.fromiter(
+            (zlib.crc32(s.encode()) % n_gbkt
+             for s in t.column("gid").to_pylist()),
+            dtype=np.int64, count=t.num_rows)
+        return t.append_column("gbkt", pa.array(b))
+
+    out = sd.map_batches(_with_gbkt, batch_format="pyarrow").union(
+        bd.map_batches(_with_gbkt, batch_format="pyarrow")) \
+        .groupby("gbkt").map_groups(
+            lambda g: _union_bucket(g.drop_columns(["gbkt"])),
+            batch_format="pyarrow")
     if isinstance(settlements, pa.Table):
         if identity_tbl.num_rows:
             out = out.union(rd.from_arrow(identity_tbl).map_batches(
