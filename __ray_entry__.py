@@ -315,6 +315,28 @@ def _q_partitions(sf_dir: str):
         ["part_cell", "n_footprints"])
 
 
+def _q_partition_conflicts(sf_dir: str):
+    """Partitioning.pyt:204-213 conflict check: partitions whose border is
+    crossed by a delineation polygon (cell-exact line-INTERSECT analog;
+    the delineation layer stands in for the reference's expert
+    'Muster_grenz' input).  Oracle: the golden's single-process recompute
+    over the oracle's region index."""
+    from ibray import pipeline
+    from ibray.config import DEFAULT
+    from ibray.ops import density as DN
+    from ibray.ops import scoring as S
+
+    sf = synth.sf_of_dir(sf_dir)
+    golden.ensure_golden(sf)
+    world = synth.ensure_world(sf)
+    fp = pipeline.footprint_dataset(world)
+    import pyarrow as pa
+
+    dens = pa.Table.from_pandas(DN.cell_density(fp, key="cell_r9").to_pandas())
+    res = _delineate_cached(sf)
+    return S.partition_conflicts(res["settlements"], dens, DEFAULT)
+
+
 def _q_patch_classes(sf_dir: str):
     """Error_Classification cascade (IndCom/Resid/SettBody/Holes + bands)."""
     from ibray.config import DEFAULT
@@ -624,6 +646,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boundary_score": _q_boundary_score,  # golden oracle (scoring harness)
         "patch_classification": _q_patch_classes,  # golden oracle (EC cascade)
         "compute_partitions": _q_partitions,  # golden oracle (Partitioning.pyt analog)
+        "partition_conflicts": _q_partition_conflicts,  # Partitioning.pyt:204-213 conflict check
         "exact_symdiff": _q_exact_symdiff,    # golden oracle (U2-U5 overlay)
         "edge_catch_refined": _q_edge_catch,  # golden oracle (EdgeCatch analog)
         "spatial_join_blocks": _q_spatial_join,   # golden oracle (J3 generic)
@@ -879,6 +902,10 @@ def oracle_sql() -> dict[str, str]:
         "compute_partitions": f"""
             SELECT part_cell, n_footprints
             FROM read_parquet('{gold}/partitions.parquet')
+        """,
+        "partition_conflicts": f"""
+            SELECT part_cell, n_conflicts
+            FROM read_parquet('{gold}/partition_conflicts.parquet')
         """,
         "tile_features": f"""
             SELECT doc_id, CAST(span_idx AS INTEGER) AS span_idx, media_ref,

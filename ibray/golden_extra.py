@@ -1196,3 +1196,43 @@ def ensure_driver_golden(sf_dir: str) -> str:
             raise
         shutil.rmtree(tmp, ignore_errors=True)
     return d
+
+
+def golden_partition_conflicts(res: dict, density_r9: pa.Table,
+                               cfg=None, min_count: int = 5) -> pa.Table:
+    """Partitioning.pyt:204-213 conflict-count golden: single-process
+    recompute over the oracle's region index — a settlement crossing a
+    computed partition's border == it has region cells under that parent
+    AND region cells under a different parent (the cell-exact form of the
+    reference's line-INTERSECT selection; see ops/scoring
+    partition_conflicts)."""
+    from ibray.config import DEFAULT as _D
+
+    cfg = cfg or _D
+    parts = golden_partitions(density_r9, cfg, min_count)
+    pu = np.sort(np.asarray(parts.column("part_cell"), dtype=np.int64))
+    cells, sids = res["region_index"]
+    if not len(cells):
+        return pa.table({"part_cell": pa.array([], pa.int64()),
+                         "n_conflicts": pa.array([], pa.int64())})
+    par = hg.parent(np.asarray(cells, dtype=np.int64), cfg.res_part)
+    sid = np.asarray(sids, dtype=object)
+    o = np.lexsort((par, sid))
+    s2, p2 = sid[o], par[o]
+    keep = np.concatenate(
+        [[True], (s2[1:] != s2[:-1]) | (p2[1:] != p2[:-1])])
+    s2, p2 = s2[keep], p2[keep]
+    starts = np.concatenate([[True], s2[1:] != s2[:-1]])
+    n_par = np.diff(np.concatenate([np.nonzero(starts)[0], [len(s2)]]))
+    crossing = np.repeat(n_par > 1, n_par)
+    par_c = p2[crossing]
+    if len(pu):
+        pos = np.clip(np.searchsorted(pu, par_c), 0, len(pu) - 1)
+        par_c = par_c[pu[pos] == par_c]
+    else:
+        par_c = par_c[:0]
+    pc_u, pc_n = np.unique(par_c, return_counts=True)
+    return pa.table({
+        "part_cell": pa.array(pc_u, type=pa.int64()),
+        "n_conflicts": pa.array(pc_n.astype(np.int64), type=pa.int64()),
+    })

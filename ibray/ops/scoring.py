@@ -275,3 +275,86 @@ def compute_partitions(density_tbl: pa.Table, cfg: DelineationConfig,
         "boundary": pa.array(rings, type=pa.list_(
             pa.struct([("x", pa.float64()), ("y", pa.float64())]))),
     })
+
+
+def partition_conflicts(settlements, density_tbl: pa.Table,
+                        cfg: DelineationConfig,
+                        min_count: int = 5) -> pa.Table:
+    """Partitioning.pyt conflict check (Partitioning.pyt:204-213): the
+    reference converts the computed partition polygons to lines and counts
+    the ones intersecting an expert boundary layer ('Muster_grenz');
+    "Es wurden ANZ Konflikte ... festgestellt".
+
+    Cell-exact substitution (same family as T2's sanctioned kNN
+    substitution): partitions are coarse hex cells and the expert layer is
+    a union of fine hex cells, so "partition border crosses an expert
+    polygon" == "the polygon's fine-cell region spans the partition's
+    border", i.e. the settlement has region cells whose res_part parent is
+    the partition AND region cells with a different parent.  (Pure
+    touch-without-crossing — a region edge coinciding with the border
+    line — cannot occur between a fine cell's interior and its own
+    parent, so the cell form is exact.)
+
+    ``settlements`` may be a driver pa.Table or a Dataset; the region
+    re-rasterization and (settlement, parent) pair dedup run in
+    map_batches, and only the narrow ids-only pair table reaches the
+    driver.  Returns (part_cell, n_conflicts) for partitions whose border
+    is crossed, part_cell ascending.
+    """
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ibray import pipeline
+    from ibray.ops.cluster import region_from_settlements
+
+    parts_tbl = compute_partitions(density_tbl, cfg, min_count)
+    pu = np.asarray(parts_tbl.column("part_cell"), dtype=np.int64)  # sorted
+
+    ds = (rd.from_arrow(settlements) if isinstance(settlements, pa.Table)
+          else settlements)
+
+    def _sid_parent_pairs(b: pa.Table) -> pa.Table:
+        reg = region_from_settlements(b, cfg)
+        if not reg.num_rows:
+            return pa.table({"settlement_id": pa.array([], pa.string()),
+                             "parent": pa.array([], pa.int64())})
+        par = hg.parent(np.asarray(reg.column("cell_fine"),
+                                   dtype=np.int64), cfg.res_part)
+        sid = np.asarray(reg.column("settlement_id"))
+        o = np.lexsort((par, sid))
+        s2, p2 = sid[o], par[o]
+        keep = np.concatenate(
+            [[True], (s2[1:] != s2[:-1]) | (p2[1:] != p2[:-1])])
+        return pa.table({
+            "settlement_id": pa.array(list(s2[keep]), type=pa.string()),
+            "parent": pa.array(p2[keep], type=pa.int64()),
+        })
+
+    pairs = pipeline._concat_refs(
+        ds.select_columns(["settlement_id", "boundary"]).map_batches(
+            _sid_parent_pairs, batch_format="pyarrow"),
+        pa.schema([("settlement_id", pa.string()),
+                   ("parent", pa.int64())]))
+    sid = np.asarray(pairs.column("settlement_id"))
+    par = np.asarray(pairs.column("parent"), dtype=np.int64)
+    if not len(sid):
+        return pa.table({"part_cell": pa.array([], pa.int64()),
+                         "n_conflicts": pa.array([], pa.int64())})
+    order = np.argsort(sid, kind="stable")
+    sid, par = sid[order], par[order]
+    starts = np.concatenate([[True], sid[1:] != sid[:-1]])
+    n_parents = np.diff(np.concatenate(
+        [np.nonzero(starts)[0], [len(sid)]]))
+    crossing = np.repeat(n_parents > 1, n_parents)  # sid spans >=2 parents
+    par_c = par[crossing]
+    # keep only parents that ARE computed partitions
+    if len(pu):
+        pos = np.clip(np.searchsorted(pu, par_c), 0, len(pu) - 1)
+        par_c = par_c[pu[pos] == par_c]
+    else:
+        par_c = par_c[:0]
+    pc_u, pc_n = np.unique(par_c, return_counts=True)
+    return pa.table({
+        "part_cell": pa.array(pc_u, type=pa.int64()),
+        "n_conflicts": pa.array(pc_n.astype(np.int64), type=pa.int64()),
+    })

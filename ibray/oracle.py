@@ -109,4 +109,9 @@ def run_oracle(world_dir: str, cfg: DelineationConfig = DEFAULT) -> dict:
         "assignments": assignments,
         "tiles": tiles,
         "n_footprints": len(df),
+        # sorted (region cell -> settlement id) index — consumed by the
+        # partition-conflict golden (Partitioning.pyt:204-213 analog)
+        "region_index": ((idx_cells, idx_sids) if region_cells
+                         else (np.zeros(0, np.int64),
+                               np.zeros(0, dtype=object))),
     }

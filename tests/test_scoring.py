@@ -86,3 +86,28 @@ def test_classify_patches_cascade(ray_session):
     assert e.reset_index(drop=True).equals(g.reset_index(drop=True))
     by = e.set_index("class")["n_patches"]
     assert by[["indcom", "resid", "settbody"]].sum() > 0
+
+
+def test_partition_conflicts_matches_golden(ray_session):
+    """Partitioning.pyt:204-213 conflict check: the distributed engine op
+    equals the single-process golden recompute over the oracle's region
+    index, and at least one partition border is crossed on the synthetic
+    world."""
+    import pyarrow as pa
+
+    import __ray_entry__ as E
+    from ibray import golden_extra as GX, oracle, synth
+    from ibray.config import DEFAULT
+    from ibray.ops import density as DN
+    from ibray import pipeline
+
+    world = synth.ensure_world(0.001)
+    e = E.queries()["partition_conflicts"]("/root/testdata/sf0.001")
+    e = e.to_pandas()
+    res = oracle.run_oracle(world, DEFAULT)
+    fp = pipeline.footprint_dataset(world)
+    dens = pa.Table.from_pandas(DN.cell_density(fp, key="cell_r9").to_pandas())
+    g = GX.golden_partition_conflicts(res, dens, DEFAULT).to_pandas()
+    assert e.reset_index(drop=True).equals(g.reset_index(drop=True))
+    assert len(e) >= 1
+    assert (e["n_conflicts"] >= 1).all()
