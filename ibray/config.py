@@ -46,6 +46,16 @@ class DelineationConfig:
     # footprints against the index (fully sharded, for indexes too big to
     # hold per-node); "auto" picks by index size at runtime.
     pip_strategy: str = "auto"
+    # ingest CRS (reference config key 12, IB-Tool2.py:78): 'planar' =
+    # ring coordinates are already metres (the synthetic world);
+    # 'lonlat' = coordinates are lon/lat degrees, projected at ingest
+    # through the local equirectangular hook (ops/crs.py) about
+    # crs_origin = (lon0, lat0) — every downstream operator keeps its
+    # planar-metres assumption.  The world manifest may declare its crs;
+    # footprint_dataset warns on mismatch (the reference's projection
+    # check, IB-Tool2.py:311-317).
+    crs: str = "planar"
+    crs_origin: tuple[float, float] = (0.0, 0.0)
     # cross-partition border-label resolve: "driver" collects the shared
     # band (a few % of occupied cells) and runs the vectorized numpy
     # min-label CC on the driver — fastest up to ~10^7 shared rows;

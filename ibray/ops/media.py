@@ -48,28 +48,60 @@ def media_assets(world_dir: str) -> rd.Dataset:
     return docs.map_batches(_media, batch_format="pyarrow")
 
 
+# ----------------------------------------------------------------------
+# Decoder contract
+#
+# A decoder is ANY zero-arg factory (class or callable) whose instance is
+# callable as  decode(ref: str) -> np.ndarray of shape (TILE_W, TILE_W)
+# dtype uint8  (a real tile decoder resizes/crops to TILE_W on its way
+# out).  The factory is instantiated ONCE PER ACTOR inside
+# TileDecoder.__init__ — that is where a production implementation loads
+# codecs / opens its tile-store connection.  Dropping a PIL/cv2-backed
+# factory into tile_features(decoder_factory=...) changes NO schema:
+# pixels stay a binary column, features keep (px_mean, px_std, phash).
+# ----------------------------------------------------------------------
+
+
+class StubDecoder:
+    """QUARANTINED STUB — the only fake in this module.  The image
+    libraries (PIL/cv2) are absent in this container, so the default
+    decode is a deterministic stand-in: bytes of md5(ref) tiled to
+    TILE_W x TILE_W uint8.  Everything around it (span extraction,
+    binary payload column, actor-pool batching, feature schema) is the
+    real plumbing a production decoder drops into."""
+
+    def __call__(self, ref: str) -> np.ndarray:
+        h = hashlib.md5(ref.encode()).digest()
+        base = np.frombuffer(h, dtype=np.uint8)
+        reps = -(-TILE_W * TILE_W // len(base))
+        return np.tile(base, reps)[: TILE_W * TILE_W].reshape(TILE_W, TILE_W)
+
+
 def _fake_decode(ref: str) -> np.ndarray:
-    """STUB decoder: a real implementation would fetch+decode the tile
-    (PIL/cv2 absent in this container).  Deterministic stand-in: bytes of
-    md5(ref) tiled to TILE_W x TILE_W uint8."""
-    h = hashlib.md5(ref.encode()).digest()
-    base = np.frombuffer(h, dtype=np.uint8)
-    reps = -(-TILE_W * TILE_W // len(base))
-    return np.tile(base, reps)[: TILE_W * TILE_W].reshape(TILE_W, TILE_W)
+    """Back-compat alias for the stub decode (see StubDecoder)."""
+    return StubDecoder()(ref)
 
 
 class TileDecoder:
     """Actor-pool stage: decode media refs to binary pixel payloads.
 
-    __init__ is where a real decoder would load codecs / open the tile
-    store connection — once per actor, never per batch."""
+    ``decoder_factory`` is the pluggable decode implementation (see the
+    decoder contract above); it is instantiated here, in __init__ — once
+    per actor, never per batch."""
 
-    def __init__(self):
-        self.decode = _fake_decode  # swap for a real decoder
+    def __init__(self, decoder_factory=None):
+        self.decode = (decoder_factory or StubDecoder)()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         refs = batch.column("media_ref").to_pylist()
-        pixels = [self.decode(r).tobytes() for r in refs]
+        pixels = []
+        for r in refs:
+            px = np.asarray(self.decode(r), dtype=np.uint8)
+            if px.shape != (TILE_W, TILE_W):
+                raise ValueError(
+                    f"decoder contract: expected ({TILE_W}, {TILE_W}) "
+                    f"uint8, got shape {px.shape} for ref {r!r}")
+            pixels.append(px.tobytes())
         return batch.append_column("pixels", pa.array(pixels, type=pa.binary()))
 
 
@@ -94,11 +126,14 @@ def tile_featurize(batch: pa.Table) -> pa.Table:
             .append_column("phash", pa.array(phash.astype(np.int64), type=pa.int64())))
 
 
-def tile_features(world_dir: str) -> rd.Dataset:
-    """media spans -> decoded (stub) -> features; binary payloads stay in
-    Arrow between the two actor stages (never pandas object columns)."""
+def tile_features(world_dir: str, decoder_factory=None) -> rd.Dataset:
+    """media spans -> decoded -> features; binary payloads stay in Arrow
+    between the two actor stages (never pandas object columns).
+    ``decoder_factory``: a real decoder drops in here (see the decoder
+    contract above); default is the quarantined StubDecoder."""
     assets = media_assets(world_dir)
     decoded = assets.map_batches(TileDecoder, batch_format="pyarrow",
+                                 fn_constructor_args=(decoder_factory,),
                                  batch_size=2048, concurrency=_pool(2))
     return decoded.map_batches(tile_featurize, batch_format="pyarrow",
                                batch_size=2048)

@@ -86,6 +86,25 @@ def footprint_dataset(world_dir: str,
     docs = read_documents(world_dir + "/documents")
     fp = docs.map_batches(E.extract_footprints, batch_format="pyarrow")
     fp = fp.map_batches(E.parse_rings, batch_format="pyarrow")
+    if cfg.crs not in ("planar", "lonlat"):
+        raise ValueError(f"crs must be 'planar' or 'lonlat', got {cfg.crs!r}")
+    from ibray.ops import crs as _crs
+
+    declared = _crs.world_crs(world_dir)
+    if declared is not None and declared != cfg.crs:
+        import warnings
+
+        # the reference's projection check logs an Alert and continues
+        # (IB-Tool2.py:311-317)
+        warnings.warn(
+            f"world {world_dir} declares crs={declared!r} but the config "
+            f"says {cfg.crs!r} — proceeding with the configured crs",
+            stacklevel=2)
+    if cfg.crs == "lonlat":
+        lon0, lat0 = cfg.crs_origin
+        fp = fp.map_batches(
+            lambda b: _crs.project_rings_batch(b, lon0, lat0),
+            batch_format="pyarrow")
     fp = fp.map_batches(F.add_geometry, batch_format="pyarrow")
     fp = fp.map_batches(lambda b: F.add_cells(b, cfg), batch_format="pyarrow")
     return fp

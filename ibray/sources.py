@@ -134,7 +134,13 @@ def read_documents(path: str, validate: bool = True) -> rd.Dataset:
                                            **ray_remote_args):
                     return None
 
-            ds = rd.read_parquet(path, meta_provider=_NoPrefetch())
+            import warnings as _w
+
+            with _w.catch_warnings():
+                # Ray deprecates the meta_provider kwarg (post-May-2025
+                # removal); the except arm below is the migration path
+                _w.simplefilter("ignore", DeprecationWarning)
+                ds = rd.read_parquet(path, meta_provider=_NoPrefetch())
         except (ImportError, TypeError):  # older/newer Ray surface
             ds = rd.read_parquet(path)
     if validate:

@@ -35,3 +35,50 @@ def test_tile_features_deterministic(ray_session, world):
     one = M._fake_decode("tile://9/1/2.png")
     assert (one == M._fake_decode("tile://9/1/2.png")).all()
     assert not (one == M._fake_decode("tile://9/1/3.png")).all()
+
+
+def test_tile_features_injected_decoder(ray_session):
+    """A decoder class injected through the actor constructor replaces the
+    stub with NO schema change; features reflect the injected pixels.
+    (Defined inside the test so cloudpickle ships it by value — the test
+    module is not importable in Ray workers.)"""
+    import numpy as np
+
+    from ibray import synth
+    from ibray.ops import media as M
+
+    class ConstDecoder:
+        def __call__(self, ref: str):
+            from ibray.ops.media import TILE_W
+
+            v = 200 if "/2/" in ref else 10
+            return np.full((TILE_W, TILE_W), v, dtype=np.uint8)
+
+    world = synth.ensure_world(0.001)
+    out = M.tile_features(world, decoder_factory=ConstDecoder).to_pandas()
+    base = M.tile_features(world).to_pandas()
+    assert list(out.columns) == list(base.columns)
+    assert len(out) == len(base)
+    # constant tiles -> zero std, mean equal to the injected value
+    assert np.allclose(out["px_std"], 0.0)
+    assert set(np.round(out["px_mean"]).astype(int)) <= {10, 200}
+    # stub and injected decoders genuinely differ
+    assert not np.allclose(out["px_mean"], base["px_mean"])
+
+
+def test_decoder_contract_shape_enforced(ray_session):
+    """A decoder returning the wrong shape fails loudly at the actor, not
+    silently downstream."""
+    import numpy as np
+    import pytest
+
+    from ibray import synth
+    from ibray.ops import media as M
+
+    class Bad:
+        def __call__(self, ref):
+            return np.zeros((3, 3), dtype=np.uint8)
+
+    world = synth.ensure_world(0.001)
+    with pytest.raises(Exception, match="decoder contract"):
+        M.tile_features(world, decoder_factory=Bad).materialize()
