@@ -61,10 +61,14 @@ class DelineationConfig:
     # min-label CC on the driver — fastest up to ~10^7 shared rows;
     # "distributed" keeps the band a Dataset and resolves through
     # ops/cc.components_from_edges (groupby + iterative min-label
-    # fixpoint) — the 100-TB path where even the band outgrows one node.
-    # Outputs are identical (tested); the driver only ever holds the
-    # O(border labels) root map either way.
-    border_resolve: str = "driver"
+    # fixpoint with pointer jumping) — the 100-TB path where even the
+    # band outgrows one node.  "auto" (default) counts the shared band
+    # (a cheap aggregate over the materialized local components) and
+    # cuts over to the distributed resolve above
+    # BORDER_RESOLVE_AUTO_MAX_SHARED rows.  Outputs are identical
+    # (tested); the driver only ever holds the O(border labels) root map
+    # either way.
+    border_resolve: str = "auto"
     # auto threshold: broadcast while the region index stays under this many
     # cells (~3.2 GB of packed index at the cap — one copy per node via
     # plasma, a per-actor sorted view on the heap)

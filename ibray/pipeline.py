@@ -110,6 +110,12 @@ def footprint_dataset(world_dir: str,
     return fp
 
 
+# "auto" border_resolve cutover: the driver's vectorized numpy resolve wins
+# below this many shared-band rows (~10^7 measured comfortable on one node);
+# beyond it the band itself is distributed through ops/cc.
+BORDER_RESOLVE_AUTO_MAX_SHARED = 10_000_000
+
+
 def cluster_cells_split(
         fp: rd.Dataset, cfg: DelineationConfig = DEFAULT
 ) -> tuple[rd.Dataset, rd.Dataset]:
@@ -176,7 +182,24 @@ def cluster_cells_split(
             "label": pa.array(labels, type=pa.int64()),
         })
 
-    if cfg.border_resolve == "distributed":
+    resolve = cfg.border_resolve
+    if resolve == "auto":
+        # count the shared band (list lengths only — one cheap pass over
+        # the materialized local-components output) and cut over to the
+        # distributed fixpoint where the driver band would not fit
+        from ray.data.aggregate import Sum as _Sum
+
+        def _n_shared(b: pa.Table) -> pa.Table:
+            tot = pa.compute.sum(pa.compute.list_value_length(
+                b.column("shared_cells"))).as_py() or 0
+            return pa.table({"n": pa.array([int(tot)], type=pa.int64())})
+
+        n_shared = border.map_batches(
+            _n_shared, batch_format="pyarrow").aggregate(
+            _Sum("n", alias_name="s"))["s"] or 0
+        resolve = ("driver" if n_shared <= BORDER_RESOLVE_AUTO_MAX_SHARED
+                   else "distributed")
+    if resolve == "distributed":
         # 100-TB path: the shared band never lands on the driver — star
         # edges per multi-label cell feed the distributed min-label CC
         # fixpoint (ops/cc); the driver collects ONLY the O(border labels)
@@ -296,12 +319,12 @@ def delineate(world_dir: str, cfg: DelineationConfig = DEFAULT,
 
     _sources.validate_world(world_dir,
                             require_aux=False)
-    if cfg.border_resolve not in ("driver", "distributed"):
+    if cfg.border_resolve not in ("auto", "driver", "distributed"):
         # a typo here would otherwise silently fall back to the driver
         # resolve in cluster_cells_split — exactly the runs where the
         # distributed band was requested because the driver band won't fit
         raise ValueError(
-            f"border_resolve must be 'driver' or 'distributed', "
+            f"border_resolve must be 'auto', 'driver' or 'distributed', "
             f"got {cfg.border_resolve!r}")
     if not cfg.collect_settlements and out_dir:
         # fail loudly instead of silently returning the collected-table
