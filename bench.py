@@ -131,9 +131,16 @@ def run_bench() -> dict:
                                    collect_settlements=False)
 
         def _refined() -> None:
+            from ibray.util import spawn
+
             r = pipeline.delineate(world, rcfg)
+            # the two outputs are independent plans (the routed
+            # assignments read the dual pass, not the refined polygons) —
+            # consume them concurrently, as a real job writing both
+            # tables would
+            fut = spawn(r["assignments"].count)
             r["settlements"].count()
-            r["assignments"].count()
+            fut.result()
 
         _timed("refined_e2e", _refined)
 
