@@ -77,6 +77,13 @@ def world_crs(world_dir: str) -> str | None:
         return None
     try:
         with open(p) as f:
-            return json.load(f).get("crs")
-    except Exception:
+            meta = json.load(f)
+        return meta.get("crs") if isinstance(meta, dict) else None
+    except Exception as exc:
+        import warnings
+
+        # an unreadable manifest must not SILENTLY disable the projection
+        # check this module exists to provide
+        warnings.warn(f"could not read {p} for the crs check: {exc}",
+                      stacklevel=2)
         return None

@@ -96,11 +96,15 @@ class TileDecoder:
         refs = batch.column("media_ref").to_pylist()
         pixels = []
         for r in refs:
-            px = np.asarray(self.decode(r), dtype=np.uint8)
-            if px.shape != (TILE_W, TILE_W):
+            px = np.asarray(self.decode(r))
+            if px.dtype != np.uint8 or px.shape != (TILE_W, TILE_W):
+                # dtype checked BEFORE any cast: a float decoder (0..1
+                # normalized — a common convention) would otherwise be
+                # silently truncated to all-zero tiles
                 raise ValueError(
                     f"decoder contract: expected ({TILE_W}, {TILE_W}) "
-                    f"uint8, got shape {px.shape} for ref {r!r}")
+                    f"uint8, got shape {px.shape} dtype {px.dtype} "
+                    f"for ref {r!r}")
             pixels.append(px.tobytes())
         return batch.append_column("pixels", pa.array(pixels, type=pa.binary()))
 

@@ -301,7 +301,6 @@ def partition_conflicts(settlements, density_tbl: pa.Table,
     driver.  Returns (part_cell, n_conflicts) for partitions whose border
     is crossed, part_cell ascending.
     """
-    import pyarrow.compute as pc
     import ray.data as rd
 
     from ibray import pipeline

@@ -43,7 +43,7 @@ def _lonlat_world(tmp: str) -> str:
                 y = np.array([float(p[1]) for p in pts])
                 lon, lat = C.xy_to_lonlat(x, y, LON0, LAT0)
                 s["text"] = fkt + ";" + ",".join(
-                    f"{a!r} {b!r}" for a, b in zip(lon, lat))
+                    f"{a:.17g} {b:.17g}" for a, b in zip(lon, lat))
         pq.write_table(pa.Table.from_pylist(docs, schema=t.schema),
                        os.path.join(out, "documents", os.path.basename(f)))
     with open(os.path.join(out, "manifest.json"), "w") as fh:

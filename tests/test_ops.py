@@ -301,3 +301,60 @@ def test_ivf_index_root_env(ray_session, monkeypatch, tmp_path):
     assert out.startswith(str(tmp_path / "ivfroot"))
     top = A.ivf_topk(SF)
     assert top.num_rows > 0
+
+
+def test_distributed_cc_fixpoint_above_small_cap(ray_session, monkeypatch):
+    """The DISTRIBUTED min-label fixpoint (the 100-TB path above
+    _SMALL_EDGE_ROWS, including the pointer-jumping round) must produce
+    the same (node, min-label) contract as the driver union-find — the
+    cap is monkeypatched down so CI actually executes the loop, which no
+    sf0.001-scale caller reaches."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ibray.ops import cc as CC
+
+    rng = np.random.default_rng(11)
+    # a long chain (diameter >> plain-propagation rounds without pointer
+    # jumping) + random clusters
+    chain = np.arange(3000, dtype=np.int64) + 10_000
+    a = [chain[:-1]]
+    b = [chain[1:]]
+    for base in range(0, 2000, 20):
+        mem = rng.choice(np.arange(base * 10, base * 10 + 50), 8,
+                         replace=False).astype(np.int64)
+        a.append(np.full(len(mem) - 1, mem.min(), dtype=np.int64))
+        b.append(np.setdiff1d(mem, [mem.min()])[: len(mem) - 1])
+    ea = np.concatenate(a)
+    eb = np.concatenate(b)
+    edges = pa.table({"a": pa.array(ea), "b": pa.array(eb)})
+
+    monkeypatch.setattr(CC, "_SMALL_EDGE_ROWS", 0)  # force the fixpoint
+    got = pa.concat_tables(
+        [t for t in __import__("ray").get(
+            CC.components_from_edges(rd.from_arrow(edges))
+            .to_arrow_refs()) if t.num_rows]).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+
+    # driver union-find oracle
+    uniq, inv = np.unique(np.concatenate([ea, eb]), return_inverse=True)
+    parent = np.arange(len(uniq))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in zip(inv[: len(ea)], inv[len(ea):]):
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            lo, hi = (ru, rv) if ru < rv else (rv, ru)
+            parent[hi] = lo
+    want_label = uniq[np.array([find(i) for i in range(len(uniq))])]
+    assert (got["node"].to_numpy() == uniq).all()
+    assert (got["label"].to_numpy() == want_label).all()
+    # the chain's diameter (2999) far exceeds max_rounds=30 plain hops —
+    # reaching the fixpoint proves the pointer-jumping round works
+    assert got.set_index("node").loc[chain[-1], "label"] == chain[0]
