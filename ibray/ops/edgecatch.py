@@ -239,7 +239,8 @@ def edge_catch(fp: rd.Dataset, settlements: pa.Table, blocks: pa.Table,
 
 
 def edge_catch_full(fp: rd.Dataset, settlements: pa.Table, blocks,
-                    cfg: DelineationConfig = DEFAULT, dual=None):
+                    cfg: DelineationConfig = DEFAULT, dual=None,
+                    compute_gains: bool = True):
     """Returns (refined, merges, snapped_pairs):
 
     refined: (settlement_id, area_m2, refined_area_m2, n_blocks_snapped)
@@ -251,7 +252,13 @@ def edge_catch_full(fp: rd.Dataset, settlements: pa.Table, blocks,
     through Dataset joins and worker-side shard packing.  ``dual`` — a
     precomputed dual_assignments dataset — skips the probe pass (the
     flagship pipeline shares one dual between pair counting and
-    refined-assignment routing).
+    refined-assignment routing).  ``compute_gains=False`` skips the
+    per-pair exact erase exchange entirely and returns ``None`` as
+    ``refined``: the gate (area factor), GapFix merges and the snapped
+    set never depend on the erase areas — the gains are the REPORTING
+    table (refined_area_m2), and the flagship refine branch recomputes
+    exact union geometry in refined_settlements anyway (the erase was
+    ~24 s of discarded work per 10M-footprint run).
     """
     from ibray import pipeline
 
@@ -300,7 +307,7 @@ def edge_catch_full(fp: rd.Dataset, settlements: pa.Table, blocks,
         "settlement_id": pa.array(list(p_sid[snap]), type=pa.string()),
         "block_id": pa.array(list(p_bid[snap]), type=pa.string()),
     })
-    if snapped.num_rows:
+    if snapped.num_rows and compute_gains:
         # per-pair exact erase WITHOUT hash joins: pairs, the gated blocks'
         # packed geometry (keyed by the block's own partition) and one
         # settlement-geometry copy per distinct partner partition co-shuffle
@@ -483,7 +490,7 @@ def edge_catch_full(fp: rd.Dataset, settlements: pa.Table, blocks,
         gain_arr[pos] = np.asarray(gdf.values, dtype=np.int64)[go]
         nsnap_arr[pos] = np.asarray(ndf.reindex(gdf.index).values,
                                     dtype=np.int64)[go]
-    refined = pa.table({
+    refined = None if not compute_gains else pa.table({
         "settlement_id": pa.array(sid_arr, type=pa.string()),
         "area_m2": pa.array(sarea, type=pa.float64()),
         "refined_area_m2": pa.array(sarea + gain_arr / 1e4,
