@@ -560,6 +560,32 @@ def _q_media_assets(sf_dir: str):
     return M.media_assets(world)
 
 
+def _q_tile_thumbs(sf_dir: str):
+    """REAL block-mean tile resize (16 -> 8) behind the decode actor —
+    thumbnail mean/std features; golden recompute oracle."""
+    from ibray.ops import media as M
+
+    sf = synth.sf_of_dir(sf_dir)
+    golden.ensure_golden(sf)
+    world = synth.ensure_world(sf)
+    out = M.resize_tiles(world, out_w=8)
+    import pyarrow as pa
+
+    out = out.map_batches(
+        lambda b: b.drop_columns(["thumb", "tile_z", "tile_x", "tile_y"]),
+        batch_format="pyarrow")
+    return _scale_cols(out, {"t_mean": 6, "t_std": 6})
+
+
+def _q_frame_sample(sf_dir: str):
+    """Per-document media-frame sampling (every 3rd frame) — the video
+    frame-sample plumbing analog; pure-SQL oracle."""
+    from ibray.ops import media as M
+
+    world = synth.ensure_world(synth.sf_of_dir(sf_dir))
+    return M.frame_sample(world, k=3)
+
+
 def _q_tile_features(sf_dir: str):
     from ibray.ops import media as M
 
@@ -694,6 +720,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- tail: beyond the driver's 50-query window (multi-round green,
         # re-verified every round by scripts/check_correctness.py) ----
         "media_assets": _q_media_assets,
+        "frame_sample": _q_frame_sample,  # per-doc media frame sampling (SQL oracle)
+        "tile_thumbs": _q_tile_thumbs,  # real block-mean resize (golden oracle)
         "dead_end_roads": _q_dead_ends,
         "road_segment_shares": _q_segment_shares,
         "filter_project_parts": R.filter_project_parts,
@@ -898,6 +926,24 @@ def oracle_sql() -> dict[str, str]:
         "mst_graph": f"""
             SELECT src, dst, CAST(ROUND(dist_m * 10000) AS BIGINT) AS dist_m
             FROM read_parquet('{gold}/mst_graph.parquet')
+        """,
+        "tile_thumbs": f"""
+            SELECT doc_id, CAST(span_idx AS INTEGER) AS span_idx, media_ref,
+                   CAST(ROUND(t_mean * 1000000) AS BIGINT) AS t_mean,
+                   CAST(ROUND(t_std * 1000000) AS BIGINT) AS t_std
+            FROM read_parquet('{gold}/tile_thumbs.parquet')
+        """,
+        "frame_sample": f"""
+            SELECT doc_id, span_idx, media_ref, frame_rank FROM (
+                SELECT doc_id, CAST(i - 1 AS INTEGER) AS span_idx,
+                       spans[i].media_ref AS media_ref,
+                       ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i)
+                           - 1 AS frame_rank
+                FROM (SELECT doc_id, spans,
+                             unnest(generate_series(1, len(spans))) AS i
+                      FROM {docs})
+                WHERE spans[i].kind = 'media')
+            WHERE frame_rank % 3 = 0
         """,
         "compute_partitions": f"""
             SELECT part_cell, n_footprints

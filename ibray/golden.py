@@ -17,8 +17,7 @@ import pyarrow.parquet as pq
 from ibray import oracle, synth
 from ibray.config import DEFAULT
 
-ORACLE_VERSION = 20  # o20: + partition_conflicts (Partitioning.pyt:204-213
-# conflict-count analog over the oracle's region index)
+ORACLE_VERSION = 21  # o21: + tile_thumbs (block-mean resize golden)
 
 
 def golden_dir(sf: float, base: str = "/tmp/ibray_golden") -> str:
@@ -97,6 +96,8 @@ def ensure_golden(sf: float) -> str:
                    os.path.join(tmp, "partitions.parquet"))
     pq.write_table(GX.golden_partition_conflicts(res, dens, DEFAULT),
                    os.path.join(tmp, "partition_conflicts.parquet"))
+    pq.write_table(GX.golden_tile_thumbs(world),
+                   os.path.join(tmp, "tile_thumbs.parquet"))
     pq.write_table(GX.golden_tile_features(world),
                    os.path.join(tmp, "tile_features.parquet"))
     from ibray.config import DelineationConfig

@@ -1198,6 +1198,32 @@ def ensure_driver_golden(sf_dir: str) -> str:
     return d
 
 
+def golden_tile_thumbs(world_dir: str, out_w: int = 8) -> pa.Table:
+    """Per-span stub decode + the SAME block-mean resize as
+    ops/media.resize_tiles, recomputed single-process."""
+    from ibray.ops.media import TILE_W
+
+    docs = pq.read_table(world_dir + "/documents").to_pylist()
+    rows = []
+    s = TILE_W // out_w
+    for doc in docs:
+        for i, sp in enumerate(doc["spans"]):
+            if sp["kind"] != "media":
+                continue
+            ref = sp["media_ref"]
+            h = hashlib.md5(ref.encode()).digest()
+            base = np.frombuffer(h, dtype=np.uint8)
+            reps = -(-TILE_W * TILE_W // len(base))
+            tile = np.tile(base, reps)[: TILE_W * TILE_W].astype(
+                np.float64).reshape(TILE_W, TILE_W)
+            thumb = tile.reshape(out_w, s, out_w, s).mean(axis=(1, 3))
+            rows.append({
+                "doc_id": doc["doc_id"], "span_idx": i, "media_ref": ref,
+                "t_mean": float(thumb.mean()), "t_std": float(thumb.std()),
+            })
+    return pa.Table.from_pylist(rows)
+
+
 def golden_partition_conflicts(res: dict, density_r9: pa.Table,
                                cfg=None, min_count: int = 5) -> pa.Table:
     """Partitioning.pyt:204-213 conflict-count golden: single-process

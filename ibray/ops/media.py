@@ -141,3 +141,84 @@ def tile_features(world_dir: str, decoder_factory=None) -> rd.Dataset:
                                  batch_size=2048, concurrency=_pool(2))
     return decoded.map_batches(tile_featurize, batch_format="pyarrow",
                                batch_size=2048)
+
+
+def frame_sample(world_dir: str, k: int = 3) -> rd.Dataset:
+    """Frame sampling over per-document media sequences: a document's
+    ordered media spans are its 'frames'; keep every ``k``-th (rank 0, k,
+    2k, ... within the document).  The large-scale video analog — sample
+    frames BEFORE decode so the expensive stage never sees the dropped
+    ones — expressed as one vectorized map_batches (a document's spans
+    are contiguous in extraction output, so the per-doc rank is a
+    run-relative arange, no shuffle and no window exchange).
+
+    Returns (doc_id, span_idx, media_ref, frame_rank)."""
+
+    docs = rd.read_parquet(world_dir + "/documents")
+
+    def _sample(batch: pa.Table) -> pa.Table:
+        spans = E.extract_spans(batch)
+        m = spans.filter(pc.equal(spans.column("kind"), "media"))
+        doc = np.asarray(m.column("doc_id"))
+        n = len(doc)
+        if not n:
+            return pa.table({
+                "doc_id": pa.array([], pa.string()),
+                "span_idx": pa.array([], pa.int32()),
+                "media_ref": pa.array([], pa.string()),
+                "frame_rank": pa.array([], pa.int64()),
+            })
+        # per-doc frame rank: extraction emits a document's spans
+        # contiguously and in span_idx order, so ranks are run-relative
+        new = np.concatenate([[True], doc[1:] != doc[:-1]])
+        idx = np.arange(n)
+        rank = idx - np.maximum.accumulate(np.where(new, idx, 0))
+        keep = (rank % k) == 0
+        out = m.filter(pa.array(keep))
+        return pa.table({
+            "doc_id": out.column("doc_id"),
+            "span_idx": out.column("span_idx"),
+            "media_ref": out.column("media_ref"),
+            "frame_rank": pa.array(rank[keep], type=pa.int64()),
+        })
+
+    return docs.map_batches(_sample, batch_format="pyarrow")
+
+
+def resize_tiles(world_dir: str, out_w: int = 8,
+                 decoder_factory=None) -> rd.Dataset:
+    """Decode -> REAL block-mean resize (TILE_W -> out_w, pure numpy — no
+    stub in the resize itself) -> thumbnail features.  The actor-pool
+    decode stage is shared with tile_features; the resize is a stateless
+    vectorized map over the whole batch's pixel matrix at once.
+
+    Returns (doc_id, span_idx, media_ref, thumb [out_w*out_w uint8
+    binary], t_mean, t_std)."""
+    if TILE_W % out_w:
+        raise ValueError(f"out_w must divide TILE_W={TILE_W}, got {out_w}")
+    assets = media_assets(world_dir)
+    decoded = assets.map_batches(TileDecoder, batch_format="pyarrow",
+                                 fn_constructor_args=(decoder_factory,),
+                                 batch_size=2048, concurrency=_pool(2))
+
+    def _resize(batch: pa.Table) -> pa.Table:
+        pixels = batch.column("pixels").to_pylist()
+        n = len(pixels)
+        if not n:
+            return batch.drop_columns(["pixels"]).append_column(
+                "thumb", pa.array([], pa.binary())).append_column(
+                "t_mean", pa.array([], pa.float64())).append_column(
+                "t_std", pa.array([], pa.float64()))
+        arr = np.frombuffer(b"".join(pixels), dtype=np.uint8).reshape(
+            n, TILE_W, TILE_W).astype(np.float64)
+        s = TILE_W // out_w
+        thumb = arr.reshape(n, out_w, s, out_w, s).mean(axis=(2, 4))
+        tq = thumb.astype(np.uint8)  # deterministic truncation
+        out = batch.drop_columns(["pixels"])
+        return (out.append_column(
+            "thumb", pa.array([t.tobytes() for t in tq], type=pa.binary()))
+            .append_column("t_mean", pa.array(thumb.mean(axis=(1, 2))))
+            .append_column("t_std", pa.array(thumb.std(axis=(1, 2)))))
+
+    return decoded.map_batches(_resize, batch_format="pyarrow",
+                               batch_size=2048)

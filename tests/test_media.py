@@ -82,3 +82,20 @@ def test_decoder_contract_shape_enforced(ray_session):
     world = synth.ensure_world(0.001)
     with pytest.raises(Exception, match="decoder contract"):
         M.tile_features(world, decoder_factory=Bad).materialize()
+
+
+def test_frame_sample_ranks(ray_session):
+    """frame_sample keeps exactly every k-th media span per document and
+    ranks restart at 0 per doc."""
+    from ibray import synth
+    from ibray.ops import media as M
+
+    world = synth.ensure_world(0.001)
+    all_media = M.media_assets(world).to_pandas()
+    k = 3
+    got = M.frame_sample(world, k=k).to_pandas()
+    per_doc = all_media.groupby("doc_id").size()
+    want_n = sum((n + k - 1) // k for n in per_doc)
+    assert len(got) == want_n
+    assert (got["frame_rank"] % k == 0).all()
+    assert (got.groupby("doc_id")["frame_rank"].min() == 0).all()
