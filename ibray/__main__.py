@@ -38,7 +38,12 @@ def main(argv: list[str] | None = None) -> int:
                         "UNCOLLECTED sorted Dataset and write it straight "
                         "to partitioned parquet at DIR from the workers — "
                         "the driver never holds the boundary payload "
-                        "(cfg.collect_settlements=False; base path only)")
+                        "(cfg.collect_settlements=False)")
+    d.add_argument("--refine", action="store_true",
+                   help="run the reference main loop's road-refinement "
+                        "second half (EdgeCatch/GapFix + veg blocks + "
+                        "re-assignment, cfg.refine_with_roads); composes "
+                        "with --stream-settlements (driver-free refine)")
     sub.add_parser("bench")
     ing = sub.add_parser(
         "ingest",
@@ -107,6 +112,8 @@ def main(argv: list[str] | None = None) -> int:
             overrides["min_footprints"] = args.min_footprints
         if args.exact_boundary:
             overrides["exact_boundary_offset"] = True
+        if args.refine:
+            overrides["refine_with_roads"] = True
         if args.parts:
             overrides["partition_list"] = tuple(
                 int(p) for p in args.parts.split(",") if p.strip())
