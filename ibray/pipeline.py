@@ -423,7 +423,13 @@ def delineate(world_dir: str, cfg: DelineationConfig = DEFAULT,
         # ~10 s at sf0.1/32 CPUs — more than the tail it removes
         # (BENCH/SCALING_r04.md).  A/B levers: IBRAY_POLY_ORDER=scatter,
         # IBRAY_POLY_BPC=<blocks per cpu, default 4>.
-        bpc = int(_os.environ.get("IBRAY_POLY_BPC", "4"))
+        # blocks-per-cpu default is ADAPTIVE: at high parallelism the
+        # polygonize repartition's coordination cost (blocks x reduces)
+        # dominates and fewer, larger blocks win (A/B at 10M: 20.5 -> 17.8 s
+        # at 32 CPUs with bpc 2), while at low parallelism balance matters
+        # more (bpc 2 cost ~2 s at 8 CPUs).  IBRAY_POLY_BPC overrides.
+        bpc = int(_os.environ.get("IBRAY_POLY_BPC", "0")) \
+            or (2 if _num_cpus() >= 16 else 4)
         nblk = max(2, _num_cpus() * bpc)
         if _os.environ.get("IBRAY_POLY_ORDER", "none") == "scatter":
             import pyarrow.compute as _pc
